@@ -1,0 +1,177 @@
+"""Batched, masked BERT encoder forward pass (pure JAX).
+
+Reproduces the reference graph's math (bert.cpp:845-1012, documented in
+SURVEY.md §3.3) with two deliberate extensions the single-sentence CPU code
+never needed:
+
+- **attention masking** over padded token batches (the reference builds one
+  graph per unpadded sentence and has no mask at all — a padded batch must
+  mask both softmax keys and the mean-pool to produce identical outputs);
+- **dtype policy**: matmuls run in a configurable activation dtype (bf16 on
+  TPU for MXU throughput, f32 for bit-parity testing), while LayerNorm,
+  softmax, pooling and L2-normalization always accumulate in f32.
+
+The layer loop is a `lax.scan` over layer-stacked parameters — one compiled
+layer body regardless of depth.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear import linear
+from ..ops.qtensor import Q4Tensor, gather_rows
+from .config import BertConfig
+
+Array = jax.Array
+
+_MASK_BIAS = -1e9  # additive bias for masked keys (applied in f32)
+
+
+@dataclass(frozen=True)
+class ComputeOptions:
+    """Runtime compute configuration (static under jit)."""
+
+    dtype: str = "float32"  # activation dtype: "float32" | "bfloat16"
+    q4_impl: str = "xla"  # "xla" (fused by compiler) | "pallas" (our kernel)
+    attn_impl: str = "xla"  # "xla" | "pallas" (flash-style kernel)
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def layer_norm(x: Array, scale: Array, bias: Array, eps: float, out_dtype) -> Array:
+    """(x - mean)/sqrt(var + eps) * scale + bias, computed in f32
+    (ggml_norm + mul/add, bert.cpp:890-898)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(out_dtype)
+
+
+def gelu(x: Array, kind: str) -> Array:
+    """"erf" matches HF; "tanh" matches ggml's approximation (ggml_gelu)."""
+    return jax.nn.gelu(x, approximate=(kind == "tanh"))
+
+
+def _attention(
+    x: Array,
+    lp: dict,
+    mask_bias: Array,
+    config: BertConfig,
+    opts: ComputeOptions,
+) -> Array:
+    """Multi-head self-attention: softmax(KᵀQ/sqrt(d)) · V
+    (bert.cpp:907-942), masked over padded keys."""
+    b, s, e = x.shape
+    h, d = config.n_head, config.head_dim
+
+    q = linear(x, lp["q_w"], lp["q_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
+    k = linear(x, lp["k_w"], lp["k_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
+    v = linear(x, lp["v_w"], lp["v_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
+
+    if opts.attn_impl == "pallas":
+        from ..ops.attention import flash_attention
+
+        att = flash_attention(q, k, v, mask_bias)
+    else:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores * (1.0 / d**0.5) + mask_bias[:, None, None, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        att = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    return att.reshape(b, s, e)
+
+
+def encoder_layer(
+    x: Array,
+    lp: dict,
+    mask_bias: Array,
+    config: BertConfig,
+    opts: ComputeOptions,
+) -> Array:
+    """One transformer block: attn + add&norm, GELU FFN + add&norm
+    (bert.cpp:900-994)."""
+    att = _attention(x, lp, mask_bias, config, opts)
+    att_out = linear(att, lp["o_w"], lp["o_b"], q4_impl=opts.q4_impl)
+    x = layer_norm(
+        att_out + x, lp["ln_att_scale"], lp["ln_att_bias"],
+        config.layer_norm_eps, x.dtype,
+    )
+    h = gelu(
+        linear(x, lp["ffn_up_w"], lp["ffn_up_b"], q4_impl=opts.q4_impl),
+        config.gelu,
+    )
+    ffn_out = linear(h, lp["ffn_down_w"], lp["ffn_down_b"], q4_impl=opts.q4_impl)
+    return layer_norm(
+        ffn_out + x, lp["ln_out_scale"], lp["ln_out_bias"],
+        config.layer_norm_eps, x.dtype,
+    )
+
+
+def embed_tokens(params: dict, ids: Array, config: BertConfig, opts: ComputeOptions) -> Array:
+    """word[ids] + token_type[0] + position[0..S-1], then embedding LayerNorm
+    (bert.cpp:868-898).  Token type is always 0 and positions are 0..S-1,
+    exactly as the reference hard-codes them."""
+    emb = params["embeddings"]
+    s = ids.shape[-1]
+    word = emb["word"]
+    if isinstance(word, Q4Tensor):
+        x = gather_rows(word, ids, dtype=jnp.float32)
+    else:
+        x = word[ids].astype(jnp.float32)
+    x = x + emb["token_type"][0].astype(jnp.float32)
+    x = x + emb["position"][:s].astype(jnp.float32)
+    return layer_norm(
+        x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps, opts.jdtype
+    )
+
+
+def mean_pool_normalize(x: Array, mask: Array) -> Array:
+    """Masked mean over tokens then L2 normalization (bert.cpp:995-1006).
+    The reference's unmasked xᵀ·(1/N) matmul becomes sum(x·mask)/sum(mask)."""
+    xf = x.astype(jnp.float32)
+    m = mask.astype(jnp.float32)[..., None]  # [B,S,1]
+    pooled = jnp.sum(xf * m, axis=-2) / jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    norm = jnp.sqrt(jnp.sum(jnp.square(pooled), axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
+def bert_embed_batch(
+    params: dict,
+    ids: Array,
+    mask: Array,
+    config: BertConfig,
+    opts: ComputeOptions = ComputeOptions(),
+) -> Array:
+    """Token ids [B, S] + validity mask [B, S] -> embeddings [B, n_embd] f32.
+
+    The full reference pipeline (bert_eval_batch, bert.cpp:1030-1108) as one
+    jittable function over a *padded batch* instead of a per-sentence loop.
+    """
+    x = embed_tokens(params, ids, config, opts)
+    mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
+
+    def body(x, lp):
+        return encoder_layer(x, lp, mask_bias, config, opts), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return mean_pool_normalize(x, mask)
+
+
+def make_forward(config: BertConfig, opts: ComputeOptions = ComputeOptions()):
+    """jit-compiled forward closed over static config/options."""
+
+    @partial(jax.jit, static_argnames=())
+    def fwd(params, ids, mask):
+        return bert_embed_batch(params, ids, mask, config, opts)
+
+    return fwd

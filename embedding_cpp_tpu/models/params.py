@@ -1,0 +1,232 @@
+"""Parameter-tree construction: GGUF (or raw state dicts) -> device pytrees.
+
+Replaces the reference's `llm_load_tensors` + ggml arena (bert.cpp:580-658):
+tensors are shape-checked against the schema, per-layer tensors are stacked on
+a leading layer axis (so the encoder runs as one `lax.scan` over layers), and
+quantized matrices are repacked into the kernel layout (ops/qtensor.py)
+instead of being dequantized — weights stay 4-bit in HBM.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType, GGUFFileType, FTYPE_TO_GGML
+from ..gguf.quant import dequantize as gguf_dequantize, quantize as gguf_quantize
+from ..ops.qtensor import Q4Tensor, pack_q4_matmul, pack_q4_rows
+from . import schema
+from .config import BertConfig
+
+# keys whose Q4 payloads stay packed in "auto" mode
+_MATMUL_KEYS = frozenset(
+    {"q_w", "k_w", "v_w", "o_w", "ffn_up_w", "ffn_down_w"}
+)
+_GATHER_KEYS = frozenset({"word"})
+
+Q4_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1)
+
+
+class _TensorSource:
+    """Uniform access to tensors as (raw bytes, ggml_type, hf_shape)."""
+
+    def __init__(self, get: Callable[[str], tuple[np.ndarray, GGMLType, tuple]]):
+        self.get = get
+
+    def dense(self, name: str, shape: tuple, dtype) -> jnp.ndarray:
+        raw, gtype, actual_shape = self.get(name)
+        self._check(name, shape, actual_shape)
+        n = int(np.prod(actual_shape))
+        return jnp.asarray(
+            gguf_dequantize(raw, gtype, n).reshape(actual_shape), dtype=dtype
+        )
+
+    def dense_t(self, name: str, shape: tuple, dtype) -> jnp.ndarray:
+        """2-D weight in contraction-major ([in, out]) orientation."""
+        return self.dense(name, shape, dtype).T
+
+    def matmul_weight(self, name: str, shape: tuple, dtype, keep_q4: bool):
+        raw, gtype, actual_shape = self.get(name)
+        self._check(name, shape, actual_shape)
+        if keep_q4 and gtype in Q4_TYPES:
+            return pack_q4_matmul(raw, actual_shape, gtype)
+        n = int(np.prod(actual_shape))
+        return jnp.asarray(
+            gguf_dequantize(raw, gtype, n).reshape(actual_shape).T, dtype=dtype
+        )
+
+    def gather_table(self, name: str, shape: tuple, dtype, keep_q4: bool):
+        raw, gtype, actual_shape = self.get(name)
+        self._check(name, shape, actual_shape)
+        if keep_q4 and gtype in Q4_TYPES:
+            return pack_q4_rows(raw, actual_shape, gtype)
+        n = int(np.prod(actual_shape))
+        return jnp.asarray(
+            gguf_dequantize(raw, gtype, n).reshape(actual_shape), dtype=dtype
+        )
+
+    @staticmethod
+    def _check(name, expected, actual):
+        if tuple(expected) != tuple(actual):
+            raise ValueError(
+                f"tensor {name}: shape {tuple(actual)} != expected {tuple(expected)}"
+            )
+
+
+def _stack_layer_values(values: list):
+    """Stack per-layer leaves (arrays or Q4Tensors) on a new leading axis."""
+    first = values[0]
+    if isinstance(first, Q4Tensor):
+        return Q4Tensor(
+            qs=jnp.stack([v.qs for v in values]),
+            scales=jnp.stack([v.scales for v in values]),
+            mins=None
+            if first.mins is None
+            else jnp.stack([v.mins for v in values]),
+            shape=first.shape,
+            qtype=first.qtype,
+        )
+    return jnp.stack(values)
+
+
+def build_params(
+    source: _TensorSource,
+    config: BertConfig,
+    *,
+    weight_mode: str = "auto",
+    dense_dtype=jnp.float32,
+):
+    """Assemble the parameter pytree.
+
+    weight_mode:
+      "auto"    — Q4 matmul weights and the word-embedding table stay packed
+                  (fused dequant on the compute path); everything else dense.
+      "dequant" — everything dequantized to `dense_dtype` at load.
+    """
+    keep_q4 = weight_mode == "auto"
+    f32 = jnp.float32
+
+    emb = {}
+    for name, (key, shape_fn) in schema.EMBEDDING_TENSORS.items():
+        shape = shape_fn(config)
+        if key == "word":
+            emb[key] = source.gather_table(name, shape, dense_dtype, keep_q4)
+        elif key in ("token_type", "position"):
+            # tiny tables: always dense (dequantizing at load is exact)
+            emb[key] = source.dense(name, shape, dense_dtype)
+        else:  # layernorm scale/bias stay f32
+            emb[key] = source.dense(name, shape, f32)
+
+    per_layer: dict[str, list] = {}
+    for i in range(config.n_layer):
+        for name, (key, shape_fn) in schema.layer_tensor_names(i).items():
+            shape = shape_fn(config)
+            if key in _MATMUL_KEYS:
+                v = source.matmul_weight(name, shape, dense_dtype, keep_q4)
+            elif key.startswith("ln_"):
+                v = source.dense(name, shape, f32)
+            else:  # biases
+                v = source.dense(name, shape, f32)
+            per_layer.setdefault(key, []).append(v)
+
+    layers = {k: _stack_layer_values(v) for k, v in per_layer.items()}
+    return {"embeddings": emb, "layers": layers}
+
+
+# --- sources ----------------------------------------------------------------
+
+def source_from_gguf(reader) -> _TensorSource:
+    def get(name: str):
+        info = reader.tensors[name]
+        return reader.tensor_raw(name), info.ggml_type, info.shape
+
+    return _TensorSource(get)
+
+
+def source_from_arrays(
+    arrays: dict[str, np.ndarray], ftype: GGUFFileType = GGUFFileType.ALL_F32
+) -> _TensorSource:
+    """f32 numpy state dict (HF names/shapes) -> source, applying the same
+    per-tensor type policy as the converter/quantizer: 2-D tensors named
+    *weight get the file's type; everything else stays f32
+    (convert-to-gguf.py:313-319, bert.cpp:1430-1436)."""
+    target = FTYPE_TO_GGML[ftype]
+
+    def get(name: str):
+        arr = np.ascontiguousarray(arrays[name], dtype=np.float32)
+        gtype = (
+            target
+            if name.endswith("weight") and arr.ndim == 2
+            else GGMLType.F32
+        )
+        return gguf_quantize(arr.reshape(-1), gtype), gtype, arr.shape
+
+    return _TensorSource(get)
+
+
+def load_params(
+    reader,
+    config: BertConfig | None = None,
+    *,
+    weight_mode: str = "auto",
+    dense_dtype=jnp.float32,
+):
+    if config is None:
+        config = BertConfig.from_gguf_kv(reader.kv)
+    return (
+        build_params(
+            source_from_gguf(reader),
+            config,
+            weight_mode=weight_mode,
+            dense_dtype=dense_dtype,
+        ),
+        config,
+    )
+
+
+def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray]:
+    """Random HF-style BERT state dict (for benchmarks/tests; no downloads)."""
+    rng = np.random.default_rng(seed)
+
+    def init(shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    sd: dict[str, np.ndarray] = {}
+    for name, (key, shape_fn) in schema.EMBEDDING_TENSORS.items():
+        shape = shape_fn(config)
+        if key in ("ln_scale",):
+            sd[name] = np.ones(shape, np.float32)
+        elif key in ("ln_bias",):
+            sd[name] = np.zeros(shape, np.float32)
+        else:
+            sd[name] = init(shape)
+    for i in range(config.n_layer):
+        for name, (key, shape_fn) in schema.layer_tensor_names(i).items():
+            shape = shape_fn(config)
+            if key.startswith("ln_") and key.endswith("scale"):
+                sd[name] = np.ones(shape, np.float32)
+            elif key.startswith("ln_") and key.endswith("bias"):
+                sd[name] = np.zeros(shape, np.float32)
+            elif key.endswith("_b"):
+                sd[name] = np.zeros(shape, np.float32)
+            else:
+                sd[name] = init(shape)
+    return sd
+
+
+def random_params(
+    config: BertConfig,
+    ftype: GGUFFileType = GGUFFileType.ALL_F32,
+    seed: int = 0,
+    *,
+    weight_mode: str = "auto",
+    dense_dtype=jnp.float32,
+):
+    sd = random_state_dict(config, seed)
+    return build_params(
+        source_from_arrays(sd, ftype),
+        config,
+        weight_mode=weight_mode,
+        dense_dtype=dense_dtype,
+    )

@@ -1,0 +1,24 @@
+"""Convert CLI: `python -m embedding_cpp_tpu.cli.convert <hf_model_dir> out.gguf --ftype f16`.
+
+TPU-native equivalent of the reference's models/convert-to-gguf.py (plus
+direct one-step q4_0/q4_1 output).
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..models.convert import FTYPE_NAMES, convert_hf_dir
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_dir", help="local HF checkpoint directory")
+    p.add_argument("output")
+    p.add_argument("--ftype", choices=sorted(FTYPE_NAMES), default="f32")
+    args = p.parse_args()
+    convert_hf_dir(args.model_dir, args.output, args.ftype)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

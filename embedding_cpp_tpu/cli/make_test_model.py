@@ -1,0 +1,51 @@
+"""Build a synthetic GGUF model (random weights + synthetic WordPiece vocab).
+
+Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
+           [--preset tiny|minilm-l6|minilm-l12|bert-base] [--ftype f32] [--seed 0]
+
+Lets every surface (CLI, server, benchmarks, tests) run end-to-end without
+network access or real model downloads.
+"""
+from __future__ import annotations
+
+import argparse
+from dataclasses import replace
+
+from ..models.config import BERT_BASE, MINILM_L6, MINILM_L12, BertConfig
+from ..models.convert import FTYPE_NAMES, write_bert_gguf
+from ..models.params import random_state_dict
+from ..tokenizer.testvocab import build_tokenizer_json
+
+PRESETS = {
+    "tiny": BertConfig(
+        n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        name="tiny-test",
+    ),
+    "minilm-l6": replace(MINILM_L6, n_vocab=1000, name="minilm-l6-synthetic"),
+    "minilm-l12": replace(MINILM_L12, n_vocab=1000, name="minilm-l12-synthetic"),
+    "bert-base": replace(BERT_BASE, n_vocab=1000, name="bert-base-synthetic"),
+}
+
+
+def make_test_model(
+    out_path: str, preset: str = "tiny", ftype: str = "f32", seed: int = 0
+) -> None:
+    config = PRESETS[preset]
+    sd = random_state_dict(config, seed=seed)
+    tokenizer_json = build_tokenizer_json(config.n_vocab)
+    write_bert_gguf(out_path, config, sd, tokenizer_json, FTYPE_NAMES[ftype])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("out")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="tiny")
+    p.add_argument("--ftype", choices=sorted(FTYPE_NAMES), default="f32")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    make_test_model(args.out, args.preset, args.ftype, args.seed)
+    print(f"wrote {args.preset} ({args.ftype}) model to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

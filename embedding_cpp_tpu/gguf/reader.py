@@ -161,11 +161,24 @@ class GGUFReader:
         return flat.reshape(info.shape)
 
     def infer_file_type(self) -> GGUFFileType:
-        """Majority tensor dtype -> file type, as the reference does
-        (bert.cpp:209-252)."""
+        """File-level quantization mode.
+
+        Prefers the `general.file_type` kv; falls back to the majority dtype
+        over 2-D weight tensors.  (The reference guesses by majority over
+        *all* tensors, bert.cpp:209-252 — which reports F32 even for Q4 files
+        because 1-D biases/norms dominate by count; the guess is only used
+        for logging there, so we keep the informative variant.)
+        """
+        ft = self.kv.get("general.file_type")
+        if ft is not None:
+            try:
+                return GGUFFileType(int(ft))
+            except ValueError:
+                pass
         counts: dict[GGMLType, int] = {}
         for info in self.tensors.values():
-            counts[info.ggml_type] = counts.get(info.ggml_type, 0) + 1
+            if len(info.shape) == 2 and info.name.endswith("weight"):
+                counts[info.ggml_type] = counts.get(info.ggml_type, 0) + 1
         if not counts:
             return GGUFFileType.ALL_F32
         majority = max(counts, key=lambda t: counts[t])

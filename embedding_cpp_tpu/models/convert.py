@@ -1,0 +1,224 @@
+"""HF BERT checkpoint -> GGUF converter.
+
+Feature-parity with the reference converter (models/convert-to-gguf.py):
+same kv schema (bert.* hparams, tokenizer.ggml.* vocab, the whole
+tokenizer.json embedded as the `blob.tokenizer.json` string kv,
+convert-to-gguf.py:211-213), same tensor policy (HF state-dict names
+verbatim; `pooler.dense.*` and `embeddings.position_ids` skipped,
+convert-to-gguf.py:294-321; 2-D `.weight` tensors cast to the target type).
+
+Extension over the reference: direct one-step conversion to Q4_0/Q4_1
+(the reference requires convert-to-f32 + a separate quantize binary).
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..gguf.constants import (
+    GGMLType,
+    GGUFFileType,
+    FTYPE_TO_GGML,
+    GGUFTokenType,
+    GGUFValueType,
+    Keys,
+)
+from ..gguf.quant import quantize
+from ..gguf.writer import GGUFWriter
+from .config import BertConfig
+from .schema import SKIPPED_TENSORS
+
+FTYPE_NAMES = {
+    "f32": GGUFFileType.ALL_F32,
+    "f16": GGUFFileType.MOSTLY_F16,
+    "q4_0": GGUFFileType.MOSTLY_Q4_0,
+    "q4_1": GGUFFileType.MOSTLY_Q4_1,
+}
+
+# Standard BERT special tokens, used as fallback when no
+# special_tokens_map.json is available.
+_SPECIAL_TOKEN_NAMES = {
+    "unk": "[UNK]",
+    "sep": "[SEP]",
+    "pad": "[PAD]",
+    "cls": "[CLS]",
+}
+
+
+def special_ids_from_vocab(vocab: dict[str, int], overrides: dict | None = None):
+    """Resolve unk/sep/pad/cls ids from the vocab (+ explicit overrides)."""
+    ids = {}
+    for key, tok in _SPECIAL_TOKEN_NAMES.items():
+        if overrides and key in overrides:
+            ids[key] = int(overrides[key])
+        elif tok in vocab:
+            ids[key] = int(vocab[tok])
+    return ids
+
+
+def write_bert_gguf(
+    out_path: str | os.PathLike,
+    config: BertConfig,
+    state_dict: dict[str, np.ndarray],
+    tokenizer_json: bytes,
+    ftype: GGUFFileType = GGUFFileType.ALL_F32,
+    *,
+    special_ids: dict | None = None,
+    source_hf_repo: str = "",
+) -> None:
+    """Write a reference-compatible BERT GGUF file."""
+    tok = json.loads(tokenizer_json)
+    vocab = tok["model"]["vocab"]
+    if not isinstance(vocab, dict):
+        raise ValueError("tokenizer.json model.vocab must be a dict (WordPiece)")
+    id_to_token = {int(i): t for t, i in vocab.items()}
+    # Added tokens (specials) may live outside model.vocab
+    for added in tok.get("added_tokens", []):
+        id_to_token.setdefault(int(added["id"]), added["content"])
+    n_vocab = config.n_vocab
+    tokens = []
+    for i in range(n_vocab):
+        if i not in id_to_token:
+            raise ValueError(f"vocab has no token for id {i} (vocab_size {n_vocab})")
+        tokens.append(id_to_token[i].encode("utf-8"))
+
+    sp = special_ids_from_vocab(vocab, special_ids)
+
+    w = GGUFWriter()
+    w.add_string(Keys.ARCHITECTURE, "bert")
+    w.add_string(Keys.NAME, config.name or Path(out_path).stem)
+    if source_hf_repo:
+        w.add_string(Keys.SOURCE_HF_REPO, source_hf_repo)
+    w.add_string(Keys.TENSOR_DATA_LAYOUT, "")
+    w.add_uint32(Keys.CONTEXT_LENGTH, config.n_ctx)
+    w.add_uint32(Keys.EMBEDDING_LENGTH, config.n_embd)
+    w.add_uint32(Keys.BLOCK_COUNT, config.n_layer)
+    w.add_uint32(Keys.FEED_FORWARD_LENGTH, config.n_ff)
+    w.add_uint32(Keys.ROPE_DIMENSION_COUNT, config.head_dim)
+    w.add_uint32(Keys.HEAD_COUNT, config.n_head)
+    w.add_uint32(Keys.HEAD_COUNT_KV, config.n_head)
+    w.add_float32(Keys.LAYER_NORM_EPS, config.layer_norm_eps)
+    w.add_uint32("general.file_type", int(ftype))
+
+    w.add_string(Keys.TOKENIZER_JSON_BLOB, tokenizer_json)
+    w.add_string(Keys.TOKENIZER_MODEL, "bert")
+    w.add_array(Keys.TOKENIZER_LIST, tokens, GGUFValueType.STRING)
+    w.add_array(
+        Keys.TOKENIZER_SCORES, [0.0] * n_vocab, GGUFValueType.FLOAT32
+    )
+    w.add_array(
+        Keys.TOKENIZER_TOKEN_TYPE,
+        [int(GGUFTokenType.NORMAL)] * n_vocab,
+        GGUFValueType.INT32,
+    )
+    if "unk" in sp:
+        w.add_uint32(Keys.TOKENIZER_UNK_ID, sp["unk"])
+    if "sep" in sp:
+        w.add_uint32(Keys.TOKENIZER_SEP_ID, sp["sep"])
+    if "pad" in sp:
+        w.add_uint32(Keys.TOKENIZER_PAD_ID, sp["pad"])
+    if "cls" in sp:
+        w.add_uint32(Keys.TOKENIZER_CLS_ID, sp["cls"])
+
+    target = FTYPE_TO_GGML[ftype]
+    for name, data in state_dict.items():
+        if name in SKIPPED_TENSORS:
+            continue
+        arr = np.ascontiguousarray(np.asarray(data), dtype=np.float32)
+        arr = np.squeeze(arr)
+        if target != GGMLType.F32 and name.endswith(".weight") and arr.ndim == 2:
+            if target == GGMLType.F16:
+                w.add_tensor(name, arr.astype(np.float16))
+            else:
+                w.add_tensor_raw(name, arr.shape, target, quantize(arr.reshape(-1), target))
+        else:
+            w.add_tensor(name, arr)
+    w.write(os.fspath(out_path))
+
+
+def convert_hf_dir(
+    model_dir: str | os.PathLike,
+    out_path: str | os.PathLike,
+    ftype: str | GGUFFileType = "f32",
+) -> None:
+    """Convert a local HF BERT checkpoint directory to GGUF.
+
+    Loads config.json / tokenizer.json / weights (safetensors or
+    pytorch_model.bin) with no network access.
+    """
+    if isinstance(ftype, str):
+        ftype = FTYPE_NAMES[ftype]
+    model_dir = Path(model_dir)
+    with open(model_dir / "config.json") as f:
+        hf_config = json.load(f)
+    archs = hf_config.get("architectures") or []
+    if archs and archs[0] not in ("BertModel", "BertForMaskedLM"):
+        raise ValueError(f"unsupported architecture: {archs[0]}")
+    config = BertConfig.from_hf_config(hf_config, name=model_dir.name)
+
+    tokenizer_json_path = model_dir / "tokenizer.json"
+    if not tokenizer_json_path.is_file():
+        raise FileNotFoundError(f"missing {tokenizer_json_path}")
+    tokenizer_json = tokenizer_json_path.read_bytes()
+
+    state_dict = _load_state_dict(model_dir)
+    # strip a leading "bert." prefix (BertForMaskedLM-style checkpoints)
+    state_dict = {
+        (k[len("bert."):] if k.startswith("bert.") else k): v
+        for k, v in state_dict.items()
+    }
+
+    overrides = _special_overrides(model_dir)
+    write_bert_gguf(
+        out_path,
+        config,
+        state_dict,
+        tokenizer_json,
+        ftype,
+        special_ids=overrides,
+        source_hf_repo=hf_config.get("_name_or_path", ""),
+    )
+
+
+def _load_state_dict(model_dir: Path) -> dict[str, np.ndarray]:
+    st_path = model_dir / "model.safetensors"
+    if st_path.is_file():
+        from safetensors.numpy import load_file
+
+        return load_file(str(st_path))
+    pt_path = model_dir / "pytorch_model.bin"
+    if pt_path.is_file():
+        import torch
+
+        sd = torch.load(str(pt_path), map_location="cpu", weights_only=True)
+        return {k: v.float().numpy() for k, v in sd.items()}
+    raise FileNotFoundError(
+        f"no model.safetensors or pytorch_model.bin in {model_dir}"
+    )
+
+
+def _special_overrides(model_dir: Path) -> dict | None:
+    """Read special-token ids from tokenizer_config/special_tokens_map."""
+    path = model_dir / "special_tokens_map.json"
+    if not path.is_file():
+        return None
+    with open(path) as f:
+        smap = json.load(f)
+    with open(model_dir / "tokenizer.json", "rb") as f:
+        vocab = json.load(f)["model"]["vocab"]
+    out = {}
+    for key, map_key in (
+        ("unk", "unk_token"),
+        ("sep", "sep_token"),
+        ("pad", "pad_token"),
+        ("cls", "cls_token"),
+    ):
+        tok = smap.get(map_key)
+        if isinstance(tok, dict):
+            tok = tok.get("content")
+        if tok in vocab:
+            out[key] = vocab[tok]
+    return out or None

@@ -1,0 +1,71 @@
+"""Synthetic WordPiece tokenizer construction (for tests/benchmarks).
+
+This zero-egress environment cannot download real tokenizer.json files, so we
+build a genuine HF-format WordPiece tokenizer (BertNormalizer +
+BertPreTokenizer + WordPiece model + TemplateProcessing post-processor) with
+the `tokenizers` library and a synthetic vocab.  The serialized JSON is
+byte-for-byte the format the reference embeds as `blob.tokenizer.json`.
+"""
+from __future__ import annotations
+
+import string
+
+_COMMON_WORDS = (
+    "the of and a to in is you that it he was for on are as with his they i at "
+    "be this have from or one had by word but not what all were we when your "
+    "can said there use an each which she do how their if will up other about "
+    "out many then them these so some her would make like him into time has "
+    "look two more write go see number no way could people my than first water "
+    "been call who oil its now find long down day did get come made may part "
+    "store buy apple banana welcome along cloudy outside back soon anywhere "
+    "going time partly hello world test sentence embedding model quick brown "
+    "fox jumps over lazy dog"
+).split()
+
+
+def build_vocab(n_vocab: int = 1000) -> dict[str, int]:
+    """Deterministic synthetic WordPiece vocab of exactly n_vocab entries."""
+    tokens: list[str] = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    chars = list(string.ascii_lowercase) + list(string.digits) + list(
+        ".,!?;:'\"()[]{}<>-+*/=@#$%&_|\\~`^"
+    )
+    tokens += chars
+    tokens += [f"##{c}" for c in string.ascii_lowercase + string.digits]
+    for w in _COMMON_WORDS:
+        if w not in tokens:
+            tokens.append(w)
+    # a few multi-char continuation pieces for realistic segmentations
+    for piece in ("##ing", "##ed", "##er", "##ly", "##tion", "##re", "##es",
+                  "##ll", "##ve", "##s", "##t", "##d", "##m"):
+        if piece not in tokens:
+            tokens.append(piece)
+    if len(tokens) > n_vocab:
+        raise ValueError(f"n_vocab {n_vocab} too small (need {len(tokens)})")
+    i = 0
+    while len(tokens) < n_vocab:
+        tokens.append(f"[unused{i}]")
+        i += 1
+    return {t: i for i, t in enumerate(tokens)}
+
+
+def build_tokenizer_json(n_vocab: int = 1000, lowercase: bool = True) -> bytes:
+    """Serialize a real HF tokenizers WordPiece pipeline to tokenizer.json."""
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, processors
+
+    vocab = build_vocab(n_vocab)
+    tok = Tokenizer(
+        models.WordPiece(vocab, unk_token="[UNK]", max_input_chars_per_word=100)
+    )
+    tok.normalizer = normalizers.BertNormalizer(
+        clean_text=True,
+        handle_chinese_chars=True,
+        strip_accents=None,
+        lowercase=lowercase,
+    )
+    tok.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
+    tok.post_processor = processors.TemplateProcessing(
+        single="[CLS] $A [SEP]",
+        pair="[CLS] $A [SEP] $B:1 [SEP]:1",
+        special_tokens=[("[CLS]", vocab["[CLS]"]), ("[SEP]", vocab["[SEP]"])],
+    )
+    return tok.to_str().encode("utf-8")

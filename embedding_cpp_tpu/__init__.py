@@ -12,4 +12,14 @@ __version__ = "0.1.0"
 
 from . import gguf  # noqa: F401
 
-__all__ = ["gguf", "__version__"]
+
+def __getattr__(name):
+    # lazy: importing Engine pulls in jax; keep bare-package import cheap
+    if name == "Engine":
+        from .runtime.engine import Engine
+
+        return Engine
+    raise AttributeError(name)
+
+
+__all__ = ["gguf", "Engine", "__version__"]

@@ -1,0 +1,60 @@
+"""Tokenizer interface + the reference's framing semantics.
+
+The reference's `bert_tokenize` (bert.cpp:738-781) runs the tokenizer.json
+pipeline *without* template special tokens, strips any padding the json
+config injects (stops at the first pad id), then frames the ids itself:
+prepend CLS, append SEP, truncate to n_max_tokens with SEP overwriting the
+last slot on overflow.  `frame_ids` reproduces that behavior exactly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Protocol, Sequence
+
+
+@dataclass(frozen=True)
+class SpecialIds:
+    cls: int
+    sep: int
+    pad: int
+    unk: int
+
+    @classmethod
+    def from_gguf_kv(cls, kv: dict) -> "SpecialIds":
+        from ..gguf.constants import Keys
+
+        return cls(
+            cls=int(kv.get(Keys.TOKENIZER_CLS_ID, 101)),
+            sep=int(kv.get(Keys.TOKENIZER_SEP_ID, 102)),
+            pad=int(kv.get(Keys.TOKENIZER_PAD_ID, 0)),
+            unk=int(kv.get(Keys.TOKENIZER_UNK_ID, 100)),
+        )
+
+
+class Tokenizer(Protocol):
+    """Raw tokenizer.json pipeline: text -> ids, NO special tokens added."""
+
+    def encode(self, text: str) -> list[int]: ...
+
+    def encode_batch(self, texts: Sequence[str]) -> list[list[int]]: ...
+
+    def id_to_token(self, token_id: int) -> str: ...
+
+
+def frame_ids(
+    ids: Sequence[int], special: SpecialIds, n_max_tokens: int
+) -> list[int]:
+    """[CLS] + ids (pad-stripped) + [SEP], truncated (bert.cpp:756-780)."""
+    out = [special.cls]
+    for i in ids:
+        if i == special.pad:  # padding from the json config: stop here
+            break
+        out.append(i)
+        if len(out) >= n_max_tokens:
+            break
+    if len(out) >= n_max_tokens:
+        out[n_max_tokens - 1] = special.sep
+        del out[n_max_tokens:]
+    else:
+        out.append(special.sep)
+    return out

@@ -1,0 +1,99 @@
+"""ctypes binding to the native C++ WordPiece tokenizer (native/tokenizer).
+
+C ABI (see native/tokenizer/tokenizer_c.h):
+    void*  tpuembed_tokenizer_new(const char* json, size_t len);
+    void   tpuembed_tokenizer_free(void*);
+    int    tpuembed_encode(void*, const char* text, size_t len,
+                           int32_t* out, int32_t cap);       // -> n or -needed
+    int    tpuembed_id_to_token(void*, int32_t id, char* out, int32_t cap);
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Sequence
+
+_LIB_NAMES = ("libtpuembed_tokenizer.so",)
+
+
+def _find_library() -> str:
+    env = os.environ.get("TPUEMBED_TOKENIZER_LIB")
+    if env and Path(env).is_file():
+        return env
+    root = Path(__file__).resolve().parents[2]
+    for name in _LIB_NAMES:
+        for cand in (root / "native" / "build" / name, root / name):
+            if cand.is_file():
+                return str(cand)
+    raise ImportError(
+        "native tokenizer library not built (run `make -C native`)"
+    )
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(_find_library())
+        lib.tpuembed_tokenizer_new.restype = ctypes.c_void_p
+        lib.tpuembed_tokenizer_new.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.tpuembed_tokenizer_free.argtypes = [ctypes.c_void_p]
+        lib.tpuembed_encode.restype = ctypes.c_int32
+        lib.tpuembed_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.tpuembed_id_to_token.restype = ctypes.c_int32
+        lib.tpuembed_id_to_token.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+        ]
+        _lib = lib
+    return _lib
+
+
+class NativeTokenizer:
+    def __init__(self, tokenizer_json: bytes | str):
+        if isinstance(tokenizer_json, str):
+            tokenizer_json = tokenizer_json.encode("utf-8")
+        lib = _load()
+        self._lib = lib
+        self._handle = lib.tpuembed_tokenizer_new(tokenizer_json, len(tokenizer_json))
+        if not self._handle:
+            raise ValueError("native tokenizer rejected tokenizer.json")
+        self._buf = (ctypes.c_int32 * 8192)()
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.tpuembed_tokenizer_free(self._handle)
+            self._handle = None
+
+    def encode(self, text: str) -> list[int]:
+        raw = text.encode("utf-8")
+        n = self._lib.tpuembed_encode(
+            self._handle, raw, len(raw), self._buf, len(self._buf)
+        )
+        if n < 0:  # buffer too small: grow and retry
+            self._buf = (ctypes.c_int32 * (-n))()
+            n = self._lib.tpuembed_encode(
+                self._handle, raw, len(raw), self._buf, len(self._buf)
+            )
+        return list(self._buf[:n])
+
+    def encode_batch(self, texts: Sequence[str]) -> list[list[int]]:
+        return [self.encode(t) for t in texts]
+
+    def id_to_token(self, token_id: int) -> str:
+        out = ctypes.create_string_buffer(512)
+        n = self._lib.tpuembed_id_to_token(self._handle, token_id, out, 512)
+        if n <= 0:
+            return ""
+        return out.raw[:n].decode("utf-8", errors="replace")

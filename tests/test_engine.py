@@ -1,0 +1,115 @@
+"""Engine end-to-end: GGUF -> tokenize -> batch -> embeddings; batching
+correctness vs one-at-a-time; bucketing behavior."""
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.models.bert import ComputeOptions
+from embedding_cpp_tpu.runtime.batching import bucket_for, pack_batches
+from embedding_cpp_tpu.runtime.engine import Engine
+
+TEXTS = [
+    "hello world",
+    "the quick brown fox jumps over the lazy dog",
+    "a",
+    "time to buy an apple and a banana",
+    "this is a test sentence for the embedding model",
+    "go",
+]
+
+
+@pytest.fixture(scope="module")
+def gguf_path(tmp_path_factory):
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.cli.make_test_model import make_test_model
+
+    path = tmp_path_factory.mktemp("m") / "tiny.gguf"
+    make_test_model(str(path), "tiny", "f32")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def engine(gguf_path):
+    return Engine.from_gguf(gguf_path, opts=ComputeOptions(dtype="float32"))
+
+
+def test_bucket_for():
+    assert bucket_for(3, (16, 32)) == 16
+    assert bucket_for(16, (16, 32)) == 16
+    assert bucket_for(17, (16, 32)) == 32
+    assert bucket_for(99, (16, 32)) == 32  # clamps to largest
+
+
+def test_pack_batches_scatter():
+    toks = [[1, 2], [3, 4, 5], [6], [7] * 20]
+    batches = pack_batches(toks, pad_id=0, seq_buckets=(8, 32), batch_buckets=(4,))
+    covered = sorted(i for b in batches for i in b.positions)
+    assert covered == [0, 1, 2, 3]
+    for b in batches:
+        assert b.ids.shape == b.mask.shape
+        for row, idx in enumerate(b.positions):
+            n = len(toks[idx][: b.ids.shape[1]])
+            assert b.mask[row, :n].all() and not b.mask[row, n:].any()
+            np.testing.assert_array_equal(b.ids[row, :n], toks[idx][:n])
+
+
+def test_encode_shape_and_norm(engine):
+    out = engine.encode(TEXTS)
+    assert out.shape == (len(TEXTS), engine.n_embd)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+
+def test_batched_equals_single(engine):
+    batched = engine.encode(TEXTS)
+    for i, t in enumerate(TEXTS):
+        single = engine.encode([t])[0]
+        np.testing.assert_allclose(batched[i], single, atol=2e-5, rtol=1e-4)
+
+
+def test_single_string_input(engine):
+    out = engine.encode("hello world")
+    assert out.shape == (1, engine.n_embd)
+
+
+def test_tokenize_framing(engine):
+    ids = engine.tokenize("hello world")
+    assert ids[0] == engine.special_ids.cls
+    assert ids[-1] == engine.special_ids.sep
+    assert engine.id_to_token(ids[0]) == "[CLS]"
+
+
+def test_deterministic(engine):
+    a = engine.encode(["hello world"])
+    b = engine.encode(["hello world"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_similar_sentences_more_similar(engine):
+    # even with random weights, identical sentences embed identically and
+    # near-duplicates stay closer than unrelated ones in expectation;
+    # just check the full pipeline orders exact duplicates first
+    q = engine.encode(["the quick brown fox jumps over the lazy dog"])[0]
+    c = engine.encode(
+        ["the quick brown fox jumps over the lazy dog", "go", "hello world"]
+    )
+    sims = c @ q
+    assert np.argmax(sims) == 0
+    assert sims[0] > 0.999
+
+
+def test_synthetic_engine_q4():
+    from embedding_cpp_tpu.models.config import BertConfig
+
+    cfg = BertConfig(
+        n_vocab=1000, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128
+    )
+    eng = Engine.synthetic(cfg, ftype="q4_0")
+    out = eng.encode(["hello world", "test sentence"])
+    assert out.shape == (2, 64)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+
+def test_stats_accounting(engine):
+    before = dict(engine.stats)
+    engine.encode(TEXTS)
+    assert engine.stats["sentences"] == before["sentences"] + len(TEXTS)
+    assert engine.stats["tokens"] > before["tokens"]

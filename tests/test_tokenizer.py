@@ -1,0 +1,166 @@
+"""Tokenizer correctness.
+
+- frame_ids reproduces bert_tokenize's CLS/SEP/truncation semantics
+  (bert.cpp:738-781), including the SEP-overwrites-last-slot overflow rule.
+- The pure-Python WordPiece engine matches the HF `tokenizers` library
+  (the engine the reference links via tokenizers-cpp) on a fuzz corpus
+  covering accents, CJK, punctuation, contractions, and messy whitespace —
+  the same feature axes as the reference's golden tests
+  (examples/test_tokenizer.cpp:70-73).
+- If a real bert-base-uncased tokenizer.json is provided via
+  BERT_TOKENIZER_JSON, the reference's exact golden id vectors are checked.
+"""
+import json
+import os
+
+import pytest
+
+from embedding_cpp_tpu.tokenizer import SpecialIds, WordPieceTokenizer, frame_ids
+
+SP = SpecialIds(cls=2, sep=3, pad=0, unk=1)
+
+# Inputs from the reference's golden tests (test_tokenizer.cpp:70-73).
+REFERENCE_INPUTS = [
+    "Québec",
+    "syömme \t  täällä    tänään",
+    "I'm going to the store to buy 3 apples and a banana! You're welcome to "
+    "come along if you'd like. The time is 2:30 p.m. and it's partly cloudy "
+    "outside. I'll be back soon, so don't go anywhere.",
+    '"5 2 + 3 * 4 -"; int stack[1000], top = -1; int calculate(int a, int b, '
+    "char operator) { return operator == '+' ? a + b : operator == '-' ? a - "
+    "b : operator == '*' ? a * b : a / b; }",
+]
+
+FUZZ_CORPUS = REFERENCE_INPUTS + [
+    "",
+    " ",
+    "hello world",
+    "HELLO WORLD",
+    "ÀÉÎÕÜ àéîõü çñß",
+    "日本語のテキスト and English 中文文本",
+    "你好世界",
+    "don't can't won't it's I'll you're we've they'd",
+    "  leading and trailing   ",
+    "tabs\tand\nnewlines\r\nmixed",
+    "email@example.com http://foo.bar/baz?q=1&r=2",
+    "3.14159 -42 1e10 0x1F",
+    "ALLCAPS MixedCase lowercase",
+    "a" * 150,  # exceeds max_input_chars_per_word -> UNK
+    "word " + "b" * 101 + " word",
+    "emoji 😀 and symbols ©®™",
+    "Ḽơᶉëᶆ ȋṕšᶙṁ ḍỡḽǭᵳ ʂǐť ӓṁệẗ",
+    "«quoted» “smart quotes” ‘single’",
+    "half-width ｶﾀｶﾅ and ３ full-width",
+    '\x00null\x00bytes',
+    "combining á é marks",
+]
+
+
+def test_frame_basic():
+    assert frame_ids([10, 11, 12], SP, 64) == [2, 10, 11, 12, 3]
+
+
+def test_frame_strips_padding():
+    assert frame_ids([10, 11, 0, 12], SP, 64) == [2, 10, 11, 3]
+
+
+def test_frame_truncation_overwrites_last_with_sep():
+    # n_max_tokens=5: CLS + 4 ids hits the cap; SEP overwrites slot 4
+    assert frame_ids([10, 11, 12, 13, 14, 15], SP, 5) == [2, 10, 11, 12, 3]
+
+
+def test_frame_exact_fit():
+    assert frame_ids([10, 11, 12], SP, 5) == [2, 10, 11, 12, 3]
+
+
+def test_frame_empty():
+    assert frame_ids([], SP, 64) == [2, 3]
+
+
+@pytest.fixture(scope="module")
+def synthetic_json():
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    return build_tokenizer_json(1000)
+
+
+@pytest.fixture(scope="module")
+def hf_tok(synthetic_json):
+    from embedding_cpp_tpu.tokenizer.hf import HFTokenizer
+
+    return HFTokenizer(synthetic_json)
+
+
+@pytest.fixture(scope="module")
+def py_tok(synthetic_json):
+    return WordPieceTokenizer(synthetic_json)
+
+
+@pytest.mark.parametrize("idx", range(len(FUZZ_CORPUS)))
+def test_python_matches_hf(hf_tok, py_tok, idx):
+    text = FUZZ_CORPUS[idx]
+    assert py_tok.encode(text) == hf_tok.encode(text), repr(text)
+
+
+def test_python_matches_hf_random_strings(hf_tok, py_tok):
+    import random
+
+    rng = random.Random(0)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n.,!?;:'\"()[]{}@#$%^&*-_+=~`|\\/<>"
+        "àéîõüçñß日本語中文ｶﾀｶﾅ😀©«»"
+    )
+    for _ in range(200):
+        n = rng.randint(0, 60)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        assert py_tok.encode(text) == hf_tok.encode(text), repr(text)
+
+
+def test_hf_no_special_tokens(hf_tok, synthetic_json):
+    """Backend must not template CLS/SEP (tokenizers-cpp Encode behavior)."""
+    vocab = json.loads(synthetic_json)["model"]["vocab"]
+    ids = hf_tok.encode("hello world")
+    assert vocab["[CLS]"] not in ids
+    assert vocab["[SEP]"] not in ids
+    assert ids == [vocab["hello"], vocab["world"]]
+
+
+def test_unknown_word_is_unk(py_tok, synthetic_json):
+    vocab = json.loads(synthetic_json)["model"]["vocab"]
+    # 'Ω' is not in the synthetic vocab and can't be wordpieced
+    assert py_tok.encode("Ω") == [vocab["[UNK]"]]
+
+
+def test_wordpiece_continuation(py_tok, synthetic_json):
+    vocab = json.loads(synthetic_json)["model"]["vocab"]
+    # "testing" = "test" + "##ing" in the synthetic vocab
+    assert py_tok.encode("testing") == [vocab["test"], vocab["##ing"]]
+
+
+def test_cjk_isolation(py_tok, hf_tok):
+    # each CJK char becomes its own word (likely UNK in synthetic vocab)
+    assert py_tok.encode("abc你好def") == hf_tok.encode("abc你好def")
+
+
+GOLDEN = [
+    ("Québec", [101, 5447, 102]),
+    (
+        "syömme \t  täällä    tänään",
+        [101, 25353, 5358, 4168, 11937, 25425, 9092, 14634, 102],
+    ),
+]
+
+
+def test_reference_golden_vectors_if_available():
+    """Exact golden ids from test_tokenizer.cpp, needs the real
+    bert-base-uncased tokenizer.json (set BERT_TOKENIZER_JSON)."""
+    path = os.environ.get("BERT_TOKENIZER_JSON")
+    if not path or not os.path.exists(path):
+        pytest.skip("real bert-base-uncased tokenizer.json not available")
+    blob = open(path, "rb").read()
+    tok = WordPieceTokenizer(blob)
+    sp = SpecialIds(cls=101, sep=102, pad=0, unk=100)
+    for text, expected in GOLDEN:
+        assert frame_ids(tok.encode(text), sp, 512) == expected

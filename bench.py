@@ -1,0 +1,112 @@
+"""Throughput benchmark: sentences/sec/chip on the reference's headline
+workload (all-MiniLM-L6-v2 shapes, Q4_0 weights, STSB-like sentence lengths).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's q4_0 MiniLM-L6 STSBenchmark eval — 5.45 s for the
+2758-sentence test split (BASELINE.md; benchmarks/results/
+all-MiniLM-L6-v2_q4_0/STSBenchmark.json) ≈ 506 sentences/s on CPU.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SENTENCES_PER_SEC = 2758 / 5.45  # ≈ 506
+
+
+def synthetic_sentences(n: int, seed: int = 0) -> list[str]:
+    """STSB-like corpus: short news/caption-style sentences (mean ~11 words)."""
+    from embedding_cpp_tpu.tokenizer.testvocab import _COMMON_WORDS
+
+    rng = np.random.default_rng(seed)
+    words = np.array(_COMMON_WORDS)
+    out = []
+    for _ in range(n):
+        k = max(3, int(rng.normal(11, 4)))
+        out.append(" ".join(rng.choice(words, size=k)))
+    return out
+
+
+def run_bench(
+    preset: str = "minilm-l6",
+    ftype: str = "q4_0",
+    dtype: str = "bfloat16",
+    q4_impl: str = "auto",
+    n_sentences: int = 2758,
+    repeats: int = 3,
+    verbose: bool = True,
+):
+    import jax
+
+    from embedding_cpp_tpu.cli.make_test_model import PRESETS
+    from embedding_cpp_tpu.models.bert import ComputeOptions
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    if q4_impl == "auto":
+        platform = jax.devices()[0].platform
+        q4_impl = "pallas" if platform == "tpu" and ftype.startswith("q4") else "xla"
+        try:
+            from embedding_cpp_tpu.ops import q4_matmul  # noqa: F401
+        except ImportError:
+            q4_impl = "xla"
+
+    config = PRESETS[preset]
+    opts = ComputeOptions(dtype=dtype, q4_impl=q4_impl)
+    engine = Engine.synthetic(config, ftype=ftype, opts=opts)
+
+    texts = synthetic_sentences(n_sentences)
+    token_lists = engine.tokenize_batch(texts)
+    n_tokens = sum(len(t) for t in token_lists)
+
+    # warmup: compile every bucket shape this workload will hit
+    engine.embed_tokens(token_lists)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = engine.embed_tokens(token_lists)
+        out[0].sum()  # numpy result; already host-synced
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    sps = n_sentences / best
+
+    if verbose:
+        print(
+            f"# {preset} {ftype} {dtype} q4_impl={q4_impl}: "
+            f"{n_sentences} sentences ({n_tokens} tokens) in {best:.3f}s "
+            f"(runs: {[f'{t:.3f}' for t in times]}) on "
+            f"{jax.devices()[0].platform}",
+            file=sys.stderr,
+        )
+    return {
+        "metric": "sentences_per_sec_chip_minilm_l6_q4_0",
+        "value": round(sps, 1),
+        "unit": "sentences/s",
+        "vs_baseline": round(sps / BASELINE_SENTENCES_PER_SEC, 2),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="minilm-l6")
+    p.add_argument("--ftype", default="q4_0")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--q4-impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--sentences", type=int, default=2758)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+    result = run_bench(
+        args.preset, args.ftype, args.dtype, args.q4_impl,
+        args.sentences, args.repeats,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""GSPMD parameter shardings + the pjit-compiled distributed forward.
+
+Tensor-parallel layout (Megatron-style, applied through `jax.sharding`
+annotations — XLA inserts the collectives):
+
+- q/k/v and ffn_up weights:  column-parallel (output/head axis over "tp");
+  their biases follow the same split;
+- o and ffn_down weights:    row-parallel (contraction axis over "tp") —
+  GSPMD emits one psum per row-parallel matmul, riding ICI;
+- embeddings, LayerNorms, row-parallel biases: replicated;
+- activations/data: batch axis over "dp".
+
+Q4Tensors shard the same way: their qs/scales/mins planes all carry N last
+and (blocked) K in the middle, so one spec per logical weight applies to all
+three planes.  Block alignment holds whenever (K/32) % tp == 0 — checked.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.bert import ComputeOptions, bert_embed_batch
+from ..models.config import BertConfig
+from ..ops.qtensor import Q4Tensor
+from .mesh import DP_AXIS, TP_AXIS
+
+# per-logical-weight specs; arrays are layer-stacked (leading L axis = None)
+_COLUMN_PARALLEL = frozenset({"q_w", "k_w", "v_w", "ffn_up_w"})
+_ROW_PARALLEL = frozenset({"o_w", "ffn_down_w"})
+_COLUMN_BIAS = frozenset({"q_b", "k_b", "v_b", "ffn_up_b"})
+
+
+def _layer_spec(key: str, tp: int, config: BertConfig):
+    if tp > 1 and key in _COLUMN_PARALLEL:
+        return P(None, None, TP_AXIS)  # [L, K(/2|/32), N] -> split N
+    if tp > 1 and key in _ROW_PARALLEL:
+        return P(None, TP_AXIS, None)  # split K (blocked axes divide evenly)
+    if tp > 1 and key in _COLUMN_BIAS:
+        return P(None, TP_AXIS)  # [L, N]
+    return P()  # replicated
+
+
+def _check_divisibility(config: BertConfig, tp: int) -> None:
+    if tp == 1:
+        return
+    if config.n_head % tp:
+        raise ValueError(f"n_head {config.n_head} not divisible by tp={tp}")
+    for name, k in (("n_embd", config.n_embd), ("n_ff", config.n_ff)):
+        if (k // 32) % tp:
+            raise ValueError(
+                f"{name}={k}: K/32={k//32} not divisible by tp={tp} "
+                "(Q4 block alignment)"
+            )
+
+
+def param_pspecs(params, config: BertConfig, tp: int):
+    """Pytree of PartitionSpecs matching the params treedef."""
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if "layers" in keys:
+            # path: ('layers', <weight key>[, <dataclass field>])
+            wkey = keys[keys.index("layers") + 1]
+            s = _layer_spec(wkey, tp, config)
+            if leaf.ndim < len(s):  # e.g. ln scales [L, E] with 3-axis spec
+                s = P(*list(s)[: leaf.ndim])
+            return s
+        return P()  # embeddings replicated
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params_and_make_forward(
+    params, config: BertConfig, opts: ComputeOptions, mesh
+):
+    """device_put params per the TP layout; return (params, jitted forward)
+    with data sharded over dp and outputs gathered to dp."""
+    tp = mesh.shape.get(TP_AXIS, 1)
+    _check_divisibility(config, tp)
+
+    pspecs = param_pspecs(params, config, tp)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    params = jax.device_put(params, shardings)
+
+    data_sharding = NamedSharding(mesh, P(DP_AXIS, None))
+    out_sharding = NamedSharding(mesh, P(DP_AXIS, None))
+
+    @partial(
+        jax.jit,
+        in_shardings=(shardings, data_sharding, data_sharding),
+        out_shardings=out_sharding,
+    )
+    def forward(p, ids, mask):
+        return bert_embed_batch(p, ids, mask, config, opts)
+
+    return params, forward

@@ -1,0 +1,84 @@
+"""Multi-chip sharding: dp/tp mesh forward must equal single-device forward.
+
+Runs on 8 virtual CPU devices (conftest) and skips if unavailable.
+"""
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.gguf import GGUFFileType
+from embedding_cpp_tpu.models import BertConfig, ComputeOptions, bert_embed_batch, random_params
+
+CFG = BertConfig(
+    n_vocab=256, n_ctx=64, n_embd=128, n_layer=2, n_head=4, n_ff=256,
+    name="shard-test",
+)
+OPTS = ComputeOptions(dtype="float32")
+
+
+def _data(batch=8, seq=16, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, CFG.n_vocab, size=(batch, seq)).astype(np.int32)
+    mask = np.ones((batch, seq), np.int32)
+    mask[:, 12:] = 0
+    return ids, mask
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("ftype", [GGUFFileType.ALL_F32, GGUFFileType.MOSTLY_Q4_0])
+def test_mesh_forward_matches_single(eight_devices, dp, tp, ftype):
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward
+
+    params = random_params(CFG, ftype, seed=0)
+    ids, mask = _data()
+    expected = np.asarray(bert_embed_batch(params, ids, mask, CFG, OPTS))
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=eight_devices)
+    sharded, fwd = shard_params_and_make_forward(params, CFG, OPTS, mesh)
+    got = np.asarray(fwd(sharded, ids, mask))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_tp_actually_shards(eight_devices):
+    """Column-parallel weights must be split across tp, not replicated."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward
+
+    params = random_params(CFG, seed=0)
+    mesh = make_mesh(dp=2, tp=4, devices=eight_devices)
+    sharded, _ = shard_params_and_make_forward(params, CFG, OPTS, mesh)
+    qw = sharded["layers"]["q_w"]
+    # each device holds 1/4 of the N axis
+    shard_shape = qw.sharding.shard_shape(qw.shape)
+    assert shard_shape[-1] == qw.shape[-1] // 4
+    # row-parallel: o_w split on K axis
+    ow = sharded["layers"]["o_w"]
+    assert ow.sharding.shard_shape(ow.shape)[1] == ow.shape[1] // 4
+
+
+def test_tp_divisibility_check(eight_devices):
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward
+
+    bad = BertConfig(
+        n_vocab=64, n_ctx=32, n_embd=96, n_layer=1, n_head=3, n_ff=192
+    )
+    params = random_params(bad, seed=0)
+    mesh = make_mesh(dp=1, tp=8, devices=eight_devices)
+    with pytest.raises(ValueError):
+        shard_params_and_make_forward(params, bad, OPTS, mesh)
+
+
+def test_engine_with_mesh(eight_devices):
+    """Engine(mesh=...) end-to-end on a dp x tp mesh."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    pytest.importorskip("tokenizers")
+    mesh = make_mesh(dp=4, tp=2, devices=eight_devices)
+    eng = Engine.synthetic(CFG, ftype="q4_0", opts=OPTS, mesh=mesh)
+    single = Engine.synthetic(CFG, ftype="q4_0", opts=OPTS)
+    texts = ["hello world", "the quick brown fox", "a", "test sentence"] * 2
+    a = eng.encode(texts)
+    b = single.encode(texts)
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)

@@ -49,12 +49,10 @@ def run_bench(
     from embedding_cpp_tpu.runtime.engine import Engine
 
     if q4_impl == "auto":
-        platform = jax.devices()[0].platform
-        q4_impl = "pallas" if platform == "tpu" and ftype.startswith("q4") else "xla"
-        try:
-            from embedding_cpp_tpu.ops import q4_matmul  # noqa: F401
-        except ImportError:
-            q4_impl = "xla"
+        # XLA's fused dequant+matmul measures at ~94% of bf16 roofline on
+        # v5e (184/197 TF/s at M=32k) and is the default; the Pallas kernel
+        # (--q4-impl pallas) is within 85-96% of it at production shapes.
+        q4_impl = "xla"
 
     config = PRESETS[preset]
     opts = ComputeOptions(dtype=dtype, q4_impl=q4_impl)

@@ -1,0 +1,73 @@
+"""Fused Q4 dequant+matmul kernel vs the reference dequant path.
+
+On CPU the kernel runs in Pallas interpret mode; on TPU it compiles for real.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from embedding_cpp_tpu.gguf import GGMLType, quantize_q4_0, quantize_q4_1
+from embedding_cpp_tpu.ops.q4_matmul import q4_matmul
+from embedding_cpp_tpu.ops.qtensor import dequantize, pack_q4_matmul
+
+
+def _make(qtype, out, inner, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(out, inner)).astype(np.float32)
+    raw = quantize_q4_0(w) if qtype == GGMLType.Q4_0 else quantize_q4_1(w)
+    return pack_q4_matmul(raw, (out, inner), qtype)
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1])
+@pytest.mark.parametrize("m,k,n", [(64, 384, 384), (128, 384, 1536), (32, 1536, 384)])
+def test_matches_dequant_path(qtype, m, k, n):
+    qt = _make(qtype, n, k)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    expected = np.asarray(x @ dequantize(qt, dtype=jnp.float32))
+    got = np.asarray(q4_matmul(x, qt))
+    np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
+
+
+def test_bf16_activation():
+    qt = _make(GGMLType.Q4_0, 384, 384)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(64, 384)), dtype=jnp.bfloat16)
+    expected = np.asarray(
+        jnp.matmul(x, dequantize(qt, dtype=jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    )
+    got = np.asarray(q4_matmul(x, qt))
+    # same math, possibly different accumulation order
+    np.testing.assert_allclose(got, expected, atol=0.5, rtol=2e-2)
+
+
+def test_odd_m_falls_back():
+    qt = _make(GGMLType.Q4_0, 384, 384)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(7, 384)).astype(np.float32))
+    got = np.asarray(q4_matmul(x, qt))  # fallback path, still correct
+    expected = np.asarray(x @ dequantize(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
+
+
+def test_forward_with_pallas_impl_matches_xla():
+    """Full model forward with q4_impl='pallas' == q4_impl='xla'."""
+    from embedding_cpp_tpu.gguf.constants import GGUFFileType
+    from embedding_cpp_tpu.models import BertConfig, ComputeOptions, bert_embed_batch, random_params
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=64, n_embd=128, n_layer=2, n_head=4, n_ff=256
+    )
+    params = random_params(cfg, GGUFFileType.MOSTLY_Q4_0, seed=0)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 256, size=(8, 16)).astype(np.int32)
+    mask = np.ones((8, 16), np.int32)
+    a = np.asarray(
+        bert_embed_batch(params, ids, mask, cfg, ComputeOptions(q4_impl="xla"))
+    )
+    b = np.asarray(
+        bert_embed_batch(params, ids, mask, cfg, ComputeOptions(q4_impl="pallas"))
+    )
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)

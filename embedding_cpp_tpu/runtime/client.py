@@ -1,0 +1,59 @@
+"""Python client for the embedding server.
+
+`raw=True` speaks the reference's protocol byte-for-byte
+(examples/sample_client.py:12-20: connect, read int32 n_embd, send text,
+read n_embd floats); the default TPE2 mode is length-framed and batched.
+"""
+from __future__ import annotations
+
+import socket
+import struct
+from typing import Sequence
+
+import numpy as np
+
+from .server import MAGIC
+
+
+class EmbeddingClient:
+    def __init__(self, host: str = "127.0.0.1", port: int = 8080):
+        self.sock = socket.create_connection((host, port))
+        (self.n_embd,) = struct.unpack("<i", self._read_exactly(4))
+
+    def _read_exactly(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("server closed connection")
+            buf += chunk
+        return buf
+
+    def embed(self, texts: str | Sequence[str]) -> np.ndarray:
+        """Batched, length-framed (TPE2)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        payload = [MAGIC, struct.pack("<I", len(texts))]
+        for t in texts:
+            raw = t.encode("utf-8")
+            payload.append(struct.pack("<I", len(raw)))
+            payload.append(raw)
+        self.sock.sendall(b"".join(payload))
+        (count,) = struct.unpack("<I", self._read_exactly(4))
+        data = self._read_exactly(count * self.n_embd * 4)
+        return np.frombuffer(data, np.float32).reshape(count, self.n_embd).copy()
+
+    def embed_raw(self, text: str) -> np.ndarray:
+        """Reference-protocol single request (no framing)."""
+        self.sock.sendall(text.encode("utf-8"))
+        data = self._read_exactly(self.n_embd * 4)
+        return np.frombuffer(data, np.float32).copy()
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

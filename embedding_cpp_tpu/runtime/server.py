@@ -1,0 +1,199 @@
+"""Embedding TCP server.
+
+Two wire protocols on one port:
+
+1. **ggml-compat** (the reference's examples/server.cpp): on connect the
+   server sends `n_embd` as a raw little-endian int32; each client message is
+   raw UTF-8 text (<= 32 KiB, one read == one message), each reply is
+   `n_embd` raw f32.  Drop-in for reference clients (sample_client.py,
+   run_mteb_server.py).
+2. **TPE2 framed** (fixes the reference's missing length framing, a real bug
+   under TCP segmentation — SURVEY.md §3.4): any message starting with magic
+   b"TPE2" is `magic | u32 count | count * (u32 len | utf8 bytes)`; the reply
+   is `u32 count | count * n_embd * f32`.  Supports batched requests and
+   arbitrarily large texts.
+
+Unlike the reference (`listen(fd, 1)`, one client at a time), the server
+accepts many clients concurrently and feeds one **continuous batcher**: all
+pending requests across connections are merged into device batches
+(micro-batching window), so throughput scales with concurrency instead of
+degrading.
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import struct
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAGIC = b"TPE2"
+RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
+
+
+@dataclass
+class ServerStats:
+    connections: int = 0
+    requests: int = 0
+    sentences: int = 0
+    batches: int = 0
+    errors: int = 0
+
+    def as_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+class ContinuousBatcher:
+    """Merge pending encode requests across connections into device batches."""
+
+    def __init__(self, engine, max_batch: int = 256, window_ms: float = 2.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.stats = ServerStats()
+        self._task: asyncio.Task | None = None
+
+    async def start(self) -> None:
+        self._task = asyncio.create_task(self._run())
+
+    async def stop(self) -> None:
+        if self._task:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+
+    async def encode(self, texts: list[str]) -> np.ndarray:
+        fut = asyncio.get_running_loop().create_future()
+        await self.queue.put((texts, fut))
+        return await fut
+
+    async def _run(self) -> None:
+        while True:
+            texts, fut = await self.queue.get()
+            jobs = [(texts, fut)]
+            total = len(texts)
+            # micro-batching window: gather more work while the device is free
+            deadline = asyncio.get_running_loop().time() + self.window
+            while total < self.max_batch:
+                timeout = deadline - asyncio.get_running_loop().time()
+                if timeout <= 0:
+                    break
+                try:
+                    t, f = await asyncio.wait_for(self.queue.get(), timeout)
+                    jobs.append((t, f))
+                    total += len(t)
+                except asyncio.TimeoutError:
+                    break
+            flat: list[str] = []
+            for t, _ in jobs:
+                flat.extend(t)
+            try:
+                vecs = await asyncio.get_running_loop().run_in_executor(
+                    None, self.engine.encode, flat
+                )
+                off = 0
+                for t, f in jobs:
+                    if not f.cancelled():
+                        f.set_result(vecs[off : off + len(t)])
+                    off += len(t)
+                self.stats.batches += 1
+                self.stats.sentences += total
+            except Exception as e:  # propagate to all waiters
+                self.stats.errors += 1
+                for _, f in jobs:
+                    if not f.cancelled():
+                        f.set_exception(e)
+
+
+async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
+    return await reader.readexactly(n)
+
+
+async def handle_client(
+    reader: asyncio.StreamReader,
+    writer: asyncio.StreamWriter,
+    batcher: ContinuousBatcher,
+    n_embd: int,
+) -> None:
+    batcher.stats.connections += 1
+    try:
+        # handshake: n_embd as raw int32 (server.cpp:107)
+        writer.write(struct.pack("<i", n_embd))
+        await writer.drain()
+        while True:
+            head = await reader.read(4)
+            if not head:
+                break
+            if head == MAGIC:
+                (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                texts = []
+                for _ in range(count):
+                    (ln,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                    texts.append(
+                        (await _read_exactly(reader, ln)).decode("utf-8")
+                    )
+                vecs = await batcher.encode(texts)
+                writer.write(struct.pack("<I", len(vecs)))
+                writer.write(np.ascontiguousarray(vecs, np.float32).tobytes())
+            else:
+                # raw mode: one read == one message (reference semantics)
+                rest = await reader.read(RAW_CHUNK - 4)
+                text = (head + rest).decode("utf-8", errors="replace")
+                vecs = await batcher.encode([text])
+                writer.write(np.ascontiguousarray(vecs[0], np.float32).tobytes())
+            batcher.stats.requests += 1
+            await writer.drain()
+    except (asyncio.IncompleteReadError, ConnectionResetError):
+        pass
+    finally:
+        writer.close()
+        try:
+            await writer.wait_closed()
+        except Exception:
+            pass
+
+
+async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
+                max_batch: int = 256, window_ms: float = 2.0,
+                ready_event: asyncio.Event | None = None):
+    batcher = ContinuousBatcher(engine, max_batch, window_ms)
+    await batcher.start()
+    server = await asyncio.start_server(
+        lambda r, w: handle_client(r, w, batcher, engine.n_embd), host, port
+    )
+    if ready_event is not None:
+        ready_event.set()
+    print(f"server listening on {host}:{port} (n_embd={engine.n_embd})",
+          file=sys.stderr)
+    try:
+        async with server:
+            await server.serve_forever()
+    finally:
+        await batcher.stop()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--window-ms", type=float, default=2.0)
+    args = p.parse_args()
+
+    from ..models.bert import ComputeOptions
+    from .engine import Engine
+
+    engine = Engine.from_gguf(args.model, opts=ComputeOptions(dtype=args.dtype))
+    engine.warmup()
+    asyncio.run(serve(engine, args.host, args.port, args.max_batch, args.window_ms))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Server protocol tests: ggml-compat raw mode, TPE2 framed mode, concurrent
+clients through the continuous batcher."""
+import asyncio
+import socket
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.models import BertConfig, ComputeOptions
+from embedding_cpp_tpu.runtime.client import EmbeddingClient
+from embedding_cpp_tpu.runtime.engine import Engine
+from embedding_cpp_tpu.runtime.server import serve
+
+CFG = BertConfig(
+    n_vocab=1000, n_ctx=64, n_embd=64, n_layer=1, n_head=4, n_ff=128
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    pytest.importorskip("tokenizers")
+    engine = Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
+    engine.warmup()
+
+    loop = asyncio.new_event_loop()
+    port_holder = {}
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port_holder["port"] = sock.getsockname()[1]
+    sock.close()
+
+    async def run():
+        try:
+            await serve(
+                engine, "127.0.0.1", port_holder["port"],
+                max_batch=32, window_ms=5.0,
+            )
+        except asyncio.CancelledError:
+            pass
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(run())
+        port_holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port_holder["port"]), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    yield port_holder["port"], engine
+    loop.call_soon_threadsafe(port_holder["task"].cancel)
+    t.join(timeout=5)
+
+
+def test_handshake_and_raw_mode(server):
+    port, engine = server
+    s = socket.create_connection(("127.0.0.1", port))
+    (n_embd,) = struct.unpack("<i", s.recv(4))
+    assert n_embd == CFG.n_embd
+    s.sendall(b"hello world")
+    data = b""
+    while len(data) < n_embd * 4:
+        data += s.recv(n_embd * 4 - len(data))
+    vec = np.frombuffer(data, np.float32)
+    expected = engine.encode(["hello world"])[0]
+    np.testing.assert_allclose(vec, expected, atol=1e-5)
+    s.close()
+
+
+def test_framed_batch(server):
+    port, engine = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        assert c.n_embd == CFG.n_embd
+        texts = ["hello world", "the quick brown fox", "a"]
+        vecs = c.embed(texts)
+        assert vecs.shape == (3, CFG.n_embd)
+        expected = engine.encode(texts)
+        np.testing.assert_allclose(vecs, expected, atol=1e-5)
+
+
+def test_mixed_modes_same_connection(server):
+    port, engine = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        a = c.embed(["hello world"])[0]
+        b = c.embed_raw("hello world")
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_large_text_framed(server):
+    port, _ = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        big = "word " * 20000  # ~100 KB, would break the raw 32 KiB protocol
+        vecs = c.embed([big])
+        assert vecs.shape == (1, CFG.n_embd)
+        assert np.isfinite(vecs).all()
+
+
+def test_concurrent_clients_batched(server):
+    port, engine = server
+    results = {}
+
+    def worker(i):
+        with EmbeddingClient("127.0.0.1", port) as c:
+            results[i] = c.embed([f"hello world {i}", "test sentence"])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    for i, vecs in results.items():
+        expected = engine.encode([f"hello world {i}", "test sentence"])
+        np.testing.assert_allclose(vecs, expected, atol=1e-5)
+
+
+def test_unicode_roundtrip(server):
+    port, engine = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        vecs = c.embed(["Québec 日本語 emoji 😀"])
+        expected = engine.encode(["Québec 日本語 emoji 😀"])
+        np.testing.assert_allclose(vecs, expected, atol=1e-5)

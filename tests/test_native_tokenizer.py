@@ -1,0 +1,107 @@
+"""Native C++ tokenizer parity vs the HF library and the pure-Python spec.
+
+Builds the shared library on demand (`make -C native`); skips if no C++
+toolchain is available.
+"""
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def native_tok():
+    lib = ROOT / "native" / "build" / "libtpuembed_tokenizer.so"
+    if not lib.exists():
+        if shutil.which("make") is None or shutil.which("g++") is None:
+            pytest.skip("no C++ toolchain")
+        r = subprocess.run(
+            ["make", "-C", str(ROOT / "native")], capture_output=True, text=True
+        )
+        if r.returncode != 0:
+            pytest.fail(f"native build failed:\n{r.stderr}")
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    blob = build_tokenizer_json(1000)
+    return NativeTokenizer(blob), blob
+
+
+@pytest.fixture(scope="module")
+def hf_tok(native_tok):
+    from embedding_cpp_tpu.tokenizer.hf import HFTokenizer
+
+    return HFTokenizer(native_tok[1])
+
+
+def _corpus():
+    from corpus import FUZZ_CORPUS
+
+    return FUZZ_CORPUS
+
+
+def test_fuzz_corpus_matches_hf(native_tok, hf_tok):
+    nat, _ = native_tok
+    for text in _corpus():
+        assert nat.encode(text) == hf_tok.encode(text), repr(text)
+
+
+def test_random_strings_match_hf(native_tok, hf_tok):
+    import random
+
+    nat, _ = native_tok
+    rng = random.Random(1)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n.,!?;:'\"()[]{}@#$%^&*-_+=~`|\\/<>"
+        "àéîõüçñß日本語中文ｶﾀｶﾅ😀©«»"
+    )
+    for _ in range(300):
+        n = rng.randint(0, 80)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        assert nat.encode(text) == hf_tok.encode(text), repr(text)
+
+
+def test_id_to_token(native_tok):
+    nat, _ = native_tok
+    assert nat.id_to_token(2) == "[CLS]"
+    assert nat.id_to_token(0) == "[PAD]"
+    assert nat.id_to_token(999999) == ""
+
+
+def test_long_input_buffer_growth(native_tok, hf_tok):
+    nat, _ = native_tok
+    text = "hello world test sentence " * 2000  # > 8192 tokens
+    assert nat.encode(text) == hf_tok.encode(text)
+
+
+def test_invalid_json_rejected():
+    lib = ROOT / "native" / "build" / "libtpuembed_tokenizer.so"
+    if not lib.exists():
+        pytest.skip("native lib not built")
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    with pytest.raises(ValueError):
+        NativeTokenizer(b'{"model": {"type": "BPE"}}')
+
+
+def test_invalid_utf8_does_not_crash(native_tok):
+    nat, _ = native_tok
+    import ctypes
+
+    raw = b"hello \xff\xfe world"
+    buf = (ctypes.c_int32 * 64)()
+    n = nat._lib.tpuembed_encode(nat._handle, raw, len(raw), buf, 64)
+    assert n >= 0  # garbage bytes become U+FFFD and are dropped/unk'd
+
+
+def test_loader_prefers_native(native_tok):
+    from embedding_cpp_tpu.tokenizer import load_tokenizer
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    tok = load_tokenizer(native_tok[1], backend="auto")
+    assert isinstance(tok, NativeTokenizer)

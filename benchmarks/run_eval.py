@@ -1,0 +1,156 @@
+"""Evaluation harness: modes x tasks -> results/<model>_<mode>/<task>.json.
+
+Mirror of the reference's benchmarks/run_mteb.py loop (modes
+[q4_0, q4_1, f32, f16, sbert, sbert-batchless] x tasks
+[STSBenchmark, EmotionClassification], run_mteb.py:23-28,104-123), writing
+the same results layout so print_tables.py output is directly comparable to
+the reference's published numbers (BASELINE.md).
+
+Model sources:
+  --hf-dir DIR     local HF checkpoint: converted to GGUF per ftype first
+  --gguf PATH      a prebuilt GGUF (single mode)
+  --synthetic      random-weight synthetic model + synthetic datasets
+                   (hermetic pipeline test; scores are only meaningful
+                   relative to each other)
+
+Usage:
+  python benchmarks/run_eval.py --synthetic
+  python benchmarks/run_eval.py --hf-dir /path/to/all-MiniLM-L6-v2 \
+      --modes f32 q4_0 sbert --tasks STSBenchmark
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import tasks  # noqa: E402
+
+RESULTS = Path(__file__).parent / "results"
+ENGINE_MODES = ("f32", "f16", "q4_0", "q4_1")
+ALL_MODES = ENGINE_MODES + ("sbert", "sbert-batchless")
+ALL_TASKS = ("STSBenchmark", "EmotionClassification")
+
+
+def make_engine_encoder(gguf_path: str, dtype: str = "bfloat16"):
+    from embedding_cpp_tpu.models.bert import ComputeOptions
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    engine = Engine.from_gguf(gguf_path, opts=ComputeOptions(dtype=dtype))
+    return engine.encode
+
+
+def make_sbert_encoder(model_name_or_dir: str, batch_size: int = 32):
+    from sentence_transformers import SentenceTransformer
+
+    model = SentenceTransformer(model_name_or_dir)
+
+    def encode(texts):
+        return model.encode(texts, batch_size=batch_size)
+
+    return encode
+
+
+def get_datasets(synthetic: bool, sts_json: str | None):
+    if synthetic:
+        return tasks.synthetic_sts(), tasks.synthetic_classification()
+    sts = None
+    clf = None
+    if sts_json:
+        sts = tasks.load_sts_local(sts_json)
+    else:
+        try:
+            sts = tasks.load_stsbenchmark_hf()
+        except Exception as e:
+            print(f"! STSBenchmark unavailable ({e}); skipping", file=sys.stderr)
+    try:
+        clf = tasks.load_emotion_hf()
+    except Exception as e:
+        print(f"! EmotionClassification unavailable ({e}); skipping",
+              file=sys.stderr)
+    return sts, clf
+
+
+def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names):
+    outdir = RESULTS / f"{model_name}_{mode}"
+    outdir.mkdir(parents=True, exist_ok=True)
+    for task_name in task_names:
+        if task_name == "STSBenchmark" and sts is not None:
+            result = tasks.eval_sts(encoder, sts)
+        elif task_name == "EmotionClassification" and clf is not None:
+            result = tasks.eval_classification(encoder, clf)
+        else:
+            continue
+        path = outdir / f"{task_name}.json"
+        path.write_text(json.dumps(result, indent=2))
+        t = result["test"]
+        score = t.get("cos_sim", {}).get("spearman", t.get("main_score"))
+        print(
+            f"{model_name}_{mode:16s} {task_name:24s} "
+            f"score={score:.4f} time={t['evaluation_time']}s"
+        )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--hf-dir")
+    src.add_argument("--gguf")
+    src.add_argument("--synthetic", action="store_true")
+    p.add_argument("--modes", nargs="+", default=list(ALL_MODES))
+    p.add_argument("--tasks", nargs="+", default=list(ALL_TASKS))
+    p.add_argument("--sts-json", help="local STS dataset JSON")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--model-name")
+    args = p.parse_args()
+
+    sts, clf = get_datasets(args.synthetic, args.sts_json)
+    if sts is None and clf is None:
+        print("no datasets available; nothing to do", file=sys.stderr)
+        sys.exit(1)
+
+    if args.synthetic:
+        from embedding_cpp_tpu.cli.make_test_model import make_test_model
+
+        model_name = args.model_name or "synthetic-minilm-l6"
+        with tempfile.TemporaryDirectory() as td:
+            for mode in args.modes:
+                if mode not in ENGINE_MODES:
+                    continue  # no sbert for synthetic weights
+                path = f"{td}/model-{mode}.gguf"
+                make_test_model(path, "minilm-l6", mode)
+                run_mode(mode, model_name, make_engine_encoder(path, args.dtype),
+                         sts, clf, args.tasks)
+        return
+
+    if args.gguf:
+        model_name = args.model_name or Path(args.gguf).stem
+        run_mode("gguf", model_name, make_engine_encoder(args.gguf, args.dtype),
+                 sts, clf, args.tasks)
+        return
+
+    # HF dir: convert once per requested engine mode, plus sbert modes
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+
+    model_name = args.model_name or Path(args.hf_dir).name
+    with tempfile.TemporaryDirectory() as td:
+        for mode in args.modes:
+            if mode in ENGINE_MODES:
+                path = f"{td}/model-{mode}.gguf"
+                convert_hf_dir(args.hf_dir, path, mode)
+                run_mode(mode, model_name, make_engine_encoder(path, args.dtype),
+                         sts, clf, args.tasks)
+            elif mode == "sbert":
+                run_mode(mode, model_name, make_sbert_encoder(args.hf_dir, 32),
+                         sts, clf, args.tasks)
+            elif mode == "sbert-batchless":
+                run_mode(mode, model_name, make_sbert_encoder(args.hf_dir, 1),
+                         sts, clf, args.tasks)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,9 @@ class ComputeOptions:
 
     dtype: str = "float32"  # activation dtype: "float32" | "bfloat16"
     q4_impl: str = "xla"  # "xla" (fused by compiler) | "pallas" (our kernel)
-    attn_impl: str = "xla"  # "xla" | "pallas" (flash-style kernel)
+    # "auto": fused Pallas kernel on TPU for S >= 128 (1.7x XLA at S=512,
+    # scores never hit HBM), XLA einsum otherwise
+    attn_impl: str = "auto"  # "auto" | "xla" | "pallas"
 
     @property
     def jdtype(self):
@@ -75,7 +77,11 @@ def _attention(
     k = linear(x, lp["k_w"], lp["k_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
     v = linear(x, lp["v_w"], lp["v_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
 
-    if opts.attn_impl == "pallas":
+    impl = opts.attn_impl
+    if impl == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        impl = "pallas" if (on_tpu and s >= 128 and s % 8 == 0 and d % 8 == 0) else "xla"
+    if impl == "pallas":
         from ..ops.attention import flash_attention
 
         att = flash_attention(q, k, v, mask_bias)

@@ -1,0 +1,117 @@
+"""Fused masked self-attention Pallas TPU kernel.
+
+The reference materializes softmax(KᵀQ/sqrt(d)) as a full [S, S] tensor per
+sentence in CPU RAM (bert.cpp:930-934).  The XLA fallback path does the batch
+equivalent — a [B, H, S, S] f32 tensor in HBM, which at S=512 dominates HBM
+traffic.  This kernel computes attention per (batch, head, q-tile) with
+scores living only in VMEM: encoder sequence lengths (<=512) let the whole
+K/V block sit in VMEM, so no online-softmax recurrence is needed — one
+scores tile, one masked softmax, one PV matmul.
+
+Numerics match the XLA path: f32 score accumulation, f32 softmax, additive
+key mask bias (-1e9 on padding).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    # blocks: q [1,1,TQ,d]; k, v [1,1,S,d]; bias [1,1,S] f32
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, S]
+    scores = scores * scale + bias_ref[0]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0, 0] = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tq",))
+def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *, tq: int) -> Array:
+    """q/k/v: [B, H, S, d]; mask_bias: [B, S] f32 additive. -> [B, H, S, d]"""
+    b, h, s, d = q.shape
+    scale = 1.0 / (d**0.5)
+    grid = (b, h, s // tq)
+
+    kernel = functools.partial(_attn_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=3 * b * h * s * d * q.dtype.itemsize
+            + b * h * s * d * q.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, mask_bias[:, None, :])
+
+
+def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array) -> Array:
+    """Masked multi-head attention.
+
+    q, k, v: [B, S, H, d] (the model's layout); mask_bias: [B, S] f32
+    (0 for valid keys, -1e9 for padding).  Returns [B, S, H, d].
+
+    Falls back to the XLA einsum path when shapes don't tile (tiny S or
+    unaligned d).
+    """
+    b, s, h, d = q.shape
+    tq = 256 if s % 256 == 0 else (128 if s % 128 == 0 else s)
+    # kernel needs sublane-aligned q tiles and a pow-of-two-ish d
+    if s % 8 or d % 8:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores * (1.0 / d**0.5) + mask_bias[:, None, None, :]
+        p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        return jnp.einsum(
+            "bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+
+    qt = q.transpose(0, 2, 1, 3)  # [B, H, S, d]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _flash_attention(qt, kt, vt, mask_bias.astype(jnp.float32), tq=tq)
+    return out.transpose(0, 2, 1, 3)

@@ -43,6 +43,19 @@ class EmbeddingClient:
         data = self._read_exactly(count * self.n_embd * 4)
         return np.frombuffer(data, np.float32).reshape(count, self.n_embd).copy()
 
+    def stats(self) -> dict:
+        """Server metrics snapshot (TPES)."""
+        import json
+
+        self.sock.sendall(b"TPES")
+        (n,) = struct.unpack("<I", self._read_exactly(4))
+        return json.loads(self._read_exactly(n))
+
+    def health(self) -> bool:
+        self.sock.sendall(b"TPEH")
+        (n,) = struct.unpack("<I", self._read_exactly(4))
+        return self._read_exactly(n) == b"ok"
+
     def embed_raw(self, text: str) -> np.ndarray:
         """Reference-protocol single request (no framing)."""
         self.sock.sendall(text.encode("utf-8"))

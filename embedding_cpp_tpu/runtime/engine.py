@@ -168,15 +168,25 @@ class Engine:
             batch_buckets=self.batch_buckets,
             max_seq=self.config.n_ctx,
         )
+        from ..utils.metrics import GLOBAL as metrics
+
         t0 = time.perf_counter()
-        for batch in batches:
-            fwd = self._forward(batch.ids.shape)
-            vecs = np.asarray(fwd(self.params, batch.ids, batch.mask))
-            out[batch.positions] = vecs[: len(batch.positions)]
+        padded_slots = 0
+        with metrics.timer("eval"):
+            for batch in batches:
+                fwd = self._forward(batch.ids.shape)
+                vecs = np.asarray(fwd(self.params, batch.ids, batch.mask))
+                out[batch.positions] = vecs[: len(batch.positions)]
+                padded_slots += batch.ids.size
+        n_tokens = int(sum(len(t) for t in token_lists))
         self.stats["eval_time"] += time.perf_counter() - t0
         self.stats["sentences"] += n
-        self.stats["tokens"] += int(sum(len(t) for t in token_lists))
+        self.stats["tokens"] += n_tokens
         self.stats["batches"] += len(batches)
+        metrics.inc("sentences", n)
+        metrics.inc("tokens", n_tokens)
+        metrics.inc("batches", len(batches))
+        metrics.inc("padded_slots", padded_slots)
         return out
 
     def encode(self, texts: str | Sequence[str]) -> np.ndarray:

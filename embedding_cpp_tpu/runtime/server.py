@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 MAGIC = b"TPE2"
+MAGIC_STATS = b"TPES"  # -> u32 len | JSON metrics snapshot
+MAGIC_HEALTH = b"TPEH"  # -> u32 len | b"ok"
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 
 
@@ -129,7 +131,18 @@ async def handle_client(
             head = await reader.read(4)
             if not head:
                 break
-            if head == MAGIC:
+            if head == MAGIC_STATS:
+                import json as _json
+
+                from ..utils.metrics import GLOBAL as metrics
+
+                snap = metrics.snapshot()
+                snap["server"] = batcher.stats.as_dict()
+                payload = _json.dumps(snap).encode("utf-8")
+                writer.write(struct.pack("<I", len(payload)) + payload)
+            elif head == MAGIC_HEALTH:
+                writer.write(struct.pack("<I", 2) + b"ok")
+            elif head == MAGIC:
                 (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
                 texts = []
                 for _ in range(count):

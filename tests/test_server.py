@@ -136,3 +136,13 @@ def test_unicode_roundtrip(server):
         vecs = c.embed(["Québec 日本語 emoji 😀"])
         expected = engine.encode(["Québec 日本語 emoji 😀"])
         np.testing.assert_allclose(vecs, expected, atol=1e-5)
+
+
+def test_stats_and_health(server):
+    port, _ = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        assert c.health()
+        c.embed(["hello world"])
+        snap = c.stats()
+        assert snap["counters"]["sentences"] >= 1
+        assert snap["server"]["requests"] >= 1

@@ -14,7 +14,9 @@ from typing import Sequence
 import numpy as np
 
 DEFAULT_SEQ_BUCKETS = (16, 32, 64, 128, 256, 512)
-DEFAULT_BATCH_BUCKETS = (1, 8, 32, 128, 256)
+# Large top bucket: one device dispatch per shape class dominates throughput
+# (dispatch latency amortizes over rows; occupancy is tracked in metrics).
+DEFAULT_BATCH_BUCKETS = (1, 8, 64, 512, 2048)
 
 
 def bucket_for(value: int, buckets: Sequence[int]) -> int:

@@ -173,11 +173,15 @@ class Engine:
         t0 = time.perf_counter()
         padded_slots = 0
         with metrics.timer("eval"):
+            # dispatch everything first (jax dispatch is async), then fetch —
+            # the device pipeline stays fed while the host packs/copies
+            pending = []
             for batch in batches:
                 fwd = self._forward(batch.ids.shape)
-                vecs = np.asarray(fwd(self.params, batch.ids, batch.mask))
-                out[batch.positions] = vecs[: len(batch.positions)]
+                pending.append((batch, fwd(self.params, batch.ids, batch.mask)))
                 padded_slots += batch.ids.size
+            for batch, vecs in pending:
+                out[batch.positions] = np.asarray(vecs)[: len(batch.positions)]
         n_tokens = int(sum(len(t) for t in token_lists))
         self.stats["eval_time"] += time.perf_counter() - t0
         self.stats["sentences"] += n

@@ -100,6 +100,9 @@ def main() -> None:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--hf-dir")
     src.add_argument("--gguf")
+    src.add_argument("--server", metavar="HOST:PORT",
+                     help="evaluate through a running embedding server "
+                          "(the reference's run_mteb_server.py mode)")
     src.add_argument("--synthetic", action="store_true")
     p.add_argument("--modes", nargs="+", default=list(ALL_MODES))
     p.add_argument("--tasks", nargs="+", default=list(ALL_TASKS))
@@ -125,6 +128,16 @@ def main() -> None:
                 make_test_model(path, "minilm-l6", mode)
                 run_mode(mode, model_name, make_engine_encoder(path, args.dtype),
                          sts, clf, args.tasks)
+        return
+
+    if args.server:
+        from embedding_cpp_tpu.runtime.client import EmbeddingClient
+
+        host, _, port = args.server.rpartition(":")
+        client = EmbeddingClient(host or "127.0.0.1", int(port))
+        model_name = args.model_name or "server"
+        run_mode("server", model_name, client.embed, sts, clf, args.tasks)
+        client.close()
         return
 
     if args.gguf:

@@ -13,11 +13,24 @@ from ..models.convert import FTYPE_NAMES, convert_hf_dir
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("model_dir", help="local HF checkpoint directory")
-    p.add_argument("output")
+    p.add_argument("output", help="output .gguf path; with --all-ftypes, a "
+                                  "directory receiving ggml-model-<ftype>.gguf")
     p.add_argument("--ftype", choices=sorted(FTYPE_NAMES), default="f32")
+    p.add_argument("--all-ftypes", action="store_true",
+                   help="write f32+f16+q4_0+q4_1 (the reference's "
+                        "run_conversions.sh pipeline)")
     args = p.parse_args()
-    convert_hf_dir(args.model_dir, args.output, args.ftype)
-    print(f"wrote {args.output}")
+    if args.all_ftypes:
+        import os
+
+        os.makedirs(args.output, exist_ok=True)
+        for ftype in ("f32", "f16", "q4_0", "q4_1"):
+            out = os.path.join(args.output, f"ggml-model-{ftype}.gguf")
+            convert_hf_dir(args.model_dir, out, ftype)
+            print(f"wrote {out}")
+    else:
+        convert_hf_dir(args.model_dir, args.output, args.ftype)
+        print(f"wrote {args.output}")
 
 
 if __name__ == "__main__":

@@ -107,11 +107,13 @@ def main() -> None:
     p.add_argument("--modes", nargs="+", default=list(ALL_MODES))
     p.add_argument("--tasks", nargs="+", default=list(ALL_TASKS))
     p.add_argument("--sts-json", help="local STS dataset JSON")
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="use synthetic datasets with any model source")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--model-name")
     args = p.parse_args()
 
-    sts, clf = get_datasets(args.synthetic, args.sts_json)
+    sts, clf = get_datasets(args.synthetic or args.synthetic_data, args.sts_json)
     if sts is None and clf is None:
         print("no datasets available; nothing to do", file=sys.stderr)
         sys.exit(1)

@@ -1,0 +1,74 @@
+"""Loader robustness: typed errors for malformed/incomplete model files
+(the reference fprintf's and returns nullptr; we raise with context)."""
+import struct
+
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.gguf import GGMLType, GGUFReader, GGUFWriter, Keys
+from embedding_cpp_tpu.models import BertConfig
+from embedding_cpp_tpu.models.params import load_params, source_from_arrays, build_params
+
+CFG = BertConfig(n_vocab=64, n_ctx=32, n_embd=32, n_layer=1, n_head=4, n_ff=64)
+
+
+def test_bad_magic(tmp_path):
+    p = tmp_path / "x.gguf"
+    p.write_bytes(b"NOPE" + b"\0" * 100)
+    with pytest.raises(ValueError, match="not a GGUF"):
+        GGUFReader(p)
+
+
+def test_bad_version(tmp_path):
+    p = tmp_path / "x.gguf"
+    p.write_bytes(b"GGUF" + struct.pack("<I", 99) + b"\0" * 100)
+    with pytest.raises(ValueError, match="unsupported GGUF version"):
+        GGUFReader(p)
+
+
+def test_missing_tensor(tmp_path):
+    """A GGUF with kv metadata but no weights must fail with the tensor name."""
+    p = tmp_path / "x.gguf"
+    w = GGUFWriter()
+    w.add_string(Keys.ARCHITECTURE, "bert")
+    w.write(str(p))
+    with GGUFReader(p) as r:
+        with pytest.raises(KeyError):
+            build_params(
+                _source_from_reader(r), CFG
+            )
+
+
+def _source_from_reader(r):
+    from embedding_cpp_tpu.models.params import source_from_gguf
+
+    return source_from_gguf(r)
+
+
+def test_shape_mismatch():
+    """Wrong tensor shape raises with name + both shapes (cf. the
+    reference's create_tensor checks, bert.cpp:366-396)."""
+    from embedding_cpp_tpu.models.params import random_state_dict
+
+    sd = random_state_dict(CFG, 0)
+    sd["embeddings.word_embeddings.weight"] = np.zeros((10, 10), np.float32)
+    with pytest.raises(ValueError, match="word_embeddings"):
+        build_params(source_from_arrays(sd), CFG)
+
+
+def test_config_requires_divisible_heads():
+    with pytest.raises(ValueError, match="divisible"):
+        BertConfig(n_vocab=10, n_ctx=8, n_embd=30, n_layer=1, n_head=4, n_ff=8)
+
+
+def test_missing_required_kv(tmp_path):
+    p = tmp_path / "x.gguf"
+    w = GGUFWriter()
+    w.add_string(Keys.ARCHITECTURE, "bert")
+    w.add_array(Keys.TOKENIZER_LIST, ["a"], __import__(
+        "embedding_cpp_tpu.gguf.constants", fromlist=["GGUFValueType"]
+    ).GGUFValueType.STRING)
+    w.write(str(p))
+    with GGUFReader(p) as r:
+        with pytest.raises(KeyError):
+            BertConfig.from_gguf_kv(r.kv)

@@ -56,6 +56,17 @@ def _load():
             ctypes.c_char_p,
             ctypes.c_int32,
         ]
+        lib.tpuembed_encode_batch.restype = ctypes.c_int64
+        lib.tpuembed_encode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     return _lib
 
@@ -88,8 +99,35 @@ class NativeTokenizer:
             )
         return list(self._buf[:n])
 
-    def encode_batch(self, texts: Sequence[str]) -> list[list[int]]:
-        return [self.encode(t) for t in texts]
+    def encode_batch(
+        self, texts: Sequence[str], n_threads: int | None = None
+    ) -> list[list[int]]:
+        """Multithreaded batch encode (GIL released inside the C++ pool)."""
+        n = len(texts)
+        if n == 0:
+            return []
+        if n_threads is None:
+            n_threads = min(8, os.cpu_count() or 1)
+        raws = [t.encode("utf-8") for t in texts]
+        arr = (ctypes.c_char_p * n)(*raws)
+        lens = (ctypes.c_int64 * n)(*[len(r) for r in raws])
+        offsets = (ctypes.c_int64 * (n + 1))()
+        cap = max(8192, sum(len(r) for r in raws) + 2 * n)
+        out = (ctypes.c_int32 * cap)()
+        total = self._lib.tpuembed_encode_batch(
+            self._handle, arr, lens, n, n_threads, out, cap, offsets
+        )
+        if total < 0:
+            cap = -total
+            out = (ctypes.c_int32 * cap)()
+            total = self._lib.tpuembed_encode_batch(
+                self._handle, arr, lens, n, n_threads, out, cap, offsets
+            )
+        import numpy as np
+
+        flat = np.ctypeslib.as_array(out, shape=(cap,))[:total].copy()
+        offs = np.ctypeslib.as_array(offsets, shape=(n + 1,))
+        return [flat[offs[i] : offs[i + 1]] for i in range(n)]
 
     def id_to_token(self, token_id: int) -> str:
         out = ctypes.create_string_buffer(512)

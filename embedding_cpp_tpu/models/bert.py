@@ -79,8 +79,15 @@ def _attention(
 
     impl = opts.attn_impl
     if impl == "auto":
+        # pallas only single-device for now: inside a GSPMD-partitioned jit a
+        # pallas_call needs shard_map wiring (future work)
+        single = jax.device_count() == 1
         on_tpu = jax.devices()[0].platform == "tpu"
-        impl = "pallas" if (on_tpu and s >= 128 and s % 8 == 0 and d % 8 == 0) else "xla"
+        impl = (
+            "pallas"
+            if (on_tpu and single and s >= 128 and s % 8 == 0 and d % 8 == 0)
+            else "xla"
+        )
     if impl == "pallas":
         from ..ops.attention import flash_attention
 

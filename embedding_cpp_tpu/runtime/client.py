@@ -40,6 +40,11 @@ class EmbeddingClient:
             payload.append(raw)
         self.sock.sendall(b"".join(payload))
         (count,) = struct.unpack("<I", self._read_exactly(4))
+        if count == 0xFFFFFFFF:  # server-side error frame
+            (ln,) = struct.unpack("<I", self._read_exactly(4))
+            raise RuntimeError(
+                f"server error: {self._read_exactly(ln).decode('utf-8')}"
+            )
         data = self._read_exactly(count * self.n_embd * 4)
         return np.frombuffer(data, np.float32).reshape(count, self.n_embd).copy()
 

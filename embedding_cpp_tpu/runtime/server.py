@@ -150,7 +150,19 @@ async def handle_client(
                     texts.append(
                         (await _read_exactly(reader, ln)).decode("utf-8")
                     )
-                vecs = await batcher.encode(texts)
+                try:
+                    vecs = await batcher.encode(texts)
+                except Exception as e:
+                    # request-level failure isolation: error frame
+                    # (count=0xFFFFFFFF | u32 len | utf8 message), connection
+                    # stays usable — unlike the reference, which dies with
+                    # the socket (SURVEY §5 failure handling)
+                    msg = f"{type(e).__name__}: {e}".encode("utf-8")[:4096]
+                    writer.write(struct.pack("<I", 0xFFFFFFFF))
+                    writer.write(struct.pack("<I", len(msg)) + msg)
+                    await writer.drain()
+                    batcher.stats.requests += 1
+                    continue
                 writer.write(struct.pack("<I", len(vecs)))
                 writer.write(np.ascontiguousarray(vecs, np.float32).tobytes())
             else:

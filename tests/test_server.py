@@ -146,3 +146,57 @@ def test_stats_and_health(server):
         snap = c.stats()
         assert snap["counters"]["sentences"] >= 1
         assert snap["server"]["requests"] >= 1
+
+
+def test_error_frame_isolates_request():
+    """Engine failures produce an error frame; the connection survives."""
+    pytest.importorskip("tokenizers")
+    engine = Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
+    engine.warmup()
+    real_encode = engine.encode
+
+    def flaky_encode(texts):
+        if any("BOOM" in t for t in texts):
+            raise ValueError("injected failure")
+        return real_encode(texts)
+
+    engine.encode = flaky_encode
+
+    loop = asyncio.new_event_loop()
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(serve(engine, "127.0.0.1", port, window_ms=1.0))
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+
+    with EmbeddingClient("127.0.0.1", port) as c:
+        with pytest.raises(RuntimeError, match="injected failure"):
+            c.embed(["BOOM"])
+        # connection still works afterwards
+        vecs = c.embed(["hello world"])
+        assert vecs.shape == (1, CFG.n_embd)
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)

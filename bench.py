@@ -17,7 +17,14 @@ import time
 
 import numpy as np
 
-BASELINE_SENTENCES_PER_SEC = 2758 / 5.45  # ≈ 506
+# Reference q4_0 STSBenchmark eval times (BASELINE.md) over the 2758-sentence
+# test split -> sentences/s on the reference's CPU.
+BASELINES = {
+    "minilm-l6": 2758 / 5.45,  # ≈ 506
+    "minilm-l12": 2758 / 11.27,  # ≈ 245
+    "bert-base": 2758 / 33.93,  # ≈ 81
+}
+BASELINE_SENTENCES_PER_SEC = BASELINES["minilm-l6"]
 
 
 def synthetic_sentences(n: int, seed: int = 0) -> list[str]:
@@ -39,7 +46,7 @@ def run_bench(
     dtype: str = "bfloat16",
     q4_impl: str = "auto",
     n_sentences: int = 2758,
-    repeats: int = 3,
+    repeats: int = 5,
     verbose: bool = True,
 ):
     import jax
@@ -82,11 +89,12 @@ def run_bench(
             f"{jax.devices()[0].platform}",
             file=sys.stderr,
         )
+    baseline = BASELINES.get(preset, BASELINE_SENTENCES_PER_SEC)
     return {
-        "metric": "sentences_per_sec_chip_minilm_l6_q4_0",
+        "metric": f"sentences_per_sec_chip_{preset.replace('-', '_')}_{ftype}",
         "value": round(sps, 1),
         "unit": "sentences/s",
-        "vs_baseline": round(sps / BASELINE_SENTENCES_PER_SEC, 2),
+        "vs_baseline": round(sps / baseline, 2),
     }
 
 
@@ -97,7 +105,7 @@ def main() -> None:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--q4-impl", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--sentences", type=int, default=2758)
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--repeats", type=int, default=5)
     args = p.parse_args()
     result = run_bench(
         args.preset, args.ftype, args.dtype, args.q4_impl,

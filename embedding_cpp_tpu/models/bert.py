@@ -40,6 +40,11 @@ class ComputeOptions:
     # "auto": fused Pallas kernel on TPU for S >= 128 (1.7x XLA at S=512,
     # scores never hit HBM), XLA einsum otherwise
     attn_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    # mesh axis name for manual (shard_map) tensor parallelism: set by
+    # parallel.shard_map_forward, None under GSPMD/single-device.  Inside
+    # shard_map all arrays are per-device locals, so Pallas kernels work.
+    tp_axis: str | None = None
+    inside_shard_map: bool = False  # set by parallel.shard_map_forward
 
     @property
     def jdtype(self):
@@ -71,21 +76,24 @@ def _attention(
     """Multi-head self-attention: softmax(KᵀQ/sqrt(d)) · V
     (bert.cpp:907-942), masked over padded keys."""
     b, s, e = x.shape
-    h, d = config.n_head, config.head_dim
+    d = config.head_dim
 
-    q = linear(x, lp["q_w"], lp["q_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
+    q = linear(x, lp["q_w"], lp["q_b"], q4_impl=opts.q4_impl)
+    # head count from the (possibly tp-local) projection width
+    h = q.shape[-1] // d
+    q = q.reshape(b, s, h, d)
     k = linear(x, lp["k_w"], lp["k_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
     v = linear(x, lp["v_w"], lp["v_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
 
     impl = opts.attn_impl
     if impl == "auto":
-        # pallas only single-device for now: inside a GSPMD-partitioned jit a
-        # pallas_call needs shard_map wiring (future work)
-        single = jax.device_count() == 1
+        # pallas needs per-device local arrays: single-device jit, or inside
+        # a shard_map body (GSPMD jit cannot partition a pallas_call)
+        local = jax.device_count() == 1 or opts.inside_shard_map
         on_tpu = jax.devices()[0].platform == "tpu"
         impl = (
             "pallas"
-            if (on_tpu and single and s >= 128 and s % 8 == 0 and d % 8 == 0)
+            if (on_tpu and local and s >= 128 and s % 8 == 0 and d % 8 == 0)
             else "xla"
         )
     if impl == "pallas":
@@ -101,7 +109,7 @@ def _attention(
         att = jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-    return att.reshape(b, s, e)
+    return att.reshape(b, s, h * d)
 
 
 def encoder_layer(
@@ -114,7 +122,9 @@ def encoder_layer(
     """One transformer block: attn + add&norm, GELU FFN + add&norm
     (bert.cpp:900-994)."""
     att = _attention(x, lp, mask_bias, config, opts)
-    att_out = linear(att, lp["o_w"], lp["o_b"], q4_impl=opts.q4_impl)
+    # row-parallel matmuls psum over tp in manual mode (Megatron pattern)
+    att_out = linear(att, lp["o_w"], lp["o_b"], q4_impl=opts.q4_impl,
+                     reduce_axis=opts.tp_axis)
     x = layer_norm(
         att_out + x, lp["ln_att_scale"], lp["ln_att_bias"],
         config.layer_norm_eps, x.dtype,
@@ -123,7 +133,8 @@ def encoder_layer(
         linear(x, lp["ffn_up_w"], lp["ffn_up_b"], q4_impl=opts.q4_impl),
         config.gelu,
     )
-    ffn_out = linear(h, lp["ffn_down_w"], lp["ffn_down_b"], q4_impl=opts.q4_impl)
+    ffn_out = linear(h, lp["ffn_down_w"], lp["ffn_down_b"], q4_impl=opts.q4_impl,
+                     reduce_axis=opts.tp_axis)
     return layer_norm(
         ffn_out + x, lp["ln_out_scale"], lp["ln_out_bias"],
         config.layer_norm_eps, x.dtype,

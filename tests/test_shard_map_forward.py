@@ -1,0 +1,79 @@
+"""Manual-collective (shard_map) forward: must equal single-device and GSPMD
+outputs on dp x tp meshes, for dense and packed-Q4 params."""
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.gguf import GGUFFileType
+from embedding_cpp_tpu.models import (
+    BertConfig,
+    ComputeOptions,
+    bert_embed_batch,
+    random_params,
+)
+
+CFG = BertConfig(
+    n_vocab=256, n_ctx=64, n_embd=128, n_layer=2, n_head=4, n_ff=256,
+    name="shardmap-test",
+)
+OPTS = ComputeOptions(dtype="float32", attn_impl="xla")
+
+
+def _data(batch=8, seq=16, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, CFG.n_vocab, size=(batch, seq)).astype(np.int32)
+    mask = np.ones((batch, seq), np.int32)
+    mask[:, 12:] = 0
+    return ids, mask
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("ftype", [GGUFFileType.ALL_F32, GGUFFileType.MOSTLY_Q4_0])
+def test_manual_matches_single(eight_devices, dp, tp, ftype):
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.shard_map_forward import (
+        shard_params_and_make_forward_manual,
+    )
+
+    params = random_params(CFG, ftype, seed=0)
+    ids, mask = _data()
+    expected = np.asarray(bert_embed_batch(params, ids, mask, CFG, OPTS))
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=eight_devices)
+    sharded, fwd = shard_params_and_make_forward_manual(params, CFG, OPTS, mesh)
+    got = np.asarray(fwd(sharded, ids, mask))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_manual_matches_gspmd(eight_devices):
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward
+    from embedding_cpp_tpu.parallel.shard_map_forward import (
+        shard_params_and_make_forward_manual,
+    )
+
+    params = random_params(CFG, GGUFFileType.MOSTLY_Q4_1, seed=1)
+    ids, mask = _data(seed=2)
+    mesh = make_mesh(dp=2, tp=4, devices=eight_devices)
+    p1, f1 = shard_params_and_make_forward(params, CFG, OPTS, mesh)
+    p2, f2 = shard_params_and_make_forward_manual(params, CFG, OPTS, mesh)
+    a = np.asarray(f1(p1, ids, mask))
+    b = np.asarray(f2(p2, ids, mask))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_manual_with_pallas_q4(eight_devices):
+    """Pallas Q4 kernel inside shard_map (interpret mode on CPU)."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.shard_map_forward import (
+        shard_params_and_make_forward_manual,
+    )
+
+    params = random_params(CFG, GGUFFileType.MOSTLY_Q4_0, seed=0)
+    ids, mask = _data()
+    expected = np.asarray(bert_embed_batch(params, ids, mask, CFG, OPTS))
+
+    opts = ComputeOptions(dtype="float32", attn_impl="xla", q4_impl="pallas")
+    mesh = make_mesh(dp=2, tp=2, devices=eight_devices[:4])
+    sharded, fwd = shard_params_and_make_forward_manual(params, CFG, opts, mesh)
+    got = np.asarray(fwd(sharded, ids, mask))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)

@@ -27,15 +27,24 @@ BASELINES = {
 BASELINE_SENTENCES_PER_SEC = BASELINES["minilm-l6"]
 
 
-def synthetic_sentences(n: int, seed: int = 0) -> list[str]:
-    """STSB-like corpus: short news/caption-style sentences (mean ~11 words)."""
+LENGTH_PROFILES = {
+    # (mean words, std): STSB sentences are short; "long" models doc-style
+    # inputs that exercise the S>=128 attention-kernel path
+    "stsb": (11, 4),
+    "long": (200, 60),
+}
+
+
+def synthetic_sentences(n: int, seed: int = 0, profile: str = "stsb") -> list[str]:
+    """Synthetic corpus with a controlled length distribution."""
     from embedding_cpp_tpu.tokenizer.testvocab import _COMMON_WORDS
 
+    mean, std = LENGTH_PROFILES[profile]
     rng = np.random.default_rng(seed)
     words = np.array(_COMMON_WORDS)
     out = []
     for _ in range(n):
-        k = max(3, int(rng.normal(11, 4)))
+        k = max(3, int(rng.normal(mean, std)))
         out.append(" ".join(rng.choice(words, size=k)))
     return out
 
@@ -48,6 +57,7 @@ def run_bench(
     n_sentences: int = 2758,
     repeats: int = 5,
     verbose: bool = True,
+    length_profile: str = "stsb",
 ):
     import jax
 
@@ -65,7 +75,7 @@ def run_bench(
     opts = ComputeOptions(dtype=dtype, q4_impl=q4_impl)
     engine = Engine.synthetic(config, ftype=ftype, opts=opts)
 
-    texts = synthetic_sentences(n_sentences)
+    texts = synthetic_sentences(n_sentences, profile=length_profile)
     token_lists = engine.tokenize_batch(texts)
     n_tokens = sum(len(t) for t in token_lists)
 
@@ -90,8 +100,9 @@ def run_bench(
             file=sys.stderr,
         )
     baseline = BASELINES.get(preset, BASELINE_SENTENCES_PER_SEC)
+    suffix = "" if length_profile == "stsb" else f"_{length_profile}"
     return {
-        "metric": f"sentences_per_sec_chip_{preset.replace('-', '_')}_{ftype}",
+        "metric": f"sentences_per_sec_chip_{preset.replace('-', '_')}_{ftype}{suffix}",
         "value": round(sps, 1),
         "unit": "sentences/s",
         "vs_baseline": round(sps / baseline, 2),
@@ -106,10 +117,11 @@ def main() -> None:
     p.add_argument("--q4-impl", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--sentences", type=int, default=2758)
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--length-profile", default="stsb", choices=sorted(LENGTH_PROFILES))
     args = p.parse_args()
     result = run_bench(
         args.preset, args.ftype, args.dtype, args.q4_impl,
-        args.sentences, args.repeats,
+        args.sentences, args.repeats, length_profile=args.length_profile,
     )
     print(json.dumps(result))
 

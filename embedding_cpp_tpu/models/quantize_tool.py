@@ -79,6 +79,17 @@ def _q_histogram(raw: np.ndarray, qtype: GGMLType) -> np.ndarray:
     return np.bincount(q.reshape(-1), minlength=16).astype(np.int64)
 
 
+def _convert(raw, src_type, n_elements, target) -> np.ndarray:
+    """Requantize one tensor, preferring the multithreaded native codec
+    (bit-exact with the numpy path; see tests/test_native_codec.py)."""
+    from ..gguf import native_codec
+
+    if native_codec.available():
+        return native_codec.requantize(raw, src_type, n_elements, target)
+    f32 = dequantize(raw, src_type, n_elements)
+    return quantize(f32, target)
+
+
 def quantize_gguf(
     in_path: str,
     out_path: str,
@@ -107,12 +118,13 @@ def quantize_gguf(
             if eligible and target in (GGMLType.Q4_0, GGMLType.Q4_1):
                 eligible = info.shape[-1] % QK4 == 0
             if eligible and info.ggml_type != target:
-                f32 = dequantize(raw, info.ggml_type, info.n_elements)
+                out = _convert(raw, info.ggml_type, info.n_elements, target)
                 if target == GGMLType.F16:
-                    out = f32.astype(np.float16).view(np.uint8)
-                    w.add_tensor(name, f32.astype(np.float16).reshape(info.shape))
+                    w.add_tensor(
+                        name,
+                        out.view(np.float16).reshape(info.shape),
+                    )
                 else:
-                    out = quantize(f32, target)
                     w.add_tensor_raw(name, info.shape, target, out)
                     hist = _q_histogram(out, target)
                     stats.hist_all += hist

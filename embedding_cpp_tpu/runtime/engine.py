@@ -91,6 +91,25 @@ class Engine:
         )
 
     @classmethod
+    def from_hf_dir(
+        cls,
+        model_dir: str,
+        *,
+        ftype: str = "f32",
+        opts: ComputeOptions | None = None,
+        **kw,
+    ) -> "Engine":
+        """Load a local HF BERT checkpoint directly (converts to GGUF in a
+        temp file, then loads — one call instead of convert + from_gguf)."""
+        import tempfile
+
+        from ..models.convert import convert_hf_dir
+
+        with tempfile.NamedTemporaryFile(suffix=".gguf") as f:
+            convert_hf_dir(model_dir, f.name, ftype)
+            return cls.from_gguf(f.name, opts=opts, **kw)
+
+    @classmethod
     def synthetic(
         cls,
         config: BertConfig,

@@ -127,6 +127,10 @@ class Keys:
     HEAD_COUNT_KV = f"{ARCH}.attention.head_count_kv"
     LAYER_NORM_EPS = f"{ARCH}.attention.layer_norm_epsilon"
     ROPE_DIMENSION_COUNT = f"{ARCH}.rope.dimension_count"
+    # pooling config (our extension; the reference hard-codes mean+L2 with a
+    # FIXME at bert.cpp:998)
+    POOLING_TYPE = f"{ARCH}.pooling_type"
+    NORMALIZE = f"{ARCH}.normalize_embeddings"
 
     # tokenizer
     TOKENIZER_MODEL = "tokenizer.ggml.model"

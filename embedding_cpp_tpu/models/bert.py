@@ -159,14 +159,35 @@ def embed_tokens(params: dict, ids: Array, config: BertConfig, opts: ComputeOpti
     )
 
 
-def mean_pool_normalize(x: Array, mask: Array) -> Array:
-    """Masked mean over tokens then L2 normalization (bert.cpp:995-1006).
-    The reference's unmasked xᵀ·(1/N) matmul becomes sum(x·mask)/sum(mask)."""
+def pool_normalize(
+    x: Array, mask: Array, pooling: str = "mean", normalize: bool = True
+) -> Array:
+    """Masked pooling over tokens + optional L2 normalization.
+
+    "mean" is the reference behavior (bert.cpp:995-1006; its unmasked
+    xᵀ·(1/N) matmul becomes sum(x·mask)/sum(mask) over padded batches);
+    "cls"/"max" honor sentence-transformers pooling configs the reference
+    ignores (FIXME at bert.cpp:998).
+    """
     xf = x.astype(jnp.float32)
     m = mask.astype(jnp.float32)[..., None]  # [B,S,1]
-    pooled = jnp.sum(xf * m, axis=-2) / jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    if pooling == "mean":
+        pooled = jnp.sum(xf * m, axis=-2) / jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    elif pooling == "cls":
+        pooled = xf[..., 0, :]
+    elif pooling == "max":
+        pooled = jnp.max(jnp.where(m > 0, xf, -jnp.inf), axis=-2)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+    else:
+        raise ValueError(f"unknown pooling {pooling!r}")
+    if not normalize:
+        return pooled
     norm = jnp.sqrt(jnp.sum(jnp.square(pooled), axis=-1, keepdims=True))
     return pooled / jnp.maximum(norm, 1e-12)
+
+
+def mean_pool_normalize(x: Array, mask: Array) -> Array:
+    return pool_normalize(x, mask, "mean", True)
 
 
 def bert_embed_batch(
@@ -188,7 +209,7 @@ def bert_embed_batch(
         return encoder_layer(x, lp, mask_bias, config, opts), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    return mean_pool_normalize(x, mask)
+    return pool_normalize(x, mask, config.pooling, config.normalize)
 
 
 def make_forward(config: BertConfig, opts: ComputeOptions = ComputeOptions()):

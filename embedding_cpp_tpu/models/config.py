@@ -24,6 +24,10 @@ class BertConfig:
     # "erf" matches HF BertModel exactly; "tanh" matches ggml's LUT
     # approximation (ggml_gelu). Score-level parity holds for either.
     gelu: str = "erf"
+    # output head: "mean" | "cls" | "max" pooling, then optional L2 norm.
+    # The reference hard-codes mean+L2 (bert.cpp:995-1006, FIXME at :998).
+    pooling: str = "mean"
+    normalize: bool = True
     name: str = ""
 
     @property
@@ -47,6 +51,8 @@ class BertConfig:
             n_head=int(kv[Keys.HEAD_COUNT]),
             n_ff=int(kv[Keys.FEED_FORWARD_LENGTH]),
             layer_norm_eps=float(kv.get(Keys.LAYER_NORM_EPS, 1e-12)),
+            pooling=str(kv.get(Keys.POOLING_TYPE, "mean")),
+            normalize=bool(kv.get(Keys.NORMALIZE, True)),
             name=str(kv.get("general.name", "")),
         )
 

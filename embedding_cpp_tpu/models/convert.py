@@ -101,6 +101,10 @@ def write_bert_gguf(
     w.add_uint32(Keys.HEAD_COUNT, config.n_head)
     w.add_uint32(Keys.HEAD_COUNT_KV, config.n_head)
     w.add_float32(Keys.LAYER_NORM_EPS, config.layer_norm_eps)
+    if config.pooling != "mean":
+        w.add_string(Keys.POOLING_TYPE, config.pooling)
+    if not config.normalize:
+        w.add_bool(Keys.NORMALIZE, False)
     w.add_uint32("general.file_type", int(ftype))
 
     w.add_string(Keys.TOKENIZER_JSON_BLOB, tokenizer_json)
@@ -158,6 +162,11 @@ def convert_hf_dir(
     if archs and archs[0] not in ("BertModel", "BertForMaskedLM"):
         raise ValueError(f"unsupported architecture: {archs[0]}")
     config = BertConfig.from_hf_config(hf_config, name=model_dir.name)
+    pooling = _read_st_pooling(model_dir)
+    if pooling is not None:
+        import dataclasses
+
+        config = dataclasses.replace(config, pooling=pooling)
 
     tokenizer_json_path = model_dir / "tokenizer.json"
     if not tokenizer_json_path.is_file():
@@ -198,6 +207,24 @@ def _load_state_dict(model_dir: Path) -> dict[str, np.ndarray]:
     raise FileNotFoundError(
         f"no model.safetensors or pytorch_model.bin in {model_dir}"
     )
+
+
+def _read_st_pooling(model_dir: Path) -> str | None:
+    """Read a sentence-transformers 1_Pooling/config.json if present — the
+    pooling config the reference ignores (benchmarks/README.md:31 notes the
+    resulting bert-base score mismatch)."""
+    path = model_dir / "1_Pooling" / "config.json"
+    if not path.is_file():
+        return None
+    with open(path) as f:
+        cfg = json.load(f)
+    if cfg.get("pooling_mode_cls_token"):
+        return "cls"
+    if cfg.get("pooling_mode_max_tokens"):
+        return "max"
+    if cfg.get("pooling_mode_mean_tokens"):
+        return "mean"
+    return None
 
 
 def _special_overrides(model_dir: Path) -> dict | None:

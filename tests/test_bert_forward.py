@@ -142,3 +142,59 @@ def test_hf_parity():
     cos = np.sum(got * expected, axis=-1)
     assert np.all(cos > 0.9999), cos
     np.testing.assert_allclose(got, expected, atol=5e-4)
+
+
+def test_pooling_modes():
+    """cls/max/no-normalize pooling vs manual computation."""
+    import dataclasses
+
+    from embedding_cpp_tpu.models.bert import pool_normalize
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
+    mask = np.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]], np.int32)
+
+    xm = np.asarray(x)
+    # cls
+    cls = np.asarray(pool_normalize(x, jnp.asarray(mask), "cls", False))
+    np.testing.assert_allclose(cls, xm[:, 0], atol=1e-6)
+    # max ignores masked positions
+    mx = np.asarray(pool_normalize(x, jnp.asarray(mask), "max", False))
+    np.testing.assert_allclose(mx[0], xm[0, :3].max(0), atol=1e-6)
+    np.testing.assert_allclose(mx[1], xm[1].max(0), atol=1e-6)
+    # normalize=True gives unit norm
+    nn = np.asarray(pool_normalize(x, jnp.asarray(mask), "max", True))
+    np.testing.assert_allclose(np.linalg.norm(nn, axis=-1), 1.0, atol=1e-6)
+
+    # end-to-end: cls-pooling config flows through bert_embed_batch
+    cfg = dataclasses.replace(CFG, pooling="cls")
+    params = random_params(cfg, seed=1)
+    rng = np.random.default_rng(12)
+    ids, m, _ = _ids_and_mask(rng, 3, 16)
+    out_cls = np.asarray(bert_embed_batch(params, ids, m, cfg, F32))
+    out_mean = np.asarray(bert_embed_batch(params, ids, m, CFG, F32))
+    assert not np.allclose(out_cls, out_mean)
+    np.testing.assert_allclose(np.linalg.norm(out_cls, axis=-1), 1.0, atol=1e-5)
+
+
+def test_pooling_kv_roundtrip(tmp_path):
+    """Pooling config survives GGUF write -> load."""
+    import dataclasses
+
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.gguf import GGUFFileType, GGUFReader
+    from embedding_cpp_tpu.models.convert import write_bert_gguf
+    from embedding_cpp_tpu.models.params import random_state_dict
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    cfg = dataclasses.replace(CFG, n_vocab=1000, pooling="cls", normalize=False)
+    path = tmp_path / "cls.gguf"
+    write_bert_gguf(path, cfg, random_state_dict(cfg, 0),
+                    build_tokenizer_json(1000), GGUFFileType.ALL_F32)
+    with GGUFReader(path) as r:
+        from embedding_cpp_tpu.models import BertConfig
+
+        cfg2 = BertConfig.from_gguf_kv(r.kv)
+    assert cfg2.pooling == "cls"
+    assert cfg2.normalize is False

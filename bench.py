@@ -58,6 +58,7 @@ def run_bench(
     repeats: int = 5,
     verbose: bool = True,
     length_profile: str = "stsb",
+    packing: str = "auto",
 ):
     import jax
 
@@ -73,7 +74,7 @@ def run_bench(
 
     config = PRESETS[preset]
     opts = ComputeOptions(dtype=dtype, q4_impl=q4_impl)
-    engine = Engine.synthetic(config, ftype=ftype, opts=opts)
+    engine = Engine.synthetic(config, ftype=ftype, opts=opts, packing=packing)
 
     texts = synthetic_sentences(n_sentences, profile=length_profile)
     token_lists = engine.tokenize_batch(texts)
@@ -118,10 +119,12 @@ def main() -> None:
     p.add_argument("--sentences", type=int, default=2758)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--length-profile", default="stsb", choices=sorted(LENGTH_PROFILES))
+    p.add_argument("--packing", default="auto", choices=["auto", "always", "never"])
     args = p.parse_args()
     result = run_bench(
         args.preset, args.ftype, args.dtype, args.q4_impl,
         args.sentences, args.repeats, length_profile=args.length_profile,
+        packing=args.packing,
     )
     print(json.dumps(result))
 

@@ -72,9 +72,16 @@ def _attention(
     mask_bias: Array,
     config: BertConfig,
     opts: ComputeOptions,
+    seg: Array | None = None,
 ) -> Array:
     """Multi-head self-attention: softmax(KᵀQ/sqrt(d)) · V
-    (bert.cpp:907-942), masked over padded keys."""
+    (bert.cpp:907-942), masked over padded keys.
+
+    With `seg` (sequence packing: [B, S] int32 segment ids, -1 on padding)
+    attention is additionally block-diagonal — token q may only attend to
+    token k when seg[q] == seg[k], which makes a packed row's segments
+    mathematically independent sentences, exactly like the reference's
+    one-graph-per-sentence evaluation (bert.cpp:1065)."""
     b, s, e = x.shape
     d = config.head_dim
 
@@ -97,14 +104,24 @@ def _attention(
             else "xla"
         )
     if impl == "pallas":
-        from ..ops.attention import flash_attention
+        if seg is not None:
+            from ..ops.attention import flash_attention_packed
 
-        att = flash_attention(q, k, v, mask_bias)
+            att = flash_attention_packed(q, k, v, seg)
+        else:
+            from ..ops.attention import flash_attention
+
+            att = flash_attention(q, k, v, mask_bias)
     else:
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         )
-        scores = scores * (1.0 / d**0.5) + mask_bias[:, None, None, :]
+        if seg is not None:
+            allowed = seg[:, :, None] == seg[:, None, :]  # [B, Sq, Sk]
+            bias = jnp.where(allowed, 0.0, _MASK_BIAS).astype(jnp.float32)
+            scores = scores * (1.0 / d**0.5) + bias[:, None, :, :]
+        else:
+            scores = scores * (1.0 / d**0.5) + mask_bias[:, None, None, :]
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         att = jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
@@ -118,10 +135,11 @@ def encoder_layer(
     mask_bias: Array,
     config: BertConfig,
     opts: ComputeOptions,
+    seg: Array | None = None,
 ) -> Array:
     """One transformer block: attn + add&norm, GELU FFN + add&norm
     (bert.cpp:900-994)."""
-    att = _attention(x, lp, mask_bias, config, opts)
+    att = _attention(x, lp, mask_bias, config, opts, seg=seg)
     # row-parallel matmuls psum over tp in manual mode (Megatron pattern)
     att_out = linear(att, lp["o_w"], lp["o_b"], q4_impl=opts.q4_impl,
                      reduce_axis=opts.tp_axis)
@@ -141,10 +159,18 @@ def encoder_layer(
     )
 
 
-def embed_tokens(params: dict, ids: Array, config: BertConfig, opts: ComputeOptions) -> Array:
+def embed_tokens(
+    params: dict,
+    ids: Array,
+    config: BertConfig,
+    opts: ComputeOptions,
+    positions: Array | None = None,
+) -> Array:
     """word[ids] + token_type[0] + position[0..S-1], then embedding LayerNorm
     (bert.cpp:868-898).  Token type is always 0 and positions are 0..S-1,
-    exactly as the reference hard-codes them."""
+    exactly as the reference hard-codes them.  For sequence-packed batches
+    `positions` carries the per-segment position ids (restarting at 0 for
+    each packed sentence, matching the reference's per-sentence graphs)."""
     emb = params["embeddings"]
     s = ids.shape[-1]
     word = emb["word"]
@@ -153,7 +179,10 @@ def embed_tokens(params: dict, ids: Array, config: BertConfig, opts: ComputeOpti
     else:
         x = word[ids].astype(jnp.float32)
     x = x + emb["token_type"][0].astype(jnp.float32)
-    x = x + emb["position"][:s].astype(jnp.float32)
+    if positions is None:
+        x = x + emb["position"][:s].astype(jnp.float32)
+    else:
+        x = x + emb["position"][positions].astype(jnp.float32)
     return layer_norm(
         x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps, opts.jdtype
     )
@@ -190,6 +219,50 @@ def mean_pool_normalize(x: Array, mask: Array) -> Array:
     return pool_normalize(x, mask, "mean", True)
 
 
+def pool_normalize_packed(
+    x: Array,
+    seg: Array,
+    pos: Array,
+    n_seg: int,
+    pooling: str = "mean",
+    normalize: bool = True,
+) -> Array:
+    """Per-segment pooling over a packed row: [B, S, E] -> [B, n_seg, E].
+
+    The segment-wise analog of `pool_normalize`: each packed sentence pools
+    over exactly its own tokens (the reference pools one sentence per graph,
+    bert.cpp:995-1006).  Mean and cls reduce via a [B, S, G] one-hot matmul
+    (MXU-friendly); max uses segment_max over flattened global segment ids.
+    Empty segment slots come out as zero vectors.
+    """
+    b, s, e = x.shape
+    xf = x.astype(jnp.float32)
+    gids = jnp.arange(n_seg, dtype=seg.dtype)
+    onehot = (seg[:, :, None] == gids[None, None, :]).astype(jnp.float32)
+    if pooling == "mean":
+        sums = jnp.einsum("bsg,bse->bge", onehot, xf)
+        counts = jnp.sum(onehot, axis=1)[..., None]  # [B, G, 1]
+        pooled = sums / jnp.maximum(counts, 1.0)
+    elif pooling == "cls":
+        # each segment's first token (pos == 0) is its [CLS]
+        sel = onehot * (pos == 0).astype(jnp.float32)[:, :, None]
+        pooled = jnp.einsum("bsg,bse->bge", sel, xf)
+    elif pooling == "max":
+        flat_seg = jnp.where(
+            seg >= 0, seg + n_seg * jnp.arange(b, dtype=seg.dtype)[:, None], b * n_seg
+        ).reshape(-1)
+        pooled = jax.ops.segment_max(
+            xf.reshape(b * s, e), flat_seg, num_segments=b * n_seg + 1
+        )[: b * n_seg].reshape(b, n_seg, e)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+    else:
+        raise ValueError(f"unknown pooling {pooling!r}")
+    if not normalize:
+        return pooled
+    norm = jnp.sqrt(jnp.sum(jnp.square(pooled), axis=-1, keepdims=True))
+    return pooled / jnp.maximum(norm, 1e-12)
+
+
 def bert_embed_batch(
     params: dict,
     ids: Array,
@@ -210,6 +283,35 @@ def bert_embed_batch(
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return pool_normalize(x, mask, config.pooling, config.normalize)
+
+
+def bert_embed_packed(
+    params: dict,
+    ids: Array,
+    seg: Array,
+    pos: Array,
+    config: BertConfig,
+    opts: ComputeOptions = ComputeOptions(),
+    *,
+    n_seg: int,
+) -> Array:
+    """Sequence-packed forward: many sentences per row -> [B, n_seg, n_embd].
+
+    ids/seg/pos are [B, S]: seg holds the per-row segment id of each token
+    (-1 on padding), pos the within-segment position (0..len-1, as the
+    reference's per-sentence graphs number positions, bert.cpp:874-878).
+    Packing turns short-sentence traffic into a handful of large dispatches:
+    attention is masked block-diagonal by segment and pooling is per-segment,
+    so outputs equal the unpacked per-sentence results.
+    """
+    x = embed_tokens(params, ids, config, opts, positions=pos)
+    mask_bias = jnp.where(seg >= 0, 0.0, _MASK_BIAS).astype(jnp.float32)
+
+    def body(x, lp):
+        return encoder_layer(x, lp, mask_bias, config, opts, seg=seg), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return pool_normalize_packed(x, seg, pos, n_seg, config.pooling, config.normalize)
 
 
 def make_forward(config: BertConfig, opts: ComputeOptions = ComputeOptions()):

@@ -88,6 +88,106 @@ def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *, tq: int)
     )(q, k, v, mask_bias[:, None, :])
 
 
+def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *, scale):
+    # blocks: q [1,1,TQ,d]; k, v [1,1,S,d]; segq [1,1,TQ]; segk [1,1,S] int32
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, S]
+    allowed = segq_ref[0, 0][:, None] == segk_ref[0, 0][None, :]
+    scores = jnp.where(allowed, scores * scale, -1e9)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0, 0] = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tq",))
+def _flash_attention_packed(
+    q: Array, k: Array, v: Array, seg: Array, *, tq: int
+) -> Array:
+    """q/k/v: [B, H, S, d]; seg: [B, S] int32 (-1 = padding). -> [B, H, S, d]"""
+    b, h, s, d = q.shape
+    scale = 1.0 / (d**0.5)
+    grid = (b, h, s // tq)
+
+    kernel = functools.partial(_attn_seg_kernel, scale=scale)
+    seg3 = seg[:, None, :]  # explicit singleton axis for the block spec
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tq), lambda bi, hi, qi: (bi, 0, qi), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, s), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=4 * b * h * s * d * q.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, seg3, seg3)
+
+
+def flash_attention_packed(q: Array, k: Array, v: Array, seg: Array) -> Array:
+    """Segment-masked (sequence-packed) multi-head attention.
+
+    q, k, v: [B, S, H, d]; seg: [B, S] int32 segment ids, -1 on padding.
+    Token q attends to token k iff seg[q] == seg[k] — attention is
+    block-diagonal over packed sentences, reproducing the reference's
+    one-sentence-per-graph independence (bert.cpp:1065) inside one dispatch.
+    """
+    b, s, h, d = q.shape
+    if s % 8 or d % 8:
+        allowed = seg[:, :, None] == seg[:, None, :]
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        bias = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)
+        scores = scores * (1.0 / d**0.5) + bias[:, None, :, :]
+        p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        return jnp.einsum(
+            "bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+
+    tq = 256 if s % 256 == 0 else (128 if s % 128 == 0 else s)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _flash_attention_packed(qt, kt, vt, seg.astype(jnp.int32), tq=tq)
+    return out.transpose(0, 2, 1, 3)
+
+
 def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array) -> Array:
     """Masked multi-head attention.
 

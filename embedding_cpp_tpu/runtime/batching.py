@@ -33,6 +33,103 @@ class PackedBatch:
     positions: list[int]  # original index of each row (len = n_real rows)
 
 
+# --- sequence packing --------------------------------------------------------
+# Many short sentences per row, distinguished by segment ids: turns
+# short-sentence traffic (the reference's STSB workload averages ~16 tokens)
+# into a few large dispatches instead of many small ones.  The model side
+# (models.bert.bert_embed_packed) masks attention block-diagonal by segment
+# and pools per segment, so results equal the one-row-per-sentence path.
+
+DEFAULT_PACK_SEQ = 512
+DEFAULT_PACK_SEGS = 64
+# Packed rows are large (512 token slots), so row-count buckets are finer
+# than sentence-batch buckets: powers of two bound pad waste at 2x while
+# keeping the set of compiled shapes small.
+DEFAULT_PACK_ROW_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+@dataclass
+class PackedSegBatch:
+    ids: np.ndarray  # [B, S] int32, padded with pad_id
+    seg: np.ndarray  # [B, S] int32 segment id per token, -1 on padding
+    pos: np.ndarray  # [B, S] int32 within-segment position (0 on padding)
+    n_seg: int  # static segments-per-row capacity (G)
+    positions: list[list[int]]  # [row][segment] -> original sentence index
+
+
+def pack_segments(
+    token_lists: Sequence[Sequence[int]],
+    indices: Sequence[int],
+    pad_id: int,
+    *,
+    seq_len: int = DEFAULT_PACK_SEQ,
+    n_seg: int = DEFAULT_PACK_SEGS,
+    batch_buckets: Sequence[int] = DEFAULT_PACK_ROW_BUCKETS,
+) -> list[PackedSegBatch]:
+    """First-fit-decreasing bin packing of sentences into [B, seq_len] rows.
+
+    `indices[i]` is the original position of `token_lists[i]` (the caller may
+    pack a subset).  Every sentence must have len <= seq_len; each row holds
+    at most n_seg sentences.
+    """
+    order = sorted(range(len(token_lists)), key=lambda i: -len(token_lists[i]))
+    rows: list[list[int]] = []  # local indices per row
+    space: list[int] = []  # remaining token capacity per row
+    for i in order:
+        need = len(token_lists[i])
+        if need > seq_len:
+            raise ValueError(f"sentence of {need} tokens exceeds pack row {seq_len}")
+        placed = False
+        for r, free in enumerate(space):
+            if free >= need and len(rows[r]) < n_seg:
+                rows[r].append(i)
+                space[r] -= need
+                placed = True
+                break
+        if not placed:
+            rows.append([i])
+            space.append(seq_len - need)
+
+    # base-2 decomposition of the row count: each chunk is a power-of-two
+    # dispatch shape (bounded compile cache) with near-zero row padding —
+    # e.g. 72 rows -> [64, 8] instead of one 128-row dispatch half empty.
+    # Small tails (< 16 rows) are absorbed into one padded chunk: a few
+    # padded rows cost less than another dispatch.
+    chunks: list[list[list[int]]] = []
+    start = 0
+    while start < len(rows):
+        remaining = len(rows) - start
+        if remaining < 16:
+            size = remaining
+        else:
+            size = min(batch_buckets[-1], 1 << (remaining.bit_length() - 1))
+        chunks.append(rows[start : start + size])
+        start += size
+
+    batches: list[PackedSegBatch] = []
+    for chunk in chunks:
+        b = bucket_for(len(chunk), batch_buckets)
+        ids = np.full((b, seq_len), pad_id, dtype=np.int32)
+        seg = np.full((b, seq_len), -1, dtype=np.int32)
+        pos = np.zeros((b, seq_len), dtype=np.int32)
+        positions: list[list[int]] = []
+        for r, row in enumerate(chunk):
+            cursor = 0
+            row_positions = []
+            for g, i in enumerate(row):
+                toks = list(token_lists[i])
+                ids[r, cursor : cursor + len(toks)] = toks
+                seg[r, cursor : cursor + len(toks)] = g
+                pos[r, cursor : cursor + len(toks)] = np.arange(len(toks))
+                cursor += len(toks)
+                row_positions.append(indices[i])
+            positions.append(row_positions)
+        batches.append(
+            PackedSegBatch(ids=ids, seg=seg, pos=pos, n_seg=n_seg, positions=positions)
+        )
+    return batches
+
+
 def pack_batches(
     token_lists: Sequence[Sequence[int]],
     pad_id: int,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -23,7 +24,14 @@ from ..models.bert import ComputeOptions, bert_embed_batch
 from ..models.config import BertConfig
 from ..models.params import load_params, random_params
 from ..tokenizer import SpecialIds, frame_ids, load_tokenizer
-from .batching import DEFAULT_BATCH_BUCKETS, DEFAULT_SEQ_BUCKETS, pack_batches
+from .batching import (
+    DEFAULT_BATCH_BUCKETS,
+    DEFAULT_PACK_SEQ,
+    DEFAULT_SEQ_BUCKETS,
+    PackedSegBatch,
+    pack_batches,
+    pack_segments,
+)
 
 
 class Engine:
@@ -40,6 +48,7 @@ class Engine:
         mesh=None,
         seq_buckets: Sequence[int] = DEFAULT_SEQ_BUCKETS,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+        packing: str = "auto",
     ):
         self.config = config
         self.opts = opts or ComputeOptions()
@@ -50,7 +59,12 @@ class Engine:
             config.n_ctx,
         )
         self.batch_buckets = tuple(batch_buckets)
-        self._fwd_cache: dict[tuple[int, int], object] = {}
+        if packing not in ("auto", "always", "never"):
+            raise ValueError(f"packing must be auto/always/never, got {packing!r}")
+        self.packing = packing
+        self.pack_seq = min(DEFAULT_PACK_SEQ, config.n_ctx)
+        self.pack_segs = max(8, self.pack_seq // 8)
+        self._fwd_cache: dict[tuple, object] = {}
         self.stats = {"sentences": 0, "tokens": 0, "batches": 0, "eval_time": 0.0}
 
         if mesh is not None:
@@ -107,6 +121,27 @@ class Engine:
 
         with tempfile.NamedTemporaryFile(suffix=".gguf") as f:
             convert_hf_dir(model_dir, f.name, ftype)
+            return cls.from_gguf(f.name, opts=opts, **kw)
+
+    @classmethod
+    def from_legacy_bin(
+        cls,
+        path: str,
+        *,
+        opts: ComputeOptions | None = None,
+        **kw,
+    ) -> "Engine":
+        """Load a legacy pre-GGUF ggml-model*.bin (magic 'ggml') directly —
+        the reference engine itself cannot (GGUF only, bert.cpp:181); old
+        files needed the original bert.cpp build.  Upgrades in-memory via a
+        temp GGUF so every downstream path (schema checks, Q4 layouts,
+        sharding) is identical to from_gguf."""
+        import tempfile
+
+        from ..gguf.legacy import upgrade_legacy_bin
+
+        with tempfile.NamedTemporaryFile(suffix=".gguf") as f:
+            upgrade_legacy_bin(path, f.name)
             return cls.from_gguf(f.name, opts=opts, **kw)
 
     @classmethod
@@ -175,18 +210,65 @@ class Engine:
             self._fwd_cache[shape] = fwd
         return fwd
 
+    def _packed_forward(self, shape: tuple[int, int], n_seg: int):
+        key = ("packed", shape, n_seg)
+        fwd = self._fwd_cache.get(key)
+        if fwd is None:
+            from ..models.bert import bert_embed_packed
+
+            config, opts = self.config, self.opts
+
+            @partial(jax.jit, static_argnames=("n_seg",))
+            def fwd(params, ids, seg, pos, n_seg):
+                return bert_embed_packed(
+                    params, ids, seg, pos, config, opts, n_seg=n_seg
+                )
+
+            self._fwd_cache[key] = fwd
+        return fwd
+
+    def _pack_plan(self, token_lists: Sequence[Sequence[int]]) -> list[int]:
+        """Indices of sentences to route through the sequence-packed path
+        (the rest go through plain length-bucketed batching)."""
+        if self.packing == "never" or self._sharded_forward is not None:
+            return []
+        packable = [
+            i for i, t in enumerate(token_lists) if len(t) <= self.pack_seq
+        ]
+        if self.packing == "always":
+            return packable
+        # auto: packing pays off when many short sentences would otherwise
+        # spread over several dispatches; long sentences already fill rows
+        short = [i for i in packable if len(token_lists[i]) <= self.pack_seq // 4]
+        return short if len(short) >= 32 else []
+
     def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Token-id lists -> [n, n_embd] f32 (the reference's
         bert_eval_batch, but actually batched)."""
         n = len(token_lists)
         out = np.empty((n, self.config.n_embd), dtype=np.float32)
+        pack_idx = set(self._pack_plan(token_lists))
+        rest = [i for i in range(n) if i not in pack_idx]
+        packed_batches = (
+            pack_segments(
+                [token_lists[i] for i in sorted(pack_idx)],
+                sorted(pack_idx),
+                self.special_ids.pad,
+                seq_len=self.pack_seq,
+                n_seg=self.pack_segs,
+            )
+            if pack_idx
+            else []
+        )
         batches = pack_batches(
-            token_lists,
+            [token_lists[i] for i in rest],
             self.special_ids.pad,
             seq_buckets=self.seq_buckets,
             batch_buckets=self.batch_buckets,
             max_seq=self.config.n_ctx,
         )
+        for batch in batches:
+            batch.positions = [rest[i] for i in batch.positions]
         from ..utils.metrics import GLOBAL as metrics
 
         t0 = time.perf_counter()
@@ -195,20 +277,32 @@ class Engine:
             # dispatch everything first (jax dispatch is async), then fetch —
             # the device pipeline stays fed while the host packs/copies
             pending = []
+            for pb in packed_batches:
+                fwd = self._packed_forward(pb.ids.shape, pb.n_seg)
+                pending.append(
+                    (pb, fwd(self.params, pb.ids, pb.seg, pb.pos, n_seg=pb.n_seg))
+                )
+                padded_slots += pb.ids.size
             for batch in batches:
                 fwd = self._forward(batch.ids.shape)
                 pending.append((batch, fwd(self.params, batch.ids, batch.mask)))
                 padded_slots += batch.ids.size
             for batch, vecs in pending:
-                out[batch.positions] = np.asarray(vecs)[: len(batch.positions)]
+                vecs = np.asarray(vecs)
+                if isinstance(batch, PackedSegBatch):
+                    for r, row in enumerate(batch.positions):
+                        for g, orig in enumerate(row):
+                            out[orig] = vecs[r, g]
+                else:
+                    out[batch.positions] = vecs[: len(batch.positions)]
         n_tokens = int(sum(len(t) for t in token_lists))
         self.stats["eval_time"] += time.perf_counter() - t0
         self.stats["sentences"] += n
         self.stats["tokens"] += n_tokens
-        self.stats["batches"] += len(batches)
+        self.stats["batches"] += len(batches) + len(packed_batches)
         metrics.inc("sentences", n)
         metrics.inc("tokens", n_tokens)
-        metrics.inc("batches", len(batches))
+        metrics.inc("batches", len(batches) + len(packed_batches))
         metrics.inc("padded_slots", padded_slots)
         return out
 

@@ -1,0 +1,145 @@
+"""Sequence packing: many sentences per row via segment ids.
+
+The packed forward (models.bert.bert_embed_packed) must produce exactly the
+per-sentence results of the unpacked path — the reference evaluates one
+sentence per graph (bert.cpp:1065); packing reproduces that independence
+inside one dispatch via block-diagonal attention and per-segment pooling.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.models import (
+    BertConfig,
+    ComputeOptions,
+    bert_embed_batch,
+    random_params,
+)
+from embedding_cpp_tpu.models.bert import bert_embed_packed
+from embedding_cpp_tpu.runtime.batching import PackedSegBatch, pack_segments
+
+CFG = BertConfig(
+    n_vocab=128, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+    name="tiny-test",
+)
+F32 = ComputeOptions(dtype="float32")
+
+
+def _sentences(rng, n, min_len=3, max_len=20):
+    lens = rng.integers(min_len, max_len + 1, size=n)
+    return [list(rng.integers(1, CFG.n_vocab, size=l)) for l in lens]
+
+
+# --- packer invariants -------------------------------------------------------
+
+def test_pack_segments_places_every_sentence_once():
+    rng = np.random.default_rng(0)
+    toks = _sentences(rng, 57)
+    batches = pack_segments(toks, list(range(len(toks))), pad_id=0,
+                            seq_len=64, n_seg=8)
+    seen = {}
+    for b in batches:
+        for r, row in enumerate(b.positions):
+            for g, orig in enumerate(row):
+                assert orig not in seen
+                seen[orig] = (b, r, g)
+                # tokens of segment g in row r match the original sentence
+                sel = b.seg[r] == g
+                np.testing.assert_array_equal(b.ids[r][sel], toks[orig])
+                np.testing.assert_array_equal(
+                    b.pos[r][sel], np.arange(len(toks[orig]))
+                )
+    assert len(seen) == len(toks)
+
+
+def test_pack_segments_respects_capacity():
+    rng = np.random.default_rng(1)
+    toks = _sentences(rng, 40)
+    batches = pack_segments(toks, list(range(len(toks))), pad_id=0,
+                            seq_len=64, n_seg=4)
+    for b in batches:
+        assert b.ids.shape[1] == 64
+        for r, row in enumerate(b.positions):
+            assert len(row) <= 4
+            assert int((b.seg[r] >= 0).sum()) == sum(len(toks[i]) for i in row)
+    # padding slots are marked
+    for b in batches:
+        assert np.all(b.ids[b.seg < 0] == 0)
+        assert np.all(b.pos[b.seg < 0] == 0)
+
+
+def test_pack_segments_rejects_oversized():
+    with pytest.raises(ValueError):
+        pack_segments([list(range(100))], [0], pad_id=0, seq_len=64, n_seg=4)
+
+
+# --- packed forward == unpacked forward --------------------------------------
+
+@pytest.mark.parametrize("pooling", ["mean", "cls", "max"])
+def test_packed_forward_matches_unpacked(pooling):
+    cfg = dataclasses.replace(CFG, pooling=pooling)
+    rng = np.random.default_rng(2)
+    params = random_params(cfg, seed=3)
+    toks = _sentences(rng, 13)
+    batches = pack_segments(toks, list(range(len(toks))), pad_id=0,
+                            seq_len=64, n_seg=8)
+
+    got = np.zeros((len(toks), cfg.n_embd), dtype=np.float32)
+    for b in batches:
+        vecs = np.asarray(
+            bert_embed_packed(params, b.ids, b.seg, b.pos, cfg, F32,
+                              n_seg=b.n_seg)
+        )
+        for r, row in enumerate(b.positions):
+            for g, orig in enumerate(row):
+                got[orig] = vecs[r, g]
+
+    for i, t in enumerate(toks):
+        ids = np.asarray([t], dtype=np.int32)
+        mask = np.ones_like(ids)
+        want = np.asarray(bert_embed_batch(params, ids, mask, cfg, F32))[0]
+        np.testing.assert_allclose(got[i], want, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"sentence {i} (pooling={pooling})")
+
+
+def test_packed_empty_segments_are_zero():
+    params = random_params(CFG, seed=4)
+    toks = [[5, 6, 7]]
+    (b,) = pack_segments(toks, [0], pad_id=0, seq_len=64, n_seg=8,
+                         batch_buckets=(1,))
+    vecs = np.asarray(
+        bert_embed_packed(params, b.ids, b.seg, b.pos, CFG, F32, n_seg=8)
+    )
+    assert np.all(vecs[0, 1:] == 0.0)
+    assert np.isfinite(vecs).all()
+
+
+# --- engine integration ------------------------------------------------------
+
+ENGINE_CFG = dataclasses.replace(CFG, n_vocab=512)
+
+
+def _engine(packing):
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    return Engine.synthetic(ENGINE_CFG, ftype="f32", opts=F32, packing=packing)
+
+
+def test_engine_packing_matches_unpacked():
+    texts = [f"word{i % 7} thing stuff other {('x ' * (i % 9))}" for i in range(50)]
+    e_never = _engine("never")
+    e_always = _engine("always")
+    a = e_never.encode(texts)
+    b = e_always.encode(texts)
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+    assert e_always.stats["batches"] <= e_never.stats["batches"]
+
+
+def test_engine_auto_packs_many_short_sentences():
+    e = _engine("auto")
+    texts = ["short sentence here"] * 40
+    out = e.encode(texts)
+    assert out.shape == (40, CFG.n_embd)
+    # all 40 short sentences fit one packed dispatch
+    assert e.stats["batches"] == 1

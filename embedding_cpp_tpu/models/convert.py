@@ -143,18 +143,10 @@ def write_bert_gguf(
     w.write(os.fspath(out_path))
 
 
-def convert_hf_dir(
-    model_dir: str | os.PathLike,
-    out_path: str | os.PathLike,
-    ftype: str | GGUFFileType = "f32",
-) -> None:
-    """Convert a local HF BERT checkpoint directory to GGUF.
-
-    Loads config.json / tokenizer.json / weights (safetensors or
-    pytorch_model.bin) with no network access.
-    """
-    if isinstance(ftype, str):
-        ftype = FTYPE_NAMES[ftype]
+def load_hf_dir(model_dir: str | os.PathLike):
+    """Load a local HF BERT checkpoint directory (config.json /
+    tokenizer.json / safetensors-or-pytorch weights, no network) into
+    (config, state_dict, tokenizer_json, special_id_overrides, hf_repo)."""
     model_dir = Path(model_dir)
     with open(model_dir / "config.json") as f:
         hf_config = json.load(f)
@@ -181,6 +173,21 @@ def convert_hf_dir(
     }
 
     overrides = _special_overrides(model_dir)
+    return config, state_dict, tokenizer_json, overrides, hf_config.get(
+        "_name_or_path", ""
+    )
+
+
+def convert_hf_dir(
+    model_dir: str | os.PathLike,
+    out_path: str | os.PathLike,
+    ftype: str | GGUFFileType = "f32",
+) -> None:
+    """Convert a local HF BERT checkpoint directory to GGUF
+    (the reference's models/convert-to-gguf.py)."""
+    if isinstance(ftype, str):
+        ftype = FTYPE_NAMES[ftype]
+    config, state_dict, tokenizer_json, overrides, repo = load_hf_dir(model_dir)
     write_bert_gguf(
         out_path,
         config,
@@ -188,8 +195,21 @@ def convert_hf_dir(
         tokenizer_json,
         ftype,
         special_ids=overrides,
-        source_hf_repo=hf_config.get("_name_or_path", ""),
+        source_hf_repo=repo,
     )
+
+
+def convert_hf_dir_to_legacy(
+    model_dir: str | os.PathLike,
+    out_path: str | os.PathLike,
+    ftype: str = "f16",
+) -> None:
+    """Convert a local HF BERT checkpoint to the legacy pre-GGUF .bin format
+    (the reference's models/convert-to-ggml.py; f32/f16 only)."""
+    from ..gguf.legacy import write_legacy_bin
+
+    config, state_dict, tokenizer_json, _, _ = load_hf_dir(model_dir)
+    write_legacy_bin(out_path, config, state_dict, tokenizer_json, ftype)
 
 
 def _load_state_dict(model_dir: Path) -> dict[str, np.ndarray]:

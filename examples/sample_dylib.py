@@ -1,0 +1,103 @@
+"""ctypes client over the native C ABI (libtpuembed_capi.so) — the
+reference's examples/sample_dylib.py, re-targeted at the TPU engine.
+
+The reference dlopens libbert.so and runs the whole CPU engine in-process;
+here the C ABI spawns (or attaches to) the JAX engine server and streams
+embeddings over the framed protocol, so the same ctypes surface fronts TPU
+compute.
+
+Usage:
+    python examples/sample_dylib.py <model.gguf>              # spawn engine
+    python examples/sample_dylib.py --connect HOST:PORT       # attach
+"""
+import ctypes
+import os
+import sys
+
+import numpy as np
+
+_LIB = os.path.join(os.path.dirname(__file__), "..", "native", "build",
+                    "libtpuembed_capi.so")
+
+
+class TpuEmbedModel:
+    """The reference's BertModel ctypes wrapper (sample_dylib.py:16-41),
+    over tpuembed.h instead of bert.h."""
+
+    def __init__(self, model_path=None, host=None, port=None, lib_path=_LIB):
+        self.lib = ctypes.cdll.LoadLibrary(lib_path)
+        self.lib.tpe_load_from_file.restype = ctypes.c_void_p
+        self.lib.tpe_load_from_file.argtypes = [ctypes.c_char_p]
+        self.lib.tpe_connect.restype = ctypes.c_void_p
+        self.lib.tpe_connect.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        self.lib.tpe_free.argtypes = [ctypes.c_void_p]
+        self.lib.tpe_n_embd.restype = ctypes.c_int32
+        self.lib.tpe_n_embd.argtypes = [ctypes.c_void_p]
+        self.lib.tpe_encode_batch.restype = ctypes.c_int
+        self.lib.tpe_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
+        ]
+        self.lib.tpe_last_error.restype = ctypes.c_char_p
+        self.lib.tpe_last_error.argtypes = [ctypes.c_void_p]
+
+        if model_path is not None:
+            self.ctx = self.lib.tpe_load_from_file(model_path.encode())
+        else:
+            self.ctx = self.lib.tpe_connect(host.encode(), port)
+        if not self.ctx:
+            raise RuntimeError("tpe load/connect failed")
+        self.n_embd = self.lib.tpe_n_embd(self.ctx)
+
+    def close(self):
+        if getattr(self, "ctx", None):
+            self.lib.tpe_free(self.ctx)
+            self.ctx = None
+
+    def __del__(self):
+        self.close()
+
+    def encode(self, sentences):
+        one = isinstance(sentences, str)
+        if one:
+            sentences = [sentences]
+        n = len(sentences)
+        out = np.zeros((n, self.n_embd), dtype=np.float32)
+        texts = (ctypes.c_char_p * n)(*[s.encode() for s in sentences])
+        rc = self.lib.tpe_encode_batch(
+            self.ctx, n, texts,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return out[0] if one else out
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 1
+    if sys.argv[1] == "--connect":
+        host, port = sys.argv[2].rsplit(":", 1)
+        model = TpuEmbedModel(host=host, port=int(port))
+    else:
+        model = TpuEmbedModel(model_path=sys.argv[1])
+
+    sentences = [
+        "The quick brown fox jumps over the lazy dog.",
+        "A fast auburn fox leaps above the sleepy hound.",
+        "Quantum entanglement cannot transmit information.",
+    ]
+    vecs = model.encode(sentences)
+    print(f"n_embd = {model.n_embd}")
+    sims = vecs @ vecs.T
+    for i, s in enumerate(sentences):
+        print(f"[{i}] {s}")
+    print("cosine similarity matrix:")
+    print(np.array_str(sims, precision=4))
+    model.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

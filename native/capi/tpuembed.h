@@ -1,0 +1,50 @@
+// tpuembed.h — C ABI for the TPU embedding engine (the bert.h analog,
+// reference bert.h:41-92).  TPU compute runs inside the JAX engine process;
+// this ABI is the native client plane: tpe_load_from_file() spawns the
+// engine server and connects, tpe_connect() attaches to a running one.
+//
+// Link against native/build/libtpuembed_capi.so (or dlopen it, see
+// examples/dylib.cpp).  Tokenizer-only native access (no engine process)
+// is the separate libtpuembed_tokenizer.so ABI.
+#ifndef TPUEMBED_H
+#define TPUEMBED_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct Ctx tpe_ctx;
+
+// bert_load_from_file equivalent: spawn the engine server on a free local
+// port (python3 -m embedding_cpp_tpu.runtime.server; override the
+// interpreter with $TPE_PYTHON, the readiness wait with
+// $TPE_SPAWN_TIMEOUT_S) and connect.  NULL on failure.
+tpe_ctx* tpe_load_from_file(const char* model_path);
+
+// Attach to an already-running embedding server.  NULL on failure.
+tpe_ctx* tpe_connect(const char* host, int port);
+
+// Free the context; terminates the spawned server (if any).
+void tpe_free(tpe_ctx* ctx);
+
+// Embedding width of the loaded model (bert_n_embd).
+int32_t tpe_n_embd(tpe_ctx* ctx);
+
+// Embed one text into out[n_embd] (bert_encode).  0 = ok, -1 = error.
+int tpe_encode(tpe_ctx* ctx, const char* text, float* out);
+
+// Embed n_inputs texts into out[n_inputs * n_embd] (bert_encode_batch;
+// unlike the reference, batching is real).  0 = ok, -1 = error.
+int tpe_encode_batch(tpe_ctx* ctx, int32_t n_inputs, const char** texts,
+                     float* out);
+
+// Human-readable description of the last failure on this context.
+const char* tpe_last_error(tpe_ctx* ctx);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif  // TPUEMBED_H

@@ -1,0 +1,254 @@
+// C ABI for the TPU embedding engine — the bert.h equivalent
+// (reference: bert.h:41-92, consumed via ctypes in examples/sample_dylib.py
+// and dlopen in examples/dylib.cpp).
+//
+// Design: TPU compute must run inside the JAX process, so the native ABI is
+// a *client plane*: tpe_load_from_file() spawns the engine server
+// (embedding_cpp_tpu.runtime.server) as a child process and speaks the
+// length-framed TPE2 protocol over a local socket; tpe_connect() attaches to
+// an already-running server (local or remote).  Either way the caller gets
+// the same load/encode/free surface the reference exposes, from any language
+// with a C FFI.
+//
+// Build: make -C native  ->  native/build/libtpuembed_capi.so
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <signal.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <sys/socket.h>
+#include <sys/types.h>
+#include <sys/wait.h>
+#include <unistd.h>
+
+#include <chrono>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Ctx {
+    int fd = -1;
+    int32_t n_embd = 0;
+    pid_t child = -1;  // spawned server process (or -1 when attached)
+    std::string last_error;
+};
+
+bool read_exactly(int fd, void* buf, size_t n) {
+    char* p = static_cast<char*>(buf);
+    while (n > 0) {
+        ssize_t r = ::read(fd, p, n);
+        if (r <= 0) return false;
+        p += r;
+        n -= static_cast<size_t>(r);
+    }
+    return true;
+}
+
+bool write_all(int fd, const void* buf, size_t n) {
+    const char* p = static_cast<const char*>(buf);
+    while (n > 0) {
+        ssize_t r = ::write(fd, p, n);
+        if (r <= 0) return false;
+        p += r;
+        n -= static_cast<size_t>(r);
+    }
+    return true;
+}
+
+// Connect and complete the n_embd handshake (server.py handle_client).
+int handshake(const char* host, int port, int32_t* n_embd, std::string* err) {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) {
+        *err = "socket() failed";
+        return -1;
+    }
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(static_cast<uint16_t>(port));
+    if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+        *err = std::string("bad host address: ") + host;
+        ::close(fd);
+        return -1;
+    }
+    if (::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
+        *err = "connect() failed";
+        ::close(fd);
+        return -1;
+    }
+    int one = 1;
+    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    if (!read_exactly(fd, n_embd, 4) || *n_embd <= 0) {
+        *err = "handshake failed (no n_embd)";
+        ::close(fd);
+        return -1;
+    }
+    return fd;
+}
+
+// Pick a free TCP port by binding port 0.
+int free_port() {
+    int fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (fd < 0) return -1;
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    addr.sin_port = 0;
+    if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
+        ::close(fd);
+        return -1;
+    }
+    socklen_t len = sizeof(addr);
+    ::getsockname(fd, reinterpret_cast<sockaddr*>(&addr), &len);
+    int port = ntohs(addr.sin_port);
+    ::close(fd);
+    return port;
+}
+
+}  // namespace
+
+extern "C" {
+
+typedef struct Ctx tpe_ctx;
+
+// Attach to a running embedding server.  Returns NULL on failure.
+tpe_ctx* tpe_connect(const char* host, int port) {
+    auto* ctx = new Ctx();
+    std::string err;
+    ctx->fd = handshake(host, port, &ctx->n_embd, &err);
+    if (ctx->fd < 0) {
+        delete ctx;
+        return nullptr;
+    }
+    return ctx;
+}
+
+// The bert_load_from_file equivalent (bert.h:41): spawn the engine server
+// on a free local port and connect.  First model compile can take tens of
+// seconds; override the wait with TPE_SPAWN_TIMEOUT_S.  NULL on failure.
+tpe_ctx* tpe_load_from_file(const char* model_path) {
+    int port = free_port();
+    if (port <= 0) return nullptr;
+
+    pid_t pid = ::fork();
+    if (pid < 0) return nullptr;
+    if (pid == 0) {
+        const char* py = getenv("TPE_PYTHON");
+        if (!py || !*py) py = "python3";
+        std::string port_s = std::to_string(port);
+        ::execlp(py, py, "-m", "embedding_cpp_tpu.runtime.server", "-m",
+                 model_path, "--host", "127.0.0.1", "--port", port_s.c_str(),
+                 (char*)nullptr);
+        _exit(127);  // exec failed
+    }
+
+    long timeout_s = 300;
+    if (const char* t = getenv("TPE_SPAWN_TIMEOUT_S")) timeout_s = atol(t);
+    auto deadline =
+        std::chrono::steady_clock::now() + std::chrono::seconds(timeout_s);
+    std::string err;
+    while (std::chrono::steady_clock::now() < deadline) {
+        int status = 0;
+        if (::waitpid(pid, &status, WNOHANG) == pid) return nullptr;  // died
+        int32_t n_embd = 0;
+        int fd = handshake("127.0.0.1", port, &n_embd, &err);
+        if (fd >= 0) {
+            auto* ctx = new Ctx();
+            ctx->fd = fd;
+            ctx->n_embd = n_embd;
+            ctx->child = pid;
+            return ctx;
+        }
+        std::this_thread::sleep_for(std::chrono::milliseconds(200));
+    }
+    ::kill(pid, SIGTERM);
+    ::waitpid(pid, nullptr, 0);
+    return nullptr;
+}
+
+void tpe_free(tpe_ctx* ctx) {
+    if (!ctx) return;
+    if (ctx->fd >= 0) ::close(ctx->fd);
+    if (ctx->child > 0) {
+        ::kill(ctx->child, SIGTERM);
+        ::waitpid(ctx->child, nullptr, 0);
+    }
+    delete ctx;
+}
+
+int32_t tpe_n_embd(tpe_ctx* ctx) { return ctx ? ctx->n_embd : 0; }
+
+const char* tpe_last_error(tpe_ctx* ctx) {
+    return ctx ? ctx->last_error.c_str() : "null context";
+}
+
+// Embed n_inputs texts; out must hold n_inputs * n_embd floats.
+// L2-normalized embeddings, batched server-side (the reference's
+// bert_encode_batch, bert.h:54 — but actually batched).  Returns 0 on
+// success, -1 on failure (see tpe_last_error).
+int tpe_encode_batch(tpe_ctx* ctx, int32_t n_inputs, const char** texts,
+                     float* out) {
+    if (!ctx || ctx->fd < 0) return -1;
+    if (n_inputs <= 0) return 0;
+
+    // request: "TPE2" | u32 count | count * (u32 len | bytes)
+    std::string req;
+    req.reserve(64 * static_cast<size_t>(n_inputs));
+    req.append("TPE2", 4);
+    uint32_t count = static_cast<uint32_t>(n_inputs);
+    req.append(reinterpret_cast<const char*>(&count), 4);
+    for (int32_t i = 0; i < n_inputs; ++i) {
+        uint32_t len = texts[i] ? static_cast<uint32_t>(strlen(texts[i])) : 0;
+        req.append(reinterpret_cast<const char*>(&len), 4);
+        if (len) req.append(texts[i], len);
+    }
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+
+    // reply: u32 count | count * n_embd * f32,
+    // or error frame: 0xFFFFFFFF | u32 len | message
+    uint32_t reply_count = 0;
+    if (!read_exactly(ctx->fd, &reply_count, 4)) {
+        ctx->last_error = "recv failed";
+        return -1;
+    }
+    if (reply_count == 0xFFFFFFFFu) {
+        uint32_t len = 0;
+        if (!read_exactly(ctx->fd, &len, 4)) {
+            ctx->last_error = "recv failed";
+            return -1;
+        }
+        std::string msg(len, '\0');
+        if (len && !read_exactly(ctx->fd, &msg[0], len)) {
+            ctx->last_error = "recv failed";
+            return -1;
+        }
+        ctx->last_error = "server error: " + msg;
+        return -1;
+    }
+    if (reply_count != count) {
+        ctx->last_error = "server returned wrong count";
+        return -1;
+    }
+    size_t bytes = static_cast<size_t>(reply_count) *
+                   static_cast<size_t>(ctx->n_embd) * sizeof(float);
+    if (!read_exactly(ctx->fd, out, bytes)) {
+        ctx->last_error = "recv failed";
+        return -1;
+    }
+    return 0;
+}
+
+// Single text (the reference's bert_encode, bert.h:46).
+int tpe_encode(tpe_ctx* ctx, const char* text, float* out) {
+    return tpe_encode_batch(ctx, 1, &text, out);
+}
+
+}  // extern "C"

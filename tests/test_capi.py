@@ -1,0 +1,116 @@
+"""Native C ABI (native/capi, the bert.h analog): ctypes client over
+libtpuembed_capi.so, both attach (tpe_connect) and spawn
+(tpe_load_from_file) paths, checked against direct Engine output."""
+import asyncio
+import os
+import socket
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+LIB = os.path.join(os.path.dirname(__file__), "..", "native", "build",
+                   "libtpuembed_capi.so")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(LIB), reason="libtpuembed_capi.so not built "
+    "(make -C native)")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.cli.make_test_model import make_test_model
+
+    path = tmp_path_factory.mktemp("capi") / "tiny.gguf"
+    make_test_model(str(path), "tiny", "f32")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def running_server(model_path):
+    """In-process asyncio server on a background thread."""
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.runtime.server import serve
+
+    engine = Engine.from_gguf(model_path)
+    port = _free_port()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    async def run():
+        try:
+            await serve(engine, "127.0.0.1", port)
+        except asyncio.CancelledError:
+            pass
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        holder["task"] = loop.create_task(run())
+        try:
+            loop.run_until_complete(holder["task"])
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.1)
+    yield engine, port
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)
+
+
+def test_ctypes_connect_matches_engine(running_server):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    engine, port = running_server
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        assert model.n_embd == engine.n_embd
+        texts = ["hello world", "a second test sentence", "third"]
+        via_capi = model.encode(texts)
+        direct = engine.encode(texts)
+        np.testing.assert_allclose(via_capi, direct, atol=1e-6)
+        # single-text variant
+        one = model.encode("hello world")
+        np.testing.assert_allclose(one, direct[0], atol=1e-6)
+    finally:
+        model.close()
+
+
+def test_spawn_load_from_file(model_path):
+    """tpe_load_from_file forks the engine server like bert_load_from_file
+    loads a model: one call, then encode."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    os.environ.setdefault("TPE_PYTHON", sys.executable)
+    model = TpuEmbedModel(model_path=model_path, lib_path=LIB)
+    try:
+        assert model.n_embd > 0
+        vecs = model.encode(["spawned server roundtrip", "second"])
+        assert vecs.shape == (2, model.n_embd)
+        norms = np.linalg.norm(vecs, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    finally:
+        model.close()

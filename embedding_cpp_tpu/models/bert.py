@@ -294,6 +294,7 @@ def bert_embed_packed(
     opts: ComputeOptions = ComputeOptions(),
     *,
     n_seg: int,
+    gather_idx: Array | None = None,
 ) -> Array:
     """Sequence-packed forward: many sentences per row -> [B, n_seg, n_embd].
 
@@ -303,6 +304,10 @@ def bert_embed_packed(
     Packing turns short-sentence traffic into a handful of large dispatches:
     attention is masked block-diagonal by segment and pooling is per-segment,
     so outputs equal the unpacked per-sentence results.
+
+    `gather_idx` ([M] int32 flat indices into B*n_seg) compacts the output to
+    [M, n_embd] on device — only real sentences cross the device->host link,
+    not empty segment slots (the fetch is bandwidth-bound on thin hosts).
     """
     x = embed_tokens(params, ids, config, opts, positions=pos)
     mask_bias = jnp.where(seg >= 0, 0.0, _MASK_BIAS).astype(jnp.float32)
@@ -311,7 +316,12 @@ def bert_embed_packed(
         return encoder_layer(x, lp, mask_bias, config, opts, seg=seg), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    return pool_normalize_packed(x, seg, pos, n_seg, config.pooling, config.normalize)
+    pooled = pool_normalize_packed(
+        x, seg, pos, n_seg, config.pooling, config.normalize
+    )
+    if gather_idx is not None:
+        return pooled.reshape(-1, pooled.shape[-1])[gather_idx]
+    return pooled
 
 
 def make_forward(config: BertConfig, opts: ComputeOptions = ComputeOptions()):

@@ -55,6 +55,9 @@ class PackedSegBatch:
     pos: np.ndarray  # [B, S] int32 within-segment position (0 on padding)
     n_seg: int  # static segments-per-row capacity (G)
     positions: list[list[int]]  # [row][segment] -> original sentence index
+    # flat views of `positions` for vectorized device gather / host scatter:
+    orig: np.ndarray = None  # [n] original sentence index per real segment
+    slots: np.ndarray = None  # [n] row * n_seg + segment for each of them
 
 
 def pack_segments(
@@ -124,8 +127,18 @@ def pack_segments(
                 cursor += len(toks)
                 row_positions.append(indices[i])
             positions.append(row_positions)
+        orig = np.array(
+            [o for row in positions for o in row], dtype=np.int64
+        )
+        slots = np.array(
+            [r * n_seg + g for r, row in enumerate(positions) for g in range(len(row))],
+            dtype=np.int32,
+        )
         batches.append(
-            PackedSegBatch(ids=ids, seg=seg, pos=pos, n_seg=n_seg, positions=positions)
+            PackedSegBatch(
+                ids=ids, seg=seg, pos=pos, n_seg=n_seg, positions=positions,
+                orig=orig, slots=slots,
+            )
         )
     return batches
 

@@ -219,13 +219,21 @@ class Engine:
             config, opts = self.config, self.opts
 
             @partial(jax.jit, static_argnames=("n_seg",))
-            def fwd(params, ids, seg, pos, n_seg):
+            def fwd(params, ids, seg, pos, gather_idx, n_seg):
                 return bert_embed_packed(
-                    params, ids, seg, pos, config, opts, n_seg=n_seg
+                    params, ids, seg, pos, config, opts, n_seg=n_seg,
+                    gather_idx=gather_idx,
                 )
 
             self._fwd_cache[key] = fwd
         return fwd
+
+    @staticmethod
+    def _gather_bucket(n: int) -> int:
+        """Padded device->host row count for a compact gather: coarse
+        granularity bounds both the pad waste and the compiled-shape count."""
+        step = 64 if n <= 512 else 512
+        return -(-n // step) * step
 
     def _pack_plan(self, token_lists: Sequence[Sequence[int]]) -> list[int]:
         """Indices of sentences to route through the sequence-packed path
@@ -279,8 +287,12 @@ class Engine:
             pending = []
             for pb in packed_batches:
                 fwd = self._packed_forward(pb.ids.shape, pb.n_seg)
+                m = self._gather_bucket(len(pb.slots))
+                gidx = np.zeros(m, dtype=np.int32)
+                gidx[: len(pb.slots)] = pb.slots
                 pending.append(
-                    (pb, fwd(self.params, pb.ids, pb.seg, pb.pos, n_seg=pb.n_seg))
+                    (pb, fwd(self.params, pb.ids, pb.seg, pb.pos, gidx,
+                             n_seg=pb.n_seg))
                 )
                 padded_slots += pb.ids.size
             for batch in batches:
@@ -290,9 +302,7 @@ class Engine:
             for batch, vecs in pending:
                 vecs = np.asarray(vecs)
                 if isinstance(batch, PackedSegBatch):
-                    for r, row in enumerate(batch.positions):
-                        for g, orig in enumerate(row):
-                            out[orig] = vecs[r, g]
+                    out[batch.orig] = vecs[: len(batch.orig)]
                 else:
                     out[batch.positions] = vecs[: len(batch.positions)]
         n_tokens = int(sum(len(t) for t in token_lists))

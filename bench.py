@@ -59,6 +59,7 @@ def run_bench(
     verbose: bool = True,
     length_profile: str = "stsb",
     packing: str = "auto",
+    output_dtype: str = "float32",
 ):
     import jax
 
@@ -73,7 +74,7 @@ def run_bench(
         q4_impl = "xla"
 
     config = PRESETS[preset]
-    opts = ComputeOptions(dtype=dtype, q4_impl=q4_impl)
+    opts = ComputeOptions(dtype=dtype, q4_impl=q4_impl, output_dtype=output_dtype)
     engine = Engine.synthetic(config, ftype=ftype, opts=opts, packing=packing)
 
     texts = synthetic_sentences(n_sentences, profile=length_profile)
@@ -120,11 +121,15 @@ def main() -> None:
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--length-profile", default="stsb", choices=sorted(LENGTH_PROFILES))
     p.add_argument("--packing", default="auto", choices=["auto", "always", "never"])
+    p.add_argument("--output-dtype", default="float32",
+                   choices=["float32", "float16", "bfloat16"],
+                   help="embedding transfer dtype (headline metric is f32, "
+                        "matching the reference's float* outputs)")
     args = p.parse_args()
     result = run_bench(
         args.preset, args.ftype, args.dtype, args.q4_impl,
         args.sentences, args.repeats, length_profile=args.length_profile,
-        packing=args.packing,
+        packing=args.packing, output_dtype=args.output_dtype,
     )
     print(json.dumps(result))
 

@@ -36,6 +36,11 @@ class ComputeOptions:
     """Runtime compute configuration (static under jit)."""
 
     dtype: str = "float32"  # activation dtype: "float32" | "bfloat16"
+    # dtype of the returned embeddings.  "float32" matches the reference
+    # (bert.h:46 float*); "float16"/"bfloat16" halve the device->host
+    # transfer — on normalized embeddings f16 shifts cosine scores by ~1e-4,
+    # standard for vector stores.  Pooling/normalization still run in f32.
+    output_dtype: str = "float32"
     q4_impl: str = "xla"  # "xla" (fused by compiler) | "pallas" (our kernel)
     # "auto": fused Pallas kernel on TPU for S >= 128 (1.7x XLA at S=512,
     # scores never hit HBM), XLA einsum otherwise
@@ -282,7 +287,8 @@ def bert_embed_batch(
         return encoder_layer(x, lp, mask_bias, config, opts), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    return pool_normalize(x, mask, config.pooling, config.normalize)
+    out = pool_normalize(x, mask, config.pooling, config.normalize)
+    return out.astype(jnp.dtype(opts.output_dtype))
 
 
 def bert_embed_packed(
@@ -318,7 +324,7 @@ def bert_embed_packed(
     x, _ = jax.lax.scan(body, x, params["layers"])
     pooled = pool_normalize_packed(
         x, seg, pos, n_seg, config.pooling, config.normalize
-    )
+    ).astype(jnp.dtype(opts.output_dtype))
     if gather_idx is not None:
         return pooled.reshape(-1, pooled.shape[-1])[gather_idx]
     return pooled

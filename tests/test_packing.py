@@ -136,6 +136,26 @@ def test_engine_packing_matches_unpacked():
     assert e_always.stats["batches"] <= e_never.stats["batches"]
 
 
+def test_output_dtype_f16():
+    """output_dtype=float16 halves the device->host transfer; cosine vs the
+    f32 output stays within f16 rounding."""
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    texts = [f"some words {i} more tokens here" for i in range(40)]
+    f32 = _engine("always").encode(texts)
+    e16 = Engine.synthetic(
+        ENGINE_CFG, ftype="f32",
+        opts=dataclasses.replace(F32, output_dtype="float16"),
+        packing="always",
+    )
+    out = e16.encode(texts)
+    assert out.dtype == np.float32  # host-side result is always f32
+    cos = (out * f32).sum(axis=1) / (
+        np.linalg.norm(out, axis=1) * np.linalg.norm(f32, axis=1)
+    )
+    assert cos.min() > 0.99999
+
+
 def test_engine_auto_packs_many_short_sentences():
     e = _engine("auto")
     texts = ["short sentence here"] * 40

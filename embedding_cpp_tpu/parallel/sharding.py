@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.bert import ComputeOptions, bert_embed_batch
+from ..models.bert import ComputeOptions, bert_embed_batch, bert_embed_packed
 from ..models.config import BertConfig
 from ..ops.qtensor import Q4Tensor
 from .mesh import DP_AXIS, TP_AXIS
@@ -100,3 +100,25 @@ def shard_params_and_make_forward(
         return bert_embed_batch(p, ids, mask, config, opts)
 
     return params, forward
+
+
+def make_packed_forward(mesh, config: BertConfig, opts: ComputeOptions):
+    """Sequence-packed distributed forward: packed rows shard over dp like
+    plain batch rows (params use their committed shardings); the compact
+    [M, n_embd] gather result replicates — M rows map to arbitrary dp shards
+    and M is small (one vector per sentence)."""
+    data = NamedSharding(mesh, P(DP_AXIS, None))
+    rep = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        static_argnums=(5,),  # n_seg (pjit forbids kwargs with in_shardings)
+        in_shardings=(None, data, data, data, rep),
+        out_shardings=rep,
+    )
+    def forward(p, ids, seg, pos, gather_idx, n_seg):
+        return bert_embed_packed(
+            p, ids, seg, pos, config, opts, n_seg=n_seg, gather_idx=gather_idx
+        )
+
+    return forward

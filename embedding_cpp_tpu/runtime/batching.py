@@ -68,12 +68,14 @@ def pack_segments(
     seq_len: int = DEFAULT_PACK_SEQ,
     n_seg: int = DEFAULT_PACK_SEGS,
     batch_buckets: Sequence[int] = DEFAULT_PACK_ROW_BUCKETS,
+    row_multiple: int = 1,
 ) -> list[PackedSegBatch]:
     """First-fit-decreasing bin packing of sentences into [B, seq_len] rows.
 
     `indices[i]` is the original position of `token_lists[i]` (the caller may
     pack a subset).  Every sentence must have len <= seq_len; each row holds
-    at most n_seg sentences.
+    at most n_seg sentences.  `row_multiple` rounds each batch's row count up
+    (e.g. to the dp mesh size, so batches shard evenly over devices).
     """
     order = sorted(range(len(token_lists)), key=lambda i: -len(token_lists[i]))
     rows: list[list[int]] = []  # local indices per row
@@ -112,6 +114,8 @@ def pack_segments(
     batches: list[PackedSegBatch] = []
     for chunk in chunks:
         b = bucket_for(len(chunk), batch_buckets)
+        if row_multiple > 1:
+            b = -(-b // row_multiple) * row_multiple
         ids = np.full((b, seq_len), pad_id, dtype=np.int32)
         seg = np.full((b, seq_len), -1, dtype=np.int32)
         pos = np.zeros((b, seq_len), dtype=np.int32)

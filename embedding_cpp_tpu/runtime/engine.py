@@ -214,19 +214,30 @@ class Engine:
         key = ("packed", shape, n_seg)
         fwd = self._fwd_cache.get(key)
         if fwd is None:
-            from ..models.bert import bert_embed_packed
+            if self.mesh is not None:
+                from ..parallel.sharding import make_packed_forward
 
-            config, opts = self.config, self.opts
+                fwd = make_packed_forward(self.mesh, self.config, self.opts)
+            else:
+                from ..models.bert import bert_embed_packed
 
-            @partial(jax.jit, static_argnames=("n_seg",))
-            def fwd(params, ids, seg, pos, gather_idx, n_seg):
-                return bert_embed_packed(
-                    params, ids, seg, pos, config, opts, n_seg=n_seg,
-                    gather_idx=gather_idx,
-                )
+                config, opts = self.config, self.opts
+
+                @partial(jax.jit, static_argnums=(5,))
+                def fwd(params, ids, seg, pos, gather_idx, n_seg):
+                    return bert_embed_packed(
+                        params, ids, seg, pos, config, opts, n_seg=n_seg,
+                        gather_idx=gather_idx,
+                    )
 
             self._fwd_cache[key] = fwd
         return fwd
+
+    @property
+    def _dp(self) -> int:
+        from ..parallel.mesh import DP_AXIS
+
+        return self.mesh.shape.get(DP_AXIS, 1) if self.mesh is not None else 1
 
     @staticmethod
     def _gather_bucket(n: int) -> int:
@@ -238,7 +249,7 @@ class Engine:
     def _pack_plan(self, token_lists: Sequence[Sequence[int]]) -> list[int]:
         """Indices of sentences to route through the sequence-packed path
         (the rest go through plain length-bucketed batching)."""
-        if self.packing == "never" or self._sharded_forward is not None:
+        if self.packing == "never":
             return []
         packable = [
             i for i, t in enumerate(token_lists) if len(t) <= self.pack_seq
@@ -264,6 +275,7 @@ class Engine:
                 self.special_ids.pad,
                 seq_len=self.pack_seq,
                 n_seg=self.pack_segs,
+                row_multiple=self._dp,
             )
             if pack_idx
             else []
@@ -292,7 +304,7 @@ class Engine:
                 gidx[: len(pb.slots)] = pb.slots
                 pending.append(
                     (pb, fwd(self.params, pb.ids, pb.seg, pb.pos, gidx,
-                             n_seg=pb.n_seg))
+                             pb.n_seg))
                 )
                 padded_slots += pb.ids.size
             for batch in batches:

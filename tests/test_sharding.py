@@ -82,3 +82,22 @@ def test_engine_with_mesh(eight_devices):
     a = eng.encode(texts)
     b = single.encode(texts)
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_engine_with_mesh_packed(eight_devices):
+    """Sequence packing under a dp x tp mesh equals the single-device
+    unpacked path (packed rows shard over dp; compact gather replicates)."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    pytest.importorskip("tokenizers")
+    mesh = make_mesh(dp=4, tp=2, devices=eight_devices)
+    eng = Engine.synthetic(CFG, ftype="q4_0", opts=OPTS, mesh=mesh,
+                           packing="always")
+    single = Engine.synthetic(CFG, ftype="q4_0", opts=OPTS, packing="never")
+    texts = [f"sentence number {i} with a few words" for i in range(40)]
+    a = eng.encode(texts)
+    b = single.encode(texts)
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+    # rows padded to a dp multiple, everything in few dispatches
+    assert eng.stats["batches"] <= 2

@@ -78,6 +78,7 @@ def _attention(
     config: BertConfig,
     opts: ComputeOptions,
     seg: Array | None = None,
+    max_seg_len: int | None = None,
 ) -> Array:
     """Multi-head self-attention: softmax(KᵀQ/sqrt(d)) · V
     (bert.cpp:907-942), masked over padded keys.
@@ -112,7 +113,7 @@ def _attention(
         if seg is not None:
             from ..ops.attention import flash_attention_packed
 
-            att = flash_attention_packed(q, k, v, seg)
+            att = flash_attention_packed(q, k, v, seg, max_seg_len=max_seg_len)
         else:
             from ..ops.attention import flash_attention
 
@@ -141,10 +142,12 @@ def encoder_layer(
     config: BertConfig,
     opts: ComputeOptions,
     seg: Array | None = None,
+    max_seg_len: int | None = None,
 ) -> Array:
     """One transformer block: attn + add&norm, GELU FFN + add&norm
     (bert.cpp:900-994)."""
-    att = _attention(x, lp, mask_bias, config, opts, seg=seg)
+    att = _attention(x, lp, mask_bias, config, opts, seg=seg,
+                     max_seg_len=max_seg_len)
     # row-parallel matmuls psum over tp in manual mode (Megatron pattern)
     att_out = linear(att, lp["o_w"], lp["o_b"], q4_impl=opts.q4_impl,
                      reduce_axis=opts.tp_axis)
@@ -301,6 +304,7 @@ def bert_embed_packed(
     *,
     n_seg: int,
     gather_idx: Array | None = None,
+    max_seg_len: int | None = None,
 ) -> Array:
     """Sequence-packed forward: many sentences per row -> [B, n_seg, n_embd].
 
@@ -319,7 +323,8 @@ def bert_embed_packed(
     mask_bias = jnp.where(seg >= 0, 0.0, _MASK_BIAS).astype(jnp.float32)
 
     def body(x, lp):
-        return encoder_layer(x, lp, mask_bias, config, opts, seg=seg), None
+        return encoder_layer(x, lp, mask_bias, config, opts, seg=seg,
+                             max_seg_len=max_seg_len), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     pooled = pool_normalize_packed(

@@ -58,6 +58,7 @@ class PackedSegBatch:
     # flat views of `positions` for vectorized device gather / host scatter:
     orig: np.ndarray = None  # [n] original sentence index per real segment
     slots: np.ndarray = None  # [n] row * n_seg + segment for each of them
+    max_len: int = 0  # longest packed sentence (windowed-attention bound)
 
 
 def pack_segments(
@@ -149,10 +150,13 @@ def pack_segments(
             [r * n_seg + g for r, row in enumerate(positions) for g in range(len(row))],
             dtype=np.int32,
         )
+        max_len = max(
+            (len(token_lists[i]) for row in chunk for i in row), default=0
+        )
         batches.append(
             PackedSegBatch(
                 ids=ids, seg=seg, pos=pos, n_seg=n_seg, positions=positions,
-                orig=orig, slots=slots,
+                orig=orig, slots=slots, max_len=max_len,
             )
         )
     return batches

@@ -223,11 +223,12 @@ class Engine:
 
                 config, opts = self.config, self.opts
 
-                @partial(jax.jit, static_argnums=(5,))
-                def fwd(params, ids, seg, pos, gather_idx, n_seg):
+                @partial(jax.jit, static_argnums=(5, 6))
+                def fwd(params, ids, seg, pos, gather_idx, n_seg,
+                        max_seg_len=None):
                     return bert_embed_packed(
                         params, ids, seg, pos, config, opts, n_seg=n_seg,
-                        gather_idx=gather_idx,
+                        gather_idx=gather_idx, max_seg_len=max_seg_len,
                     )
 
             self._fwd_cache[key] = fwd
@@ -302,10 +303,20 @@ class Engine:
                 m = self._gather_bucket(len(pb.slots))
                 gidx = np.zeros(m, dtype=np.int32)
                 gidx[: len(pb.slots)] = pb.slots
-                pending.append(
-                    (pb, fwd(self.params, pb.ids, pb.seg, pb.pos, gidx,
-                             pb.n_seg))
-                )
+                if self.mesh is not None:
+                    args = (self.params, pb.ids, pb.seg, pb.pos, gidx, pb.n_seg)
+                else:
+                    # windowed-attention bound: next power of two >= the
+                    # longest packed sentence (bounds compiled shapes).  Only
+                    # passed for long rows — the windowed kernel pays off at
+                    # S >= 1024 (ops/attention.py routing); below that it
+                    # would just fragment the jit cache.
+                    w = None
+                    if pb.ids.shape[1] >= 1024:
+                        w = 1 << max(5, (max(pb.max_len, 1) - 1).bit_length())
+                    args = (self.params, pb.ids, pb.seg, pb.pos, gidx,
+                            pb.n_seg, w)
+                pending.append((pb, fwd(*args)))
                 padded_slots += pb.ids.size
             for batch in batches:
                 fwd = self._forward(batch.ids.shape)

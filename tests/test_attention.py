@@ -55,3 +55,78 @@ def test_bf16_path():
     expected = np.asarray(_reference(q, k, v, bias), dtype=np.float32)
     got = np.asarray(flash_attention(q, k, v, bias), dtype=np.float32)
     np.testing.assert_allclose(got, expected, atol=3e-2, rtol=3e-2)
+
+
+def _seg_reference(q, k, v, seg):
+    import jax
+
+    d = q.shape[-1]
+    allowed = seg[:, :, None] == seg[:, None, :]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    bias = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)
+    scores = scores * (1.0 / d**0.5) + bias[:, None, :, :]
+    p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _random_segments(rng, b, s, max_len):
+    seg = np.full((b, s), -1, np.int32)
+    for i in range(b):
+        c, g = 0, 0
+        while c < s - 2:
+            l = int(rng.integers(2, max_len + 1))
+            l = min(l, s - c)
+            seg[i, c : c + l] = g
+            c += l
+            g += 1
+            if rng.random() < 0.1:
+                break  # leave a padded tail sometimes
+    return seg
+
+
+@pytest.mark.parametrize("max_seg_len,s", [(None, 512), (32, 512), (64, 1024)])
+def test_packed_matches_reference(max_seg_len, s):
+    """Segment-masked kernel (full and windowed variants) vs XLA.
+    s=1024 with a short max_seg_len routes through the windowed variant."""
+    from embedding_cpp_tpu.ops.attention import flash_attention_packed
+
+    rng = np.random.default_rng(0)
+    b, h, d = 2, 4, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    seg_np = _random_segments(rng, b, s, max_seg_len or 48)
+    seg = jnp.asarray(seg_np)
+
+    expected = np.asarray(_seg_reference(q, k, v, seg))
+    got = np.asarray(flash_attention_packed(q, k, v, seg, max_seg_len=max_seg_len))
+    # padding rows are don't-care (never read downstream: valid tokens can't
+    # attend seg=-1 and pooling excludes it) — compare valid positions only
+    valid = seg_np >= 0
+    np.testing.assert_allclose(got[valid], expected[valid], atol=2e-5, rtol=1e-4)
+
+
+def test_packed_window_covers_exact_boundaries():
+    """Segments aligned exactly at q-tile boundaries must stay covered by
+    the window (the round-down + margin slack math); drives the windowed
+    kernel directly."""
+    from embedding_cpp_tpu.ops.attention import _flash_attention_packed_window
+
+    rng = np.random.default_rng(1)
+    b, s, h, d = 1, 512, 2, 32
+    W = 64
+    seg = np.full((b, s), -1, np.int32)
+    for i, start in enumerate(range(0, s, W)):  # exactly tile-aligned
+        seg[0, start : start + W] = i
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    seg = jnp.asarray(seg)
+
+    expected = np.asarray(_seg_reference(q, k, v, seg))
+    qt, kt, vt = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+    wmax = -(-(128 + 2 * W + 24) // 128) * 128
+    got = np.asarray(
+        _flash_attention_packed_window(qt, kt, vt, seg, tq=128, wmax=wmax)
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)

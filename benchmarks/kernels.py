@@ -120,6 +120,51 @@ def bench_attention(b: int = 32, s: int = 512, h: int = 12, d: int = 32,
     return out
 
 
+def bench_packed_attention(b: int = 64, s: int = 512, h: int = 12, d: int = 32,
+                           seg_len: int = 16, iters: int = 50) -> dict:
+    """Segment-masked (sequence-packed) attention: pallas kernel vs the XLA
+    einsum path with a materialized [B, S, S] block-diagonal bias."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.ops.attention import flash_attention_packed
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    seg = jnp.asarray(
+        np.repeat(np.arange(s // seg_len), seg_len)[None, :].repeat(b, 0)
+        .astype(np.int32)
+    )
+    flops = 4 * b * h * s * s * d
+
+    def xla_attn(q, k, v, seg):
+        allowed = seg[:, :, None] == seg[:, None, :]
+        sc = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        bias = jnp.where(allowed, 0.0, -1e9).astype(jnp.float32)
+        sc = sc * (1.0 / d**0.5) + bias[:, None, :, :]
+        p = jax.nn.softmax(sc, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    out = {}
+    for name, f in (("pallas", flash_attention_packed), ("xla", xla_attn)):
+        @jax.jit
+        def loop(q, k, v, seg):
+            def body(i, acc):
+                o = f(q + (acc * 1e-20).astype(q.dtype), k, v, seg)
+                return acc + o[0, 0, 0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        _sync(loop(q, k, v, seg))
+        best = min(_timed(lambda: _sync(loop(q, k, v, seg))) for _ in range(2))
+        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        out[name] = {"us": round(per * 1e6, 1), "tflops": round(flops / per / 1e12, 2)}
+    return out
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -145,6 +190,10 @@ def main() -> None:
     r = bench_attention()
     results["attention"]["b32_s512"] = r
     print(f"attention B=32 S=512: pallas {r['pallas']['us']:8.1f}us | "
+          f"xla {r['xla']['us']:8.1f}us", file=sys.stderr)
+    r = bench_packed_attention()
+    results["packed_attention"] = {"b64_s512_w16": r}
+    print(f"packed attention B=64 S=512: pallas {r['pallas']['us']:8.1f}us | "
           f"xla {r['xla']['us']:8.1f}us", file=sys.stderr)
     print(json.dumps(results))
 

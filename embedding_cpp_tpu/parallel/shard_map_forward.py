@@ -18,7 +18,7 @@ from functools import partial
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.bert import ComputeOptions, bert_embed_batch
+from ..models.bert import ComputeOptions, bert_embed_batch, bert_embed_packed
 from ..models.config import BertConfig
 from .mesh import DP_AXIS, TP_AXIS
 from .sharding import _check_divisibility, param_pspecs
@@ -59,3 +59,48 @@ def shard_params_and_make_forward_manual(
         )
     )
     return params, fwd
+
+
+def make_packed_forward_manual(
+    params, config: BertConfig, opts: ComputeOptions, mesh
+):
+    """Sequence-packed shard_map forward: packed rows shard over dp, params
+    use the Megatron tp layout with explicit psums, and — unlike GSPMD —
+    the segment-masked Pallas attention kernel runs inside the body (each
+    device sees per-device locals).  The compact gather happens on the
+    dp-local rows; results concatenate over dp.
+
+    Takes `params` only to derive the pspec tree (pass the already-sharded
+    pytree from shard_params_and_make_forward_manual).
+    """
+    tp = mesh.shape.get(TP_AXIS, 1)
+    _check_divisibility(config, tp)
+    pspecs = param_pspecs(params, config, tp)
+
+    body_opts = dataclasses.replace(
+        opts,
+        tp_axis=TP_AXIS if tp > 1 else None,
+        inside_shard_map=True,
+    )
+    data_spec = P(DP_AXIS, None)
+
+    def make(n_seg: int, max_seg_len: int | None):
+        def body(p, ids, seg, pos):
+            # per-device local [B/dp, G, E] slot grid; gather on the host
+            # side of the concatenated result keeps slot indexing global
+            return bert_embed_packed(
+                p, ids, seg, pos, config, body_opts, n_seg=n_seg,
+                max_seg_len=max_seg_len,
+            )
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(pspecs, data_spec, data_spec, data_spec),
+                out_specs=P(DP_AXIS, None, None),
+                check_vma=False,
+            )
+        )
+
+    return make

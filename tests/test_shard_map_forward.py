@@ -77,3 +77,37 @@ def test_manual_with_pallas_q4(eight_devices):
     sharded, fwd = shard_params_and_make_forward_manual(params, CFG, opts, mesh)
     got = np.asarray(fwd(sharded, ids, mask))
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_manual_packed_matches_single(eight_devices):
+    """Sequence-packed shard_map forward (segment-masked attention inside
+    the body) equals the single-device packed result."""
+    from embedding_cpp_tpu.models.bert import bert_embed_packed
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.shard_map_forward import (
+        make_packed_forward_manual,
+        shard_params_and_make_forward_manual,
+    )
+    from embedding_cpp_tpu.runtime.batching import pack_segments
+
+    rng = np.random.default_rng(3)
+    toks = [list(rng.integers(1, CFG.n_vocab, size=rng.integers(3, 14)))
+            for _ in range(20)]
+    (pb,) = pack_segments(toks, list(range(len(toks))), 0, seq_len=64,
+                          n_seg=8, row_multiple=4)
+
+    params = random_params(CFG, GGUFFileType.MOSTLY_Q4_0, seed=0)
+    expected = np.asarray(
+        bert_embed_packed(params, pb.ids, pb.seg, pb.pos, CFG, OPTS, n_seg=8)
+    )
+
+    mesh = make_mesh(dp=4, tp=2, devices=eight_devices)
+    sharded, _ = shard_params_and_make_forward_manual(params, CFG, OPTS, mesh)
+    make = make_packed_forward_manual(sharded, CFG, OPTS, mesh)
+    got = np.asarray(make(8, None)(sharded, pb.ids, pb.seg, pb.pos))
+    assert got.shape == expected.shape
+    # compare only real segment slots (pad slots are don't-care)
+    for r, row in enumerate(pb.positions):
+        for g in range(len(row)):
+            np.testing.assert_allclose(got[r, g], expected[r, g],
+                                       atol=2e-5, rtol=1e-4)

@@ -208,6 +208,12 @@ def main() -> None:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--output-dtype", choices=["float32", "float16", "bfloat16"],
+                   default="float32",
+                   help="embedding transfer dtype off the device (wire "
+                        "format is always f32)")
+    p.add_argument("--packing", choices=["auto", "always", "never"],
+                   default="auto", help="sequence packing policy")
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--window-ms", type=float, default=2.0)
     args = p.parse_args()
@@ -215,7 +221,11 @@ def main() -> None:
     from ..models.bert import ComputeOptions
     from .engine import Engine
 
-    engine = Engine.from_gguf(args.model, opts=ComputeOptions(dtype=args.dtype))
+    engine = Engine.from_gguf(
+        args.model,
+        opts=ComputeOptions(dtype=args.dtype, output_dtype=args.output_dtype),
+        packing=args.packing,
+    )
     engine.warmup()
     asyncio.run(serve(engine, args.host, args.port, args.max_batch, args.window_ms))
 

@@ -27,6 +27,9 @@ def main() -> None:
                    help="write the legacy pre-GGUF .bin format "
                         "(convert-to-ggml.py; f32/f16 only)")
     args = p.parse_args()
+    if args.all_ftypes and (args.legacy or args.model_dir.endswith(".bin")):
+        p.error("--all-ftypes applies to HF-dir -> GGUF conversion only "
+                "(not --legacy output or .bin upgrades)")
     if args.legacy:
         convert_hf_dir_to_legacy(args.model_dir, args.output,
                                  args.ftype or "f16")

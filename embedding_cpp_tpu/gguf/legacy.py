@@ -65,7 +65,12 @@ def read_legacy_bin(path: str | os.PathLike) -> LegacyModel:
         if ftype not in _DTYPE:
             raise ValueError(f"{path}: unsupported legacy ftype {ftype}")
 
+        if not (0 < n_vocab < 1 << 24) or not (0 < n_ctx <= 1 << 20):
+            raise ValueError(f"{path}: implausible hparams "
+                             f"(n_vocab={n_vocab}, n_ctx={n_ctx})")
         blob_len = _read_i32(f)
+        if not (0 <= blob_len < 1 << 30):
+            raise ValueError(f"{path}: bad tokenizer blob length {blob_len}")
         tokenizer_json = f.read(blob_len)
         if len(tokenizer_json) != blob_len:
             raise EOFError("truncated tokenizer.json blob")
@@ -73,7 +78,12 @@ def read_legacy_bin(path: str | os.PathLike) -> LegacyModel:
         vocab = []
         for _ in range(n_vocab):
             tok_len = _read_i32(f)
-            vocab.append(f.read(tok_len))
+            if not (0 <= tok_len < 1 << 20):
+                raise ValueError(f"{path}: bad vocab token length {tok_len}")
+            tok = f.read(tok_len)
+            if len(tok) != tok_len:
+                raise EOFError("truncated vocab entry")
+            vocab.append(tok)
 
         tensors: dict[str, np.ndarray] = {}
         while True:
@@ -85,10 +95,14 @@ def read_legacy_bin(path: str | os.PathLike) -> LegacyModel:
             n_dims, name_len, dtype_code = struct.unpack("<iii", head)
             if not (1 <= n_dims <= 4):
                 raise ValueError(f"{path}: bad tensor rank {n_dims}")
+            if not (0 < name_len < 1 << 16):
+                raise ValueError(f"{path}: bad tensor name length {name_len}")
             if dtype_code not in _DTYPE:
                 raise ValueError(f"{path}: unsupported tensor dtype {dtype_code}")
             # dims stored innermost-first (ggml ne order) — reverse to numpy
             ne = struct.unpack(f"<{n_dims}i", f.read(4 * n_dims))
+            if any(not (0 < d < 1 << 28) for d in ne):
+                raise ValueError(f"{path}: bad tensor dims {ne}")
             name = f.read(name_len).decode("utf-8")
             shape = tuple(reversed(ne))
             dt = np.dtype(_DTYPE[dtype_code])

@@ -89,20 +89,52 @@ def pack_segments(
     order = sorted(range(len(token_lists)), key=lambda i: -len(token_lists[i]))
     rows: list[list[int]] = []  # local indices per row
     space: list[int] = []  # remaining token capacity per row
+    # first-fit-decreasing over OPEN rows only: lengths arrive descending,
+    # so once a row can't fit the current (smallest-so-far) sentence it can
+    # only close later via the seg cap — but scanning it again every sentence
+    # is Theta(n * rows).  Rows too full for the current sentence move to
+    # `closed` and are never rescanned; since `need` only shrinks, a row
+    # skipped for capacity at need=k can be reopened only if a later
+    # sentence is shorter — handled by re-checking closed rows whenever
+    # `need` drops below the capacity they were closed at.
+    open_rows: list[int] = []  # row indices with free space, capacity-usable
+    closed_at: dict[int, int] = {}  # row -> need value it was closed at
+    prev_need = None
     for i in order:
         need = len(token_lists[i])
         if need > seq_len:
             raise ValueError(f"sentence of {need} tokens exceeds pack row {seq_len}")
+        if prev_need is not None and need < prev_need:
+            # shorter sentences may fit rows closed for capacity earlier
+            reopen = [r for r, at in closed_at.items()
+                      if space[r] >= need and len(rows[r]) < n_seg]
+            for r in reopen:
+                del closed_at[r]
+            open_rows.extend(reopen)
+        prev_need = need
         placed = False
-        for r, free in enumerate(space):
-            if free >= need and len(rows[r]) < n_seg:
+        still_open: list[int] = []
+        for pos, r in enumerate(open_rows):
+            if space[r] >= need and len(rows[r]) < n_seg:
                 rows[r].append(i)
                 space[r] -= need
                 placed = True
+                if space[r] >= need and len(rows[r]) < n_seg:
+                    still_open.append(r)
+                else:
+                    closed_at[r] = need
+                open_rows = still_open + open_rows[pos + 1 :]
                 break
+            closed_at[r] = need  # can't fit anything >= need anymore
         if not placed:
+            open_rows = []
             rows.append([i])
             space.append(seq_len - need)
+            r = len(rows) - 1
+            if space[r] >= need:
+                open_rows.append(r)
+            else:
+                closed_at[r] = need
 
     # dispatch planning: power-of-two row buckets (bounded compile cache);
     # pad a chunk up to its bucket when the waste fits max_pad_rows, else

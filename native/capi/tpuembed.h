@@ -40,6 +40,25 @@ int tpe_encode(tpe_ctx* ctx, const char* text, float* out);
 int tpe_encode_batch(tpe_ctx* ctx, int32_t n_inputs, const char** texts,
                      float* out);
 
+// Max tokens per input (bert_n_max_tokens).  0 on failure.
+int32_t tpe_n_max_tokens(tpe_ctx* ctx);
+
+// Tokenize one text (bert_tokenize: CLS/SEP framing + truncation applied
+// server-side).  Fills out[0..min(count, cap)); returns the full token
+// count, or -1 on error.
+int32_t tpe_tokenize(tpe_ctx* ctx, const char* text, int32_t* out,
+                     int32_t cap);
+
+// Embed pre-tokenized inputs (bert_eval_batch): ids concatenates n_inputs
+// id lists of lengths lens[i]; out holds n_inputs * n_embd floats.
+int tpe_eval_batch(tpe_ctx* ctx, int32_t n_inputs, const int32_t* lens,
+                   const int32_t* ids, float* out);
+
+// Token id -> NUL-terminated token string in buf[cap]
+// (bert_vocab_id_to_token).  Returns the token byte length, or -1.
+int32_t tpe_vocab_id_to_token(tpe_ctx* ctx, int32_t token_id, char* buf,
+                              int32_t cap);
+
 // Human-readable description of the last failure on this context.
 const char* tpe_last_error(tpe_ctx* ctx);
 

@@ -35,6 +35,7 @@ namespace {
 struct Ctx {
     int fd = -1;
     int32_t n_embd = 0;
+    int32_t n_max_tokens = -1;  // lazily fetched via the meta frame
     pid_t child = -1;  // spawned server process (or -1 when attached)
     std::string last_error;
 };
@@ -251,6 +252,146 @@ int tpe_encode_batch(tpe_ctx* ctx, int32_t n_inputs, const char** texts,
 // Single text (the reference's bert_encode, bert.h:46).
 int tpe_encode(tpe_ctx* ctx, const char* text, float* out) {
     return tpe_encode_batch(ctx, 1, &text, out);
+}
+
+// Max tokens per input of the loaded model (bert_n_max_tokens, bert.h:88).
+// Fetched once via the meta frame; 0 on failure.
+int32_t tpe_n_max_tokens(tpe_ctx* ctx) {
+    if (!ctx || ctx->fd < 0) return 0;
+    if (ctx->n_max_tokens >= 0) return ctx->n_max_tokens;
+    if (!write_all(ctx->fd, "TPEM", 4)) return 0;
+    uint32_t len = 0;
+    if (!read_exactly(ctx->fd, &len, 4) || len > (1u << 20)) return 0;
+    std::string json(len, '\0');
+    if (len && !read_exactly(ctx->fd, &json[0], len)) return 0;
+    const char* key = "\"n_max_tokens\":";
+    size_t pos = json.find(key);
+    ctx->n_max_tokens =
+        pos == std::string::npos ? 0 : atoi(json.c_str() + pos + strlen(key));
+    return ctx->n_max_tokens;
+}
+
+// Tokenize one text into out[cap] (bert_tokenize, bert.h:64: CLS/SEP
+// framing + truncation happen server-side exactly like bert_encode's
+// internal path).  Returns the token count, or -1 on error.
+int32_t tpe_tokenize(tpe_ctx* ctx, const char* text, int32_t* out,
+                     int32_t cap) {
+    if (!ctx || ctx->fd < 0 || !text) return -1;
+    std::string req;
+    req.append("TPET", 4);
+    uint32_t one = 1;
+    req.append(reinterpret_cast<const char*>(&one), 4);
+    uint32_t len = static_cast<uint32_t>(strlen(text));
+    req.append(reinterpret_cast<const char*>(&len), 4);
+    req.append(text, len);
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+    uint32_t count = 0;
+    if (!read_exactly(ctx->fd, &count, 4)) {
+        ctx->last_error = "recv failed";
+        return -1;
+    }
+    if (count == 0xFFFFFFFFu) {
+        uint32_t mlen = 0;
+        if (!read_exactly(ctx->fd, &mlen, 4)) return -1;
+        std::string msg(mlen, '\0');
+        if (mlen && !read_exactly(ctx->fd, &msg[0], mlen)) return -1;
+        ctx->last_error = "server error: " + msg;
+        return -1;
+    }
+    uint32_t k = 0;
+    if (count != 1 || !read_exactly(ctx->fd, &k, 4)) {
+        ctx->last_error = "bad tokenize reply";
+        return -1;
+    }
+    std::vector<int32_t> ids(k);
+    if (k && !read_exactly(ctx->fd, ids.data(), 4ull * k)) {
+        ctx->last_error = "recv failed";
+        return -1;
+    }
+    int32_t n = static_cast<int32_t>(k) < cap ? static_cast<int32_t>(k) : cap;
+    if (out && n > 0) memcpy(out, ids.data(), 4ull * n);
+    return static_cast<int32_t>(k);
+}
+
+// Embed pre-tokenized inputs (bert_eval_batch, bert.h:79): ids is the
+// concatenation of n_inputs id lists whose lengths are in lens; out must
+// hold n_inputs * n_embd floats.  0 = ok, -1 = error.
+int tpe_eval_batch(tpe_ctx* ctx, int32_t n_inputs, const int32_t* lens,
+                   const int32_t* ids, float* out) {
+    if (!ctx || ctx->fd < 0 || n_inputs <= 0) return n_inputs == 0 ? 0 : -1;
+    std::string req;
+    req.append("TPEI", 4);
+    uint32_t count = static_cast<uint32_t>(n_inputs);
+    req.append(reinterpret_cast<const char*>(&count), 4);
+    size_t off = 0;
+    for (int32_t i = 0; i < n_inputs; ++i) {
+        uint32_t k = static_cast<uint32_t>(lens[i]);
+        req.append(reinterpret_cast<const char*>(&k), 4);
+        req.append(reinterpret_cast<const char*>(ids + off), 4ull * k);
+        off += k;
+    }
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+    uint32_t reply = 0;
+    if (!read_exactly(ctx->fd, &reply, 4)) {
+        ctx->last_error = "recv failed";
+        return -1;
+    }
+    if (reply == 0xFFFFFFFFu) {
+        uint32_t mlen = 0;
+        if (!read_exactly(ctx->fd, &mlen, 4)) return -1;
+        std::string msg(mlen, '\0');
+        if (mlen && !read_exactly(ctx->fd, &msg[0], mlen)) return -1;
+        ctx->last_error = "server error: " + msg;
+        return -1;
+    }
+    if (reply != count) {
+        ctx->last_error = "server returned wrong count";
+        return -1;
+    }
+    size_t bytes = static_cast<size_t>(count) *
+                   static_cast<size_t>(ctx->n_embd) * sizeof(float);
+    if (!read_exactly(ctx->fd, out, bytes)) {
+        ctx->last_error = "recv failed";
+        return -1;
+    }
+    return 0;
+}
+
+// Token id -> token string (bert_vocab_id_to_token, bert.h:90).  Writes a
+// NUL-terminated string into buf[cap]; returns the token byte length
+// (excluding NUL), or -1 on error.
+int32_t tpe_vocab_id_to_token(tpe_ctx* ctx, int32_t token_id, char* buf,
+                              int32_t cap) {
+    if (!ctx || ctx->fd < 0 || !buf || cap <= 0) return -1;
+    std::string req;
+    req.append("TPEV", 4);
+    uint32_t id = static_cast<uint32_t>(token_id);
+    req.append(reinterpret_cast<const char*>(&id), 4);
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+    uint32_t len = 0;
+    if (!read_exactly(ctx->fd, &len, 4) || len > (1u << 20)) {
+        ctx->last_error = "recv failed";
+        return -1;
+    }
+    std::string tok(len, '\0');
+    if (len && !read_exactly(ctx->fd, &tok[0], len)) {
+        ctx->last_error = "recv failed";
+        return -1;
+    }
+    int32_t n = static_cast<int32_t>(len) < cap - 1
+                    ? static_cast<int32_t>(len) : cap - 1;
+    memcpy(buf, tok.data(), n);
+    buf[n] = '\0';
+    return static_cast<int32_t>(len);
 }
 
 }  // extern "C"

@@ -114,3 +114,25 @@ def test_spawn_load_from_file(model_path):
         np.testing.assert_allclose(norms, 1.0, atol=1e-5)
     finally:
         model.close()
+
+
+def test_ctypes_full_bert_h_surface(running_server):
+    """tokenize / eval / n_max_tokens / id_to_token over the C ABI — the
+    remaining bert.h entry points (bert.h:64,79,88,90)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    engine, port = running_server
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        assert model.n_max_tokens == engine.n_max_tokens
+        text = "hello tokenized world"
+        ids = model.tokenize(text)
+        assert ids == engine.tokenize(text)
+        # eval pre-tokenized == encode of the text
+        via_eval = model.eval_tokens([ids, engine.tokenize("second")])
+        direct = engine.embed_tokens([ids, engine.tokenize("second")])
+        np.testing.assert_allclose(via_eval, direct, atol=1e-6)
+        assert model.id_to_token(ids[0]) == engine.id_to_token(ids[0])
+    finally:
+        model.close()

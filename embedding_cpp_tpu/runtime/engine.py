@@ -372,6 +372,13 @@ class Engine:
             return ""
         return self.tokenizer.id_to_token(token_id)
 
+    def decode(self, ids: Sequence[int]) -> str:
+        """Token ids -> text (the reference tokenizer bridge's decode,
+        tokenizer.cpp:39-48)."""
+        if self.tokenizer is None:
+            raise RuntimeError("engine has no tokenizer (model without blob kv)")
+        return self.tokenizer.decode(ids)
+
     def warmup(self, shapes: Sequence[tuple[int, int]] | None = None) -> None:
         """Pre-compile the forward for the given (or smallest) shapes."""
         if shapes is None:

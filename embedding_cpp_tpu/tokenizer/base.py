@@ -41,6 +41,29 @@ class Tokenizer(Protocol):
     def id_to_token(self, token_id: int) -> str: ...
 
 
+def decode_wordpiece(id_to_token, ids: Sequence[int]) -> str:
+    """Token ids -> text, WordPiece join semantics (the reference's
+    `bert_tokenizer::decode`, tokenizer.cpp:39-48, backed by HF tokenizers'
+    WordPiece decoder): space-join, "##" continuations fuse onto the
+    previous token.  Special/unknown-id tokens pass through verbatim."""
+    parts: list[str] = []
+    for i in ids:
+        tok = id_to_token(int(i))
+        if not tok:
+            continue
+        if tok.startswith("##") and parts:
+            parts[-1] += tok[2:]
+        else:
+            parts.append(tok)
+    text = " ".join(parts)
+    # HF WordPiece decoder cleanup=True: de-space punctuation/contractions
+    for a, b in ((" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+                 (" ' ", "' "), (" n't", "n't"), (" 'm", "'m"),
+                 (" 's", "'s"), (" 've", "'ve"), (" 're", "'re")):
+        text = text.replace(a, b)
+    return text
+
+
 def frame_ids(
     ids: Sequence[int], special: SpecialIds, n_max_tokens: int
 ) -> list[int]:

@@ -32,5 +32,9 @@ class HFTokenizer:
     def id_to_token(self, token_id: int) -> str:
         return self._tok.id_to_token(token_id) or ""
 
+    def decode(self, ids) -> str:
+        """Ids -> text (the reference bridge's decode, tokenizer.cpp:39-48)."""
+        return self._tok.decode(list(map(int, ids)), skip_special_tokens=False)
+
     def token_to_id(self, token: str) -> int | None:
         return self._tok.token_to_id(token)

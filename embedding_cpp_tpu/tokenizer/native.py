@@ -135,3 +135,8 @@ class NativeTokenizer:
         if n <= 0:
             return ""
         return out.raw[:n].decode("utf-8", errors="replace")
+
+    def decode(self, ids) -> str:
+        from .base import decode_wordpiece
+
+        return decode_wordpiece(self.id_to_token, ids)

@@ -50,7 +50,9 @@ def build_vocab(n_vocab: int = 1000) -> dict[str, int]:
 
 def build_tokenizer_json(n_vocab: int = 1000, lowercase: bool = True) -> bytes:
     """Serialize a real HF tokenizers WordPiece pipeline to tokenizer.json."""
-    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, processors
+    from tokenizers import (
+        Tokenizer, decoders, models, normalizers, pre_tokenizers, processors,
+    )
 
     vocab = build_vocab(n_vocab)
     tok = Tokenizer(
@@ -68,4 +70,5 @@ def build_tokenizer_json(n_vocab: int = 1000, lowercase: bool = True) -> bytes:
         pair="[CLS] $A [SEP] $B:1 [SEP]:1",
         special_tokens=[("[CLS]", vocab["[CLS]"]), ("[SEP]", vocab["[SEP]"])],
     )
+    tok.decoder = decoders.WordPiece(prefix="##")  # real BERT jsons set this
     return tok.to_str().encode("utf-8")

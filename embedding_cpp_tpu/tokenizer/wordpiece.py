@@ -250,6 +250,11 @@ class WordPieceTokenizer:
     def id_to_token(self, token_id: int) -> str:
         return self._id_to_token.get(token_id, "")
 
+    def decode(self, ids) -> str:
+        from .base import decode_wordpiece
+
+        return decode_wordpiece(self.id_to_token, ids)
+
     def token_to_id(self, token: str) -> int | None:
         if token in self._added:
             return self._added[token]

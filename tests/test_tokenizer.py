@@ -130,3 +130,27 @@ def test_reference_golden_vectors_if_available():
     sp = SpecialIds(cls=101, sep=102, pad=0, unk=100)
     for text, expected in GOLDEN:
         assert frame_ids(tok.encode(text), sp, 512) == expected
+
+
+def test_decode_roundtrip_all_backends():
+    """decode(encode(text)) restores the text up to normalization (the
+    reference bridge's decode, tokenizer.cpp:39-48); every backend agrees
+    with HF tokenizers' WordPiece decoder."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.tokenizer import load_tokenizer
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    blob = build_tokenizer_json(1000)
+    hf = load_tokenizer(blob, "hf")
+    texts = ["hello world", "the quick brown fox jumps", "unknownglyph here",
+             "it works, mostly. really!"]
+    for backend in ("hf", "python", "native"):
+        try:
+            tok = load_tokenizer(blob, backend)
+        except Exception:
+            if backend == "native":
+                pytest.skip("native tokenizer lib not built")
+            raise
+        for t in texts:
+            ids = tok.encode(t)
+            assert tok.decode(ids) == hf.decode(hf.encode(t)), (backend, t)

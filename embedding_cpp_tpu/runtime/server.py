@@ -39,6 +39,20 @@ MAGIC_EVAL = b"TPEI"  # u32 n | n*(u32 k | k*i32) -> u32 n | n*n_embd f32
 MAGIC_META = b"TPEM"  # -> u32 len | JSON {n_embd, n_max_tokens, name, ...}
 MAGIC_VOCAB = b"TPEV"  # u32 id -> u32 len | utf8 token
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
+# protocol sanity caps: a malformed/hostile frame must not drive unbounded
+# reads or allocations (the reference has no framing at all to validate)
+MAX_ITEMS = 1 << 20  # texts or id-lists per request
+MAX_TEXT_BYTES = 16 << 20
+MAX_IDS = 1 << 20
+
+
+class ProtocolError(Exception):
+    pass
+
+
+def _check(cond: bool, what: str) -> None:
+    if not cond:
+        raise ProtocolError(f"malformed frame: {what}")
 
 
 @dataclass
@@ -124,9 +138,11 @@ async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
 
 async def _read_texts(reader) -> list[str]:
     (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
+    _check(count <= MAX_ITEMS, f"count {count}")
     texts = []
     for _ in range(count):
         (ln,) = struct.unpack("<I", await _read_exactly(reader, 4))
+        _check(ln <= MAX_TEXT_BYTES, f"text length {ln}")
         texts.append((await _read_exactly(reader, ln)).decode("utf-8"))
     return texts
 
@@ -206,9 +222,11 @@ async def handle_client(
                     )
             elif head == MAGIC_EVAL:
                 (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                _check(count <= MAX_ITEMS, f"count {count}")
                 id_lists = []
                 for _ in range(count):
                     (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                    _check(k <= MAX_IDS, f"id count {k}")
                     raw = await _read_exactly(reader, 4 * k)
                     id_lists.append(np.frombuffer(raw, np.int32).tolist())
                 loop = asyncio.get_running_loop()
@@ -242,6 +260,14 @@ async def handle_client(
                 writer.write(np.ascontiguousarray(vecs[0], np.float32).tobytes())
             batcher.stats.requests += 1
             await writer.drain()
+    except ProtocolError as e:
+        # stream is desynchronized: report once, then drop the connection
+        try:
+            _error_frame(writer, e)
+            await writer.drain()
+        except Exception:
+            pass
+        batcher.stats.errors += 1
     except (asyncio.IncompleteReadError, ConnectionResetError):
         pass
     finally:

@@ -200,3 +200,25 @@ def test_error_frame_isolates_request():
         assert vecs.shape == (1, CFG.n_embd)
     loop.call_soon_threadsafe(holder["task"].cancel)
     t.join(timeout=5)
+
+
+def test_malformed_frame_rejected(server):
+    """A hostile length field gets an error frame and a dropped connection,
+    not an unbounded allocation."""
+    import struct as _struct
+
+    port, engine = server
+    s = socket.create_connection(("127.0.0.1", port), 5)
+    s.recv(4)  # handshake
+    s.sendall(b"TPE2" + _struct.pack("<I", 0xFFFFFFF0))  # absurd count
+    head = s.recv(4)
+    (code,) = _struct.unpack("<I", head)
+    assert code == 0xFFFFFFFF  # error frame
+    (ln,) = _struct.unpack("<I", s.recv(4))
+    msg = s.recv(ln).decode()
+    assert "malformed" in msg
+    s.close()
+    # server still serves new connections
+    s2 = socket.create_connection(("127.0.0.1", port), 5)
+    assert len(s2.recv(4)) == 4
+    s2.close()

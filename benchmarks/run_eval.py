@@ -80,17 +80,17 @@ def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names,
     outdir = RESULTS / f"{model_name}_{mode}"
     outdir.mkdir(parents=True, exist_ok=True)
     if warmup:
-        # pre-compile every batch shape the tasks will hit, so reported
-        # times measure steady-state throughput (XLA compiles once per
-        # shape; the reference's CPU path has no compile step to exclude,
-        # but it does warm up at load, bert.cpp:804-816)
-        # each corpus list separately — the batch planner derives dispatch
+        # pre-compile every batch shape the SELECTED tasks will hit, so
+        # reported times measure steady-state throughput (XLA compiles once
+        # per shape; the reference's CPU path has no compile step to
+        # exclude, but it does warm up at load, bert.cpp:804-816).  Each
+        # corpus list separately — the batch planner derives dispatch
         # shapes from the list it is given, so warming a concatenation
-        # would compile different shapes than the timed per-list calls
-        if sts is not None:
+        # would compile different shapes than the timed per-list calls.
+        if sts is not None and "STSBenchmark" in task_names:
             encoder(list(sts.sentences1))
             encoder(list(sts.sentences2))
-        if clf is not None:
+        if clf is not None and "EmotionClassification" in task_names:
             encoder(list(clf.train_texts))
             encoder(list(clf.test_texts))
     for task_name in task_names:

@@ -26,6 +26,8 @@ def make_mesh(
         if n % tp:
             raise ValueError(f"{n} devices not divisible by tp={tp}")
         dp = n // tp
+    if dp < 1 or tp < 1:
+        raise ValueError(f"mesh sizes must be >= 1, got dp={dp} tp={tp}")
     if dp * tp > n:
         raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}")
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)

@@ -10,6 +10,7 @@ forward -> scatter back to input order.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from functools import partial
 from typing import Sequence
@@ -77,6 +78,11 @@ class Engine:
         self.pack_seq = min(pack_seq or DEFAULT_PACK_SEQ, config.n_ctx)
         self.pack_segs = max(8, self.pack_seq // 8)
         self._fwd_cache: dict[tuple, object] = {}
+        # serializes device dispatch + the compile cache across threads (the
+        # server drives encode via its batcher AND eval/tokenize frames via
+        # executor threads; unlocked, a shared new shape would compile twice
+        # and stats read-modify-writes would interleave)
+        self._lock = threading.Lock()
         self.stats = {"sentences": 0, "tokens": 0, "batches": 0, "eval_time": 0.0}
 
         if mesh is not None:
@@ -306,7 +312,7 @@ class Engine:
 
         t0 = time.perf_counter()
         padded_slots = 0
-        with metrics.timer("eval"):
+        with self._lock, metrics.timer("eval"):
             # dispatch everything first (jax dispatch is async), then fetch —
             # the device pipeline stays fed while the host packs/copies
             pending = []
@@ -341,10 +347,11 @@ class Engine:
                 else:
                     out[batch.positions] = vecs[: len(batch.positions)]
         n_tokens = int(sum(len(t) for t in token_lists))
-        self.stats["eval_time"] += time.perf_counter() - t0
-        self.stats["sentences"] += n
-        self.stats["tokens"] += n_tokens
-        self.stats["batches"] += len(batches) + len(packed_batches)
+        with self._lock:
+            self.stats["eval_time"] += time.perf_counter() - t0
+            self.stats["sentences"] += n
+            self.stats["tokens"] += n_tokens
+            self.stats["batches"] += len(batches) + len(packed_batches)
         metrics.inc("sentences", n)
         metrics.inc("tokens", n_tokens)
         metrics.inc("batches", len(batches) + len(packed_batches))

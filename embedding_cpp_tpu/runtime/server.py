@@ -11,7 +11,7 @@ Two wire protocols on one port:
    under TCP segmentation — SURVEY.md §3.4): any message starting with magic
    b"TPE2" is `magic | u32 count | count * (u32 len | utf8 bytes)`; the reply
    is `u32 count | count * n_embd * f32`.  Supports batched requests and
-   arbitrarily large texts.
+   large texts (per-text/aggregate caps: MAX_TEXT_BYTES / MAX_REQUEST_BYTES).
 
 Unlike the reference (`listen(fd, 1)`, one client at a time), the server
 accepts many clients concurrently and feeds one **continuous batcher**: all
@@ -33,17 +33,22 @@ MAGIC = b"TPE2"
 MAGIC_STATS = b"TPES"  # -> u32 len | JSON metrics snapshot
 MAGIC_HEALTH = b"TPEH"  # -> u32 len | b"ok"
 # bert.h surface over the wire (bert_tokenize :64, bert_eval_batch :79,
-# bert_n_max_tokens :88, bert_vocab_id_to_token :90):
-MAGIC_TOKENIZE = b"TPET"  # u32 n | n*(u32 len | utf8) -> u32 n | n*(u32 k | k*i32)
-MAGIC_EVAL = b"TPEI"  # u32 n | n*(u32 k | k*i32) -> u32 n | n*n_embd f32
-MAGIC_META = b"TPEM"  # -> u32 len | JSON {n_embd, n_max_tokens, name, ...}
-MAGIC_VOCAB = b"TPEV"  # u32 id -> u32 len | utf8 token
+# bert_n_max_tokens :88, bert_vocab_id_to_token :90).  These magics start
+# with a control byte so they can never collide with a ggml-compat raw-mode
+# client's UTF-8 text (TPE2/TPES/TPEH predate this and stay printable for
+# compatibility — a raw text starting "TPE2" was already ambiguous).
+MAGIC_TOKENIZE = b"\x01TPT"  # u32 n | n*(u32 len | utf8) -> u32 n | n*(u32 k | k*i32)
+MAGIC_EVAL = b"\x01TPI"  # u32 n | n*(u32 k | k*i32) -> u32 n | n*n_embd f32
+MAGIC_META = b"\x01TPM"  # -> u32 len | JSON {n_embd, n_max_tokens, name, ...}
+MAGIC_VOCAB = b"\x01TPV"  # u32 id -> u32 len | utf8 token
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 # protocol sanity caps: a malformed/hostile frame must not drive unbounded
 # reads or allocations (the reference has no framing at all to validate)
-MAX_ITEMS = 1 << 20  # texts or id-lists per request
-MAX_TEXT_BYTES = 16 << 20
-MAX_IDS = 1 << 20
+MAX_ITEMS = 1 << 16  # texts or id-lists per request
+MAX_TEXT_BYTES = 16 << 20  # per text
+MAX_REQUEST_BYTES = 64 << 20  # aggregate text payload per request
+MAX_IDS = 1 << 20  # per id list
+MAX_REQUEST_IDS = 1 << 22  # aggregate ids per request
 
 
 class ProtocolError(Exception):
@@ -140,9 +145,12 @@ async def _read_texts(reader) -> list[str]:
     (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
     _check(count <= MAX_ITEMS, f"count {count}")
     texts = []
+    total = 0
     for _ in range(count):
         (ln,) = struct.unpack("<I", await _read_exactly(reader, 4))
         _check(ln <= MAX_TEXT_BYTES, f"text length {ln}")
+        total += ln
+        _check(total <= MAX_REQUEST_BYTES, f"request payload {total}")
         texts.append((await _read_exactly(reader, ln)).decode("utf-8"))
     return texts
 
@@ -224,9 +232,12 @@ async def handle_client(
                 (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
                 _check(count <= MAX_ITEMS, f"count {count}")
                 id_lists = []
+                total = 0
                 for _ in range(count):
                     (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
                     _check(k <= MAX_IDS, f"id count {k}")
+                    total += k
+                    _check(total <= MAX_REQUEST_IDS, f"request ids {total}")
                     raw = await _read_exactly(reader, 4 * k)
                     id_lists.append(np.frombuffer(raw, np.int32).tolist())
                 loop = asyncio.get_running_loop()
@@ -326,7 +337,13 @@ def main() -> None:
 
         from ..parallel.mesh import make_mesh
 
-        dp = args.dp or (len(jax.devices()) // args.tp)
+        n_dev = len(jax.devices())
+        if args.tp > n_dev:
+            p.error(f"--tp {args.tp} exceeds the {n_dev} available device(s)")
+        dp = args.dp or (n_dev // args.tp)
+        if dp < 1 or dp * args.tp > n_dev:
+            p.error(f"mesh dp={dp} x tp={args.tp} needs {dp * args.tp} "
+                    f"devices, have {n_dev}")
         mesh = make_mesh(dp=dp, tp=args.tp,
                          devices=jax.devices()[: dp * args.tp])
     engine = Engine.from_gguf(

@@ -41,27 +41,37 @@ class Tokenizer(Protocol):
     def id_to_token(self, token_id: int) -> str: ...
 
 
+# HF WordPiece decoder cleanup=True rules, applied PER PIECE (a piece is
+# " "+token or a ##-stripped continuation) — exactly the Rust decoder's
+# `cleanup()`; applying them to the joined string would fuse patterns
+# across token boundaries that HF never fuses.
+_WP_CLEANUP = (
+    (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","), (" ' ", "'"),
+    (" n't", "n't"), (" 'm", "'m"), (" do not", " don't"), (" 's", "'s"),
+    (" 've", "'ve"), (" 're", "'re"),
+)
+
+
 def decode_wordpiece(id_to_token, ids: Sequence[int]) -> str:
-    """Token ids -> text, WordPiece join semantics (the reference's
-    `bert_tokenizer::decode`, tokenizer.cpp:39-48, backed by HF tokenizers'
-    WordPiece decoder): space-join, "##" continuations fuse onto the
-    previous token.  Special/unknown-id tokens pass through verbatim."""
-    parts: list[str] = []
+    """Token ids -> text, HF tokenizers WordPiece-decoder semantics (the
+    reference's `bert_tokenizer::decode`, tokenizer.cpp:39-48): "##"
+    continuations fuse onto the previous token, other tokens join with a
+    space, and the cleanup rules de-space punctuation piece by piece."""
+    pieces: list[str] = []
     for i in ids:
         tok = id_to_token(int(i))
         if not tok:
             continue
-        if tok.startswith("##") and parts:
-            parts[-1] += tok[2:]
+        if not pieces:
+            piece = tok
+        elif tok.startswith("##"):
+            piece = tok[2:]
         else:
-            parts.append(tok)
-    text = " ".join(parts)
-    # HF WordPiece decoder cleanup=True: de-space punctuation/contractions
-    for a, b in ((" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
-                 (" ' ", "' "), (" n't", "n't"), (" 'm", "'m"),
-                 (" 's", "'s"), (" 've", "'ve"), (" 're", "'re")):
-        text = text.replace(a, b)
-    return text
+            piece = " " + tok
+        for a, b in _WP_CLEANUP:
+            piece = piece.replace(a, b)
+        pieces.append(piece)
+    return "".join(pieces)
 
 
 def frame_ids(

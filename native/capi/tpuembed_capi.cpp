@@ -259,7 +259,7 @@ int tpe_encode(tpe_ctx* ctx, const char* text, float* out) {
 int32_t tpe_n_max_tokens(tpe_ctx* ctx) {
     if (!ctx || ctx->fd < 0) return 0;
     if (ctx->n_max_tokens >= 0) return ctx->n_max_tokens;
-    if (!write_all(ctx->fd, "TPEM", 4)) return 0;
+    if (!write_all(ctx->fd, "\x01TPM", 4)) return 0;
     uint32_t len = 0;
     if (!read_exactly(ctx->fd, &len, 4) || len > (1u << 20)) return 0;
     std::string json(len, '\0');
@@ -278,7 +278,7 @@ int32_t tpe_tokenize(tpe_ctx* ctx, const char* text, int32_t* out,
                      int32_t cap) {
     if (!ctx || ctx->fd < 0 || !text) return -1;
     std::string req;
-    req.append("TPET", 4);
+    req.append("\x01TPT", 4);
     uint32_t one = 1;
     req.append(reinterpret_cast<const char*>(&one), 4);
     uint32_t len = static_cast<uint32_t>(strlen(text));
@@ -302,7 +302,7 @@ int32_t tpe_tokenize(tpe_ctx* ctx, const char* text, int32_t* out,
         return -1;
     }
     uint32_t k = 0;
-    if (count != 1 || !read_exactly(ctx->fd, &k, 4)) {
+    if (count != 1 || !read_exactly(ctx->fd, &k, 4) || k > (1u << 20)) {
         ctx->last_error = "bad tokenize reply";
         return -1;
     }
@@ -323,7 +323,7 @@ int tpe_eval_batch(tpe_ctx* ctx, int32_t n_inputs, const int32_t* lens,
                    const int32_t* ids, float* out) {
     if (!ctx || ctx->fd < 0 || n_inputs <= 0) return n_inputs == 0 ? 0 : -1;
     std::string req;
-    req.append("TPEI", 4);
+    req.append("\x01TPI", 4);
     uint32_t count = static_cast<uint32_t>(n_inputs);
     req.append(reinterpret_cast<const char*>(&count), 4);
     size_t off = 0;
@@ -370,7 +370,7 @@ int32_t tpe_vocab_id_to_token(tpe_ctx* ctx, int32_t token_id, char* buf,
                               int32_t cap) {
     if (!ctx || ctx->fd < 0 || !buf || cap <= 0) return -1;
     std::string req;
-    req.append("TPEV", 4);
+    req.append("\x01TPV", 4);
     uint32_t id = static_cast<uint32_t>(token_id);
     req.append(reinterpret_cast<const char*>(&id), 4);
     if (!write_all(ctx->fd, req.data(), req.size())) {

@@ -143,7 +143,10 @@ def test_decode_roundtrip_all_backends():
     blob = build_tokenizer_json(1000)
     hf = load_tokenizer(blob, "hf")
     texts = ["hello world", "the quick brown fox jumps", "unknownglyph here",
-             "it works, mostly. really!"]
+             "it works, mostly. really!",
+             # cross-token cleanup traps: HF applies cleanup per piece, so a
+             # standalone apostrophe token must NOT fuse with its neighbors
+             "it ' s here", "a 's b n't c", "don't stop"]
     for backend in ("hf", "python", "native"):
         try:
             tok = load_tokenizer(blob, backend)

@@ -1,0 +1,120 @@
+"""Serving throughput benchmark: concurrent clients against the TCP server.
+
+The reference serves ONE client at a time (`listen(fd, 1)`,
+examples/server.cpp:92) and evaluates one sentence per request; here N
+concurrent connections feed the continuous batcher, which merges their
+requests into shared device batches.  This measures end-to-end served
+sentences/s (tokenize + embed + framing) on the current default device.
+
+Usage:
+    python benchmarks/serving.py [--clients 4] [--batch 64] [--sentences 2048]
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--clients", type=int, default=4)
+    p.add_argument("--batch", type=int, default=64,
+                   help="sentences per client request")
+    p.add_argument("--sentences", type=int, default=2048,
+                   help="sentences per client")
+    p.add_argument("--preset", default="minilm-l6")
+    p.add_argument("--ftype", default="q4_0")
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    from bench import synthetic_sentences
+
+    from embedding_cpp_tpu.cli.make_test_model import PRESETS
+    from embedding_cpp_tpu.models.bert import ComputeOptions
+    from embedding_cpp_tpu.runtime.client import EmbeddingClient
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.runtime.server import serve
+
+    engine = Engine.synthetic(
+        PRESETS[args.preset], ftype=args.ftype,
+        opts=ComputeOptions(dtype=args.dtype),
+    )
+
+    import socket
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    loop = asyncio.new_event_loop()
+
+    def run_server():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(serve(engine, "127.0.0.1", port))
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+
+    t = threading.Thread(target=run_server, daemon=True)
+    t.start()
+    for _ in range(200):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+
+    texts = synthetic_sentences(args.sentences)
+    # warmup: compile the shapes this traffic will hit
+    warm = EmbeddingClient("127.0.0.1", port)
+    for start in range(0, len(texts), args.batch):
+        warm.embed(texts[start : start + args.batch])
+    warm.close()
+
+    done = []
+
+    def client_main(cid: int):
+        c = EmbeddingClient("127.0.0.1", port)
+        n = 0
+        for start in range(0, len(texts), args.batch):
+            chunk = texts[start : start + args.batch]
+            vecs = c.embed(chunk)
+            n += len(vecs)
+        c.close()
+        done.append(n)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client_main, args=(i,))
+               for i in range(args.clients)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    dt = time.perf_counter() - t0
+    total = int(np.sum(done))
+    sps = total / dt
+
+    print(f"# {args.clients} clients x {args.sentences} sentences "
+          f"(batch {args.batch}): {total} served in {dt:.2f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"served_sentences_per_sec_{args.preset}_{args.ftype}",
+        "value": round(sps, 1),
+        "unit": "sentences/s",
+        "clients": args.clients,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,15 @@ import jax.numpy as jnp
 from embedding_cpp_tpu.ops.attention import flash_attention
 
 
+def _tpu_atol(cpu_atol: float) -> float:
+    """Mosaic dots and XLA einsums round f32 MXU multiplies differently on
+    real TPUs (measured <= ~1.1e-3; CLAUDE.md measured facts); interpret
+    mode (CPU) matches exactly."""
+    import jax
+
+    return cpu_atol if jax.devices()[0].platform != "tpu" else 2e-3
+
+
 def _reference(q, k, v, bias):
     d = q.shape[-1]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -29,7 +38,7 @@ def test_matches_reference(b, s, h, d):
 
     expected = np.asarray(_reference(q, k, v, bias))
     got = np.asarray(flash_attention(q, k, v, bias))
-    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(got, expected, atol=_tpu_atol(2e-5), rtol=1e-4)
 
 
 def test_full_model_attn_pallas_matches_xla():
@@ -43,7 +52,7 @@ def test_full_model_attn_pallas_matches_xla():
     mask[:, 50:] = 0
     a = np.asarray(bert_embed_batch(params, ids, mask, cfg, ComputeOptions(attn_impl="xla")))
     b = np.asarray(bert_embed_batch(params, ids, mask, cfg, ComputeOptions(attn_impl="pallas")))
-    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(a, b, atol=_tpu_atol(1e-5), rtol=1e-4)
 
 
 def test_bf16_path():
@@ -101,9 +110,13 @@ def test_packed_matches_reference(max_seg_len, s):
     expected = np.asarray(_seg_reference(q, k, v, seg))
     got = np.asarray(flash_attention_packed(q, k, v, seg, max_seg_len=max_seg_len))
     # padding rows are don't-care (never read downstream: valid tokens can't
-    # attend seg=-1 and pooling excludes it) — compare valid positions only
+    # attend seg=-1 and pooling excludes it) — compare valid positions only.
+    # On real TPUs the Mosaic dot and the XLA einsum round f32 multiplies
+    # differently on the MXU (measured <= 1.1e-3; CLAUDE.md measured facts);
+    # interpret mode (CPU) is exact.
     valid = seg_np >= 0
-    np.testing.assert_allclose(got[valid], expected[valid], atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(got[valid], expected[valid], atol=_tpu_atol(2e-5),
+                               rtol=1e-4)
 
 
 def test_packed_window_covers_exact_boundaries():
@@ -129,4 +142,4 @@ def test_packed_window_covers_exact_boundaries():
     got = np.asarray(
         _flash_attention_packed_window(qt, kt, vt, seg, tq=128, wmax=wmax)
     ).transpose(0, 2, 1, 3)
-    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(got, expected, atol=_tpu_atol(2e-5), rtol=1e-4)

@@ -10,6 +10,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+from conftest import tpu_atol
+
 from embedding_cpp_tpu.models import (
     BertConfig,
     ComputeOptions,
@@ -99,7 +101,7 @@ def test_packed_forward_matches_unpacked(pooling):
         ids = np.asarray([t], dtype=np.int32)
         mask = np.ones_like(ids)
         want = np.asarray(bert_embed_batch(params, ids, mask, cfg, F32))[0]
-        np.testing.assert_allclose(got[i], want, atol=2e-5, rtol=1e-4,
+        np.testing.assert_allclose(got[i], want, atol=tpu_atol(2e-5), rtol=1e-4,
                                    err_msg=f"sentence {i} (pooling={pooling})")
 
 
@@ -132,7 +134,7 @@ def test_engine_packing_matches_unpacked():
     e_always = _engine("always")
     a = e_never.encode(texts)
     b = e_always.encode(texts)
-    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(a, b, atol=tpu_atol(2e-5), rtol=1e-4)
     assert e_always.stats["batches"] <= e_never.stats["batches"]
 
 

@@ -277,11 +277,15 @@ def bert_embed_batch(
     mask: Array,
     config: BertConfig,
     opts: ComputeOptions = ComputeOptions(),
+    gather_idx: Array | None = None,
 ) -> Array:
     """Token ids [B, S] + validity mask [B, S] -> embeddings [B, n_embd] f32.
 
     The full reference pipeline (bert_eval_batch, bert.cpp:1030-1108) as one
     jittable function over a *padded batch* instead of a per-sentence loop.
+
+    `gather_idx` ([M] int32 row indices) compacts the output to [M, n_embd]
+    on device so padded batch rows never cross the device->host link.
     """
     x = embed_tokens(params, ids, config, opts)
     mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
@@ -291,7 +295,10 @@ def bert_embed_batch(
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     out = pool_normalize(x, mask, config.pooling, config.normalize)
-    return out.astype(jnp.dtype(opts.output_dtype))
+    out = out.astype(jnp.dtype(opts.output_dtype))
+    if gather_idx is not None:
+        return out[gather_idx]
+    return out
 
 
 def bert_embed_packed(

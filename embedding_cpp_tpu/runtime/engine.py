@@ -213,19 +213,30 @@ class Engine:
         ]
 
     # --- forward ------------------------------------------------------------
-    def _forward(self, shape: tuple[int, int]):
-        fwd = self._fwd_cache.get(shape)
+    def _forward(self, shape: tuple[int, int], gather: bool = False):
+        key = (shape, gather)
+        fwd = self._fwd_cache.get(key)
         if fwd is None:
             if self._sharded_forward is not None:
                 fwd = self._sharded_forward
             else:
                 config, opts = self.config, self.opts
 
-                @jax.jit
-                def fwd(params, ids, mask):
-                    return bert_embed_batch(params, ids, mask, config, opts)
+                if gather:
 
-            self._fwd_cache[shape] = fwd
+                    @jax.jit
+                    def fwd(params, ids, mask, gather_idx):
+                        return bert_embed_batch(
+                            params, ids, mask, config, opts,
+                            gather_idx=gather_idx,
+                        )
+                else:
+
+                    @jax.jit
+                    def fwd(params, ids, mask):
+                        return bert_embed_batch(params, ids, mask, config, opts)
+
+            self._fwd_cache[key] = fwd
         return fwd
 
     def _packed_forward(self, shape: tuple[int, int], n_seg: int):
@@ -337,8 +348,22 @@ class Engine:
                 pending.append((pb, fwd(*args)))
                 padded_slots += pb.ids.size
             for batch in batches:
-                fwd = self._forward(batch.ids.shape)
-                pending.append((batch, fwd(self.params, batch.ids, batch.mask)))
+                n_real = len(batch.positions)
+                pad_rows = batch.ids.shape[0] - n_real
+                if self._sharded_forward is None and pad_rows > 64:
+                    # compact gather: padded rows cost FLOPs, not transfer
+                    m = self._gather_bucket(n_real)
+                    gidx = np.zeros(m, dtype=np.int32)
+                    gidx[:n_real] = np.arange(n_real, dtype=np.int32)
+                    fwd = self._forward(batch.ids.shape, gather=True)
+                    pending.append(
+                        (batch, fwd(self.params, batch.ids, batch.mask, gidx))
+                    )
+                else:
+                    fwd = self._forward(batch.ids.shape)
+                    pending.append(
+                        (batch, fwd(self.params, batch.ids, batch.mask))
+                    )
                 padded_slots += batch.ids.size
             for batch, vecs in pending:
                 vecs = np.asarray(vecs)

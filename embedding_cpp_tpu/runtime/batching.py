@@ -168,7 +168,7 @@ def pack_segments(
             cursor = 0
             row_positions = []
             for g, i in enumerate(row):
-                toks = list(token_lists[i])
+                toks = token_lists[i]
                 ids[r, cursor : cursor + len(toks)] = toks
                 seg[r, cursor : cursor + len(toks)] = g
                 pos[r, cursor : cursor + len(toks)] = np.arange(len(toks))

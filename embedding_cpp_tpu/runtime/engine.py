@@ -270,11 +270,14 @@ class Engine:
         return self.mesh.shape.get(DP_AXIS, 1) if self.mesh is not None else 1
 
     @staticmethod
-    def _gather_bucket(n: int) -> int:
-        """Padded device->host row count for a compact gather: coarse
-        granularity bounds both the pad waste and the compiled-shape count."""
+    def _gather_idx(values) -> np.ndarray:
+        """Compact-gather index vector, padded to a coarse bucket (64/512
+        granularity bounds both pad waste and the compiled-shape count)."""
+        n = len(values)
         step = 64 if n <= 512 else 512
-        return -(-n // step) * step
+        out = np.zeros(-(-n // step) * step, dtype=np.int32)
+        out[:n] = values
+        return out
 
     def _pack_plan(self, token_lists: Sequence[Sequence[int]]) -> list[int]:
         """Indices of sentences to route through the sequence-packed path
@@ -296,12 +299,13 @@ class Engine:
         bert_eval_batch, but actually batched)."""
         n = len(token_lists)
         out = np.empty((n, self.config.n_embd), dtype=np.float32)
-        pack_idx = set(self._pack_plan(token_lists))
-        rest = [i for i in range(n) if i not in pack_idx]
+        pack_idx = self._pack_plan(token_lists)  # sorted
+        pack_set = set(pack_idx)
+        rest = [i for i in range(n) if i not in pack_set]
         packed_batches = (
             pack_segments(
-                [token_lists[i] for i in sorted(pack_idx)],
-                sorted(pack_idx),
+                [token_lists[i] for i in pack_idx],
+                pack_idx,
                 self.special_ids.pad,
                 seq_len=self.pack_seq,
                 n_seg=self.pack_segs,
@@ -329,9 +333,7 @@ class Engine:
             pending = []
             for pb in packed_batches:
                 fwd = self._packed_forward(pb.ids.shape, pb.n_seg)
-                m = self._gather_bucket(len(pb.slots))
-                gidx = np.zeros(m, dtype=np.int32)
-                gidx[: len(pb.slots)] = pb.slots
+                gidx = self._gather_idx(pb.slots)
                 if self.mesh is not None:
                     args = (self.params, pb.ids, pb.seg, pb.pos, gidx, pb.n_seg)
                 else:
@@ -352,9 +354,7 @@ class Engine:
                 pad_rows = batch.ids.shape[0] - n_real
                 if self._sharded_forward is None and pad_rows > 64:
                     # compact gather: padded rows cost FLOPs, not transfer
-                    m = self._gather_bucket(n_real)
-                    gidx = np.zeros(m, dtype=np.int32)
-                    gidx[:n_real] = np.arange(n_real, dtype=np.int32)
+                    gidx = self._gather_idx(np.arange(n_real, dtype=np.int32))
                     fwd = self._forward(batch.ids.shape, gather=True)
                     pending.append(
                         (batch, fwd(self.params, batch.ids, batch.mask, gidx))

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import json
 import struct
 import sys
 from dataclasses import dataclass, field
@@ -180,19 +181,15 @@ async def handle_client(
             if not head:
                 break
             if head == MAGIC_STATS:
-                import json as _json
-
                 from ..utils.metrics import GLOBAL as metrics
 
                 snap = metrics.snapshot()
                 snap["server"] = batcher.stats.as_dict()
-                payload = _json.dumps(snap).encode("utf-8")
+                payload = json.dumps(snap).encode("utf-8")
                 writer.write(struct.pack("<I", len(payload)) + payload)
             elif head == MAGIC_HEALTH:
                 writer.write(struct.pack("<I", 2) + b"ok")
             elif head == MAGIC_META:
-                import json as _json
-
                 engine = batcher.engine
                 meta = {
                     "n_embd": n_embd,
@@ -201,7 +198,7 @@ async def handle_client(
                         getattr(engine, "config", None), "name", ""
                     ),
                 }
-                payload = _json.dumps(meta).encode("utf-8")
+                payload = json.dumps(meta).encode("utf-8")
                 writer.write(struct.pack("<I", len(payload)) + payload)
             elif head == MAGIC_VOCAB:
                 (tok_id,) = struct.unpack("<I", await _read_exactly(reader, 4))

@@ -113,6 +113,32 @@ int free_port() {
     return port;
 }
 
+
+// Read a reply's leading u32; decodes the shared error frame
+// (0xFFFFFFFF | u32 len | utf8 message) into last_error.  Returns false on
+// socket failure or error frame.
+bool read_reply_count(Ctx* ctx, uint32_t* count) {
+    if (!read_exactly(ctx->fd, count, 4)) {
+        ctx->last_error = "recv failed";
+        return false;
+    }
+    if (*count == 0xFFFFFFFFu) {
+        uint32_t len = 0;
+        if (!read_exactly(ctx->fd, &len, 4) || len > (1u << 20)) {
+            ctx->last_error = "recv failed";
+            return false;
+        }
+        std::string msg(len, '\0');
+        if (len && !read_exactly(ctx->fd, &msg[0], len)) {
+            ctx->last_error = "recv failed";
+            return false;
+        }
+        ctx->last_error = "server error: " + msg;
+        return false;
+    }
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -218,24 +244,7 @@ int tpe_encode_batch(tpe_ctx* ctx, int32_t n_inputs, const char** texts,
     // reply: u32 count | count * n_embd * f32,
     // or error frame: 0xFFFFFFFF | u32 len | message
     uint32_t reply_count = 0;
-    if (!read_exactly(ctx->fd, &reply_count, 4)) {
-        ctx->last_error = "recv failed";
-        return -1;
-    }
-    if (reply_count == 0xFFFFFFFFu) {
-        uint32_t len = 0;
-        if (!read_exactly(ctx->fd, &len, 4)) {
-            ctx->last_error = "recv failed";
-            return -1;
-        }
-        std::string msg(len, '\0');
-        if (len && !read_exactly(ctx->fd, &msg[0], len)) {
-            ctx->last_error = "recv failed";
-            return -1;
-        }
-        ctx->last_error = "server error: " + msg;
-        return -1;
-    }
+    if (!read_reply_count(ctx, &reply_count)) return -1;
     if (reply_count != count) {
         ctx->last_error = "server returned wrong count";
         return -1;
@@ -289,18 +298,7 @@ int32_t tpe_tokenize(tpe_ctx* ctx, const char* text, int32_t* out,
         return -1;
     }
     uint32_t count = 0;
-    if (!read_exactly(ctx->fd, &count, 4)) {
-        ctx->last_error = "recv failed";
-        return -1;
-    }
-    if (count == 0xFFFFFFFFu) {
-        uint32_t mlen = 0;
-        if (!read_exactly(ctx->fd, &mlen, 4)) return -1;
-        std::string msg(mlen, '\0');
-        if (mlen && !read_exactly(ctx->fd, &msg[0], mlen)) return -1;
-        ctx->last_error = "server error: " + msg;
-        return -1;
-    }
+    if (!read_reply_count(ctx, &count)) return -1;
     uint32_t k = 0;
     if (count != 1 || !read_exactly(ctx->fd, &k, 4) || k > (1u << 20)) {
         ctx->last_error = "bad tokenize reply";
@@ -338,18 +336,7 @@ int tpe_eval_batch(tpe_ctx* ctx, int32_t n_inputs, const int32_t* lens,
         return -1;
     }
     uint32_t reply = 0;
-    if (!read_exactly(ctx->fd, &reply, 4)) {
-        ctx->last_error = "recv failed";
-        return -1;
-    }
-    if (reply == 0xFFFFFFFFu) {
-        uint32_t mlen = 0;
-        if (!read_exactly(ctx->fd, &mlen, 4)) return -1;
-        std::string msg(mlen, '\0');
-        if (mlen && !read_exactly(ctx->fd, &msg[0], mlen)) return -1;
-        ctx->last_error = "server error: " + msg;
-        return -1;
-    }
+    if (!read_reply_count(ctx, &reply)) return -1;
     if (reply != count) {
         ctx->last_error = "server returned wrong count";
         return -1;

@@ -4,16 +4,9 @@ import pytest
 
 import jax.numpy as jnp
 
+from conftest import tpu_atol as _tpu_atol
+
 from embedding_cpp_tpu.ops.attention import flash_attention
-
-
-def _tpu_atol(cpu_atol: float) -> float:
-    """Mosaic dots and XLA einsums round f32 MXU multiplies differently on
-    real TPUs (measured <= ~1.1e-3; CLAUDE.md measured facts); interpret
-    mode (CPU) matches exactly."""
-    import jax
-
-    return cpu_atol if jax.devices()[0].platform != "tpu" else 2e-3
 
 
 def _reference(q, k, v, bias):

@@ -118,7 +118,9 @@ def main() -> None:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--q4-impl", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--sentences", type=int, default=2758)
-    p.add_argument("--repeats", type=int, default=5)
+    # relay throughput drifts ~2x minute-to-minute (CLAUDE.md); more repeats
+    # make the min-of-N robust to a noisy window
+    p.add_argument("--repeats", type=int, default=8)
     p.add_argument("--length-profile", default="stsb", choices=sorted(LENGTH_PROFILES))
     p.add_argument("--packing", default="auto", choices=["auto", "always", "never"])
     p.add_argument("--output-dtype", default="float32",

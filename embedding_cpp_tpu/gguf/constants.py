@@ -131,6 +131,10 @@ class Keys:
     # FIXME at bert.cpp:998)
     POOLING_TYPE = f"{ARCH}.pooling_type"
     NORMALIZE = f"{ARCH}.normalize_embeddings"
+    # sentence-transformers Dense projection head (our extension: e.g.
+    # LaBSE pools then projects through a tanh Dense layer before L2)
+    DENSE_OUT = f"{ARCH}.dense_feat_out"
+    DENSE_ACTIVATION = f"{ARCH}.dense_activation"
 
     # tokenizer
     TOKENIZER_MODEL = "tokenizer.ggml.model"

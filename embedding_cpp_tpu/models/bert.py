@@ -227,6 +227,25 @@ def mean_pool_normalize(x: Array, mask: Array) -> Array:
     return pool_normalize(x, mask, "mean", True)
 
 
+def _l2_normalize(x: Array) -> Array:
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, 1e-12)
+
+
+def _output_head(pooled: Array, params: dict, config: BertConfig) -> Array:
+    """Optional sentence-transformers Dense projection (pooled @ W + b with
+    tanh/identity activation — e.g. LaBSE) between pooling and the L2 norm.
+    The reference drops these weights entirely (convert-to-gguf.py skips
+    any non-BertModel module)."""
+    dense = params.get("dense")
+    if dense is None:
+        return _l2_normalize(pooled) if config.normalize else pooled
+    y = pooled.astype(jnp.float32) @ dense["w"].astype(jnp.float32) + dense["b"]
+    if config.dense_activation == "tanh":
+        y = jnp.tanh(y)
+    return _l2_normalize(y) if config.normalize else y
+
+
 def pool_normalize_packed(
     x: Array,
     seg: Array,
@@ -294,8 +313,10 @@ def bert_embed_batch(
         return encoder_layer(x, lp, mask_bias, config, opts), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    out = pool_normalize(x, mask, config.pooling, config.normalize)
-    out = out.astype(jnp.dtype(opts.output_dtype))
+    pooled = pool_normalize(x, mask, config.pooling, normalize=False)
+    out = _output_head(pooled, params, config).astype(
+        jnp.dtype(opts.output_dtype)
+    )
     if gather_idx is not None:
         return out[gather_idx]
     return out
@@ -335,11 +356,14 @@ def bert_embed_packed(
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     pooled = pool_normalize_packed(
-        x, seg, pos, n_seg, config.pooling, config.normalize
-    ).astype(jnp.dtype(opts.output_dtype))
+        x, seg, pos, n_seg, config.pooling, normalize=False
+    )
+    out = _output_head(pooled, params, config).astype(
+        jnp.dtype(opts.output_dtype)
+    )
     if gather_idx is not None:
-        return pooled.reshape(-1, pooled.shape[-1])[gather_idx]
-    return pooled
+        return out.reshape(-1, out.shape[-1])[gather_idx]
+    return out
 
 
 def make_forward(config: BertConfig, opts: ComputeOptions = ComputeOptions()):

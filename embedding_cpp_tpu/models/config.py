@@ -28,6 +28,10 @@ class BertConfig:
     # The reference hard-codes mean+L2 (bert.cpp:995-1006, FIXME at :998).
     pooling: str = "mean"
     normalize: bool = True
+    # sentence-transformers Dense projection head applied between pooling
+    # and normalization (0 = none): pooled @ W.T + b, then activation
+    dense_out: int = 0
+    dense_activation: str = "tanh"  # "tanh" | "identity"
     name: str = ""
 
     @property
@@ -53,6 +57,8 @@ class BertConfig:
             layer_norm_eps=float(kv.get(Keys.LAYER_NORM_EPS, 1e-12)),
             pooling=str(kv.get(Keys.POOLING_TYPE, "mean")),
             normalize=bool(kv.get(Keys.NORMALIZE, True)),
+            dense_out=int(kv.get(Keys.DENSE_OUT, 0)),
+            dense_activation=str(kv.get(Keys.DENSE_ACTIVATION, "tanh")),
             name=str(kv.get("general.name", "")),
         )
 

@@ -105,6 +105,9 @@ def write_bert_gguf(
         w.add_string(Keys.POOLING_TYPE, config.pooling)
     if not config.normalize:
         w.add_bool(Keys.NORMALIZE, False)
+    if config.dense_out:
+        w.add_uint32(Keys.DENSE_OUT, config.dense_out)
+        w.add_string(Keys.DENSE_ACTIVATION, config.dense_activation)
     w.add_uint32("general.file_type", int(ftype))
 
     w.add_string(Keys.TOKENIZER_JSON_BLOB, tokenizer_json)
@@ -154,11 +157,14 @@ def load_hf_dir(model_dir: str | os.PathLike):
     if archs and archs[0] not in ("BertModel", "BertForMaskedLM"):
         raise ValueError(f"unsupported architecture: {archs[0]}")
     config = BertConfig.from_hf_config(hf_config, name=model_dir.name)
+    import dataclasses
+
     pooling = _read_st_pooling(model_dir)
     if pooling is not None:
-        import dataclasses
-
         config = dataclasses.replace(config, pooling=pooling)
+    dense = _read_st_dense(model_dir)
+    if dense is not None:
+        out_features, activation, tensors = dense
 
     tokenizer_json_path = model_dir / "tokenizer.json"
     if not tokenizer_json_path.is_file():
@@ -171,6 +177,11 @@ def load_hf_dir(model_dir: str | os.PathLike):
         (k[len("bert."):] if k.startswith("bert.") else k): v
         for k, v in state_dict.items()
     }
+    if dense is not None:
+        config = dataclasses.replace(
+            config, dense_out=out_features, dense_activation=activation
+        )
+        state_dict.update(tensors)
 
     overrides = _special_overrides(model_dir)
     return config, state_dict, tokenizer_json, overrides, hf_config.get(
@@ -227,6 +238,43 @@ def _load_state_dict(model_dir: Path) -> dict[str, np.ndarray]:
     raise FileNotFoundError(
         f"no model.safetensors or pytorch_model.bin in {model_dir}"
     )
+
+
+def _read_st_dense(model_dir: Path):
+    """Read a sentence-transformers Dense module (e.g. LaBSE's 2_Dense):
+    a linear projection + activation applied between pooling and
+    normalization.  The reference drops these weights entirely.  Returns
+    (out_features, activation, {"dense.linear.weight": ..., ...}) or None."""
+    dense_dirs = sorted(model_dir.glob("*_Dense"))
+    if not dense_dirs:
+        return None
+    d = dense_dirs[0]
+    with open(d / "config.json") as f:
+        cfg = json.load(f)
+    act_name = str(cfg.get("activation_function", "")).rsplit(".", 1)[-1]
+    activation = "tanh" if act_name == "Tanh" else "identity"
+    st_path = d / "model.safetensors"
+    if st_path.is_file():
+        from safetensors.numpy import load_file
+
+        weights = load_file(str(st_path))
+    else:
+        import torch
+
+        sd = torch.load(str(d / "pytorch_model.bin"), map_location="cpu",
+                        weights_only=True)
+        weights = {k: v.float().numpy() for k, v in sd.items()}
+    tensors = {
+        "dense.linear.weight": np.asarray(weights["linear.weight"], np.float32),
+        "dense.linear.bias": np.asarray(
+            weights.get(
+                "linear.bias",
+                np.zeros(int(cfg["out_features"]), np.float32),
+            ),
+            np.float32,
+        ),
+    }
+    return int(cfg["out_features"]), activation, tensors
 
 
 def _read_st_pooling(model_dir: Path) -> str | None:

@@ -131,7 +131,19 @@ def build_params(
             per_layer.setdefault(key, []).append(v)
 
     layers = {k: _stack_layer_values(v) for k, v in per_layer.items()}
-    return {"embeddings": emb, "layers": layers}
+    params = {"embeddings": emb, "layers": layers}
+    if config.dense_out:
+        # sentence-transformers Dense head: tiny ([E, dense_out]) — load
+        # dense, contraction-major
+        dense = {}
+        for name, (key, shape_fn) in schema.DENSE_TENSORS.items():
+            shape = shape_fn(config)
+            if key == "dense_w":
+                dense["w"] = source.dense_t(name, shape, dense_dtype)
+            else:
+                dense["b"] = source.dense(name, shape, f32)
+        params["dense"] = dense
+    return params
 
 
 # --- sources ----------------------------------------------------------------
@@ -212,6 +224,9 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
                 sd[name] = np.zeros(shape, np.float32)
             else:
                 sd[name] = init(shape)
+    if config.dense_out:
+        for name, (key, shape_fn) in schema.DENSE_TENSORS.items():
+            sd[name] = init(shape_fn(config))
     return sd
 
 

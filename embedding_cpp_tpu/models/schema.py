@@ -42,6 +42,13 @@ LAYER_TENSORS = {
     "encoder.layer.{i}.output.LayerNorm.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
 }
 
+# Optional sentence-transformers Dense head (our extension; present only
+# when config.dense_out > 0): pooled @ W.T + b between pooling and L2 norm.
+DENSE_TENSORS = {
+    "dense.linear.weight": ("dense_w", lambda c: (c.dense_out, c.n_embd)),
+    "dense.linear.bias": ("dense_b", lambda c: (c.dense_out,)),
+}
+
 # Tensors the converter intentionally drops (convert-to-gguf.py:294-321).
 SKIPPED_TENSORS = frozenset(
     {"embeddings.position_ids", "pooler.dense.weight", "pooler.dense.bias"}

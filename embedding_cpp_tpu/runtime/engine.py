@@ -298,7 +298,7 @@ class Engine:
         """Token-id lists -> [n, n_embd] f32 (the reference's
         bert_eval_batch, but actually batched)."""
         n = len(token_lists)
-        out = np.empty((n, self.config.n_embd), dtype=np.float32)
+        out = np.empty((n, self.n_embd), dtype=np.float32)
         pack_idx = self._pack_plan(token_lists)  # sorted
         pack_set = set(pack_idx)
         rest = [i for i in range(n) if i not in pack_set]
@@ -393,7 +393,9 @@ class Engine:
     # --- introspection (bert.h:87-90 equivalents) ---------------------------
     @property
     def n_embd(self) -> int:
-        return self.config.n_embd
+        """Output embedding width (bert_n_embd): the Dense head's
+        out_features when present, else the encoder width."""
+        return self.config.dense_out or self.config.n_embd
 
     @property
     def n_max_tokens(self) -> int:

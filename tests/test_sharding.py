@@ -101,3 +101,22 @@ def test_engine_with_mesh_packed(eight_devices):
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
     # rows padded to a dp multiple, everything in few dispatches
     assert eng.stats["batches"] <= 2
+
+
+def test_engine_with_mesh_dense_head(eight_devices):
+    """Dense projection head under a dp x tp mesh (head params replicate)."""
+    import dataclasses
+
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    pytest.importorskip("tokenizers")
+    cfg = dataclasses.replace(CFG, n_vocab=512, dense_out=48)
+    mesh = make_mesh(dp=4, tp=2, devices=eight_devices)
+    eng = Engine.synthetic(cfg, ftype="f32", opts=OPTS, mesh=mesh)
+    single = Engine.synthetic(cfg, ftype="f32", opts=OPTS)
+    texts = [f"text number {i}" for i in range(8)]
+    a = eng.encode(texts)
+    b = single.encode(texts)
+    assert a.shape == (8, 48)
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)

@@ -157,4 +157,6 @@ def test_encode_mixed_lengths_packed_and_bucketed():
              + ["medium length sentence here"] * 5)
     a = eng.encode(texts)
     b = ref.encode(texts)
-    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+    from conftest import tpu_atol
+
+    np.testing.assert_allclose(a, b, atol=tpu_atol(2e-5), rtol=1e-4)

@@ -137,6 +137,12 @@ def write_legacy_bin(
     code = {"f32": 0, "f16": 1}.get(ftype)
     if code is None:
         raise ValueError(f"legacy format supports f32/f16 only, got {ftype!r}")
+    if getattr(config, "dense_out", 0):
+        raise ValueError(
+            "the legacy .bin format has no dense-head hparams; a Dense "
+            "projection model would silently lose its head — write GGUF "
+            "instead"
+        )
 
     import json
 

@@ -235,12 +235,15 @@ def _l2_normalize(x: Array) -> Array:
 def _output_head(pooled: Array, params: dict, config: BertConfig) -> Array:
     """Optional sentence-transformers Dense projection (pooled @ W + b with
     tanh/identity activation — e.g. LaBSE) between pooling and the L2 norm.
-    The reference drops these weights entirely (convert-to-gguf.py skips
-    any non-BertModel module)."""
+    The reference never carries these weights: its converter only accepts
+    the bare BertModel (convert-to-gguf.py:133-136), so Dense modules are
+    absent from its GGUFs and mean+L2 is hard-coded (bert.cpp:995-1006).
+    `pooled` and the head params are f32 (pool_normalize accumulates f32;
+    the weights load as f32 regardless of the activation dtype)."""
     dense = params.get("dense")
     if dense is None:
         return _l2_normalize(pooled) if config.normalize else pooled
-    y = pooled.astype(jnp.float32) @ dense["w"].astype(jnp.float32) + dense["b"]
+    y = pooled @ dense["w"] + dense["b"]
     if config.dense_activation == "tanh":
         y = jnp.tanh(y)
     return _l2_normalize(y) if config.normalize else y

@@ -243,16 +243,32 @@ def _load_state_dict(model_dir: Path) -> dict[str, np.ndarray]:
 def _read_st_dense(model_dir: Path):
     """Read a sentence-transformers Dense module (e.g. LaBSE's 2_Dense):
     a linear projection + activation applied between pooling and
-    normalization.  The reference drops these weights entirely.  Returns
+    normalization.  The reference never loads these — its converter only
+    accepts the bare BertModel (convert-to-gguf.py:133-136), so the module
+    weights are simply absent from its output.  Returns
     (out_features, activation, {"dense.linear.weight": ..., ...}) or None."""
-    dense_dirs = sorted(model_dir.glob("*_Dense"))
+    dense_dirs = sorted(model_dir.glob("*_Dense"),
+                        key=lambda q: int(q.name.split("_")[0]))
     if not dense_dirs:
         return None
+    if len(dense_dirs) > 1:
+        raise NotImplementedError(
+            f"{len(dense_dirs)} stacked Dense modules in {model_dir}; "
+            "only a single projection head is supported"
+        )
     d = dense_dirs[0]
     with open(d / "config.json") as f:
         cfg = json.load(f)
     act_name = str(cfg.get("activation_function", "")).rsplit(".", 1)[-1]
-    activation = "tanh" if act_name == "Tanh" else "identity"
+    if act_name == "Tanh":
+        activation = "tanh"
+    elif act_name in ("Identity", ""):
+        activation = "identity"
+    else:
+        raise ValueError(
+            f"unsupported Dense activation {act_name!r} in {d} "
+            "(supported: Tanh, Identity)"
+        )
     st_path = d / "model.safetensors"
     if st_path.is_file():
         from safetensors.numpy import load_file

@@ -133,13 +133,14 @@ def build_params(
     layers = {k: _stack_layer_values(v) for k, v in per_layer.items()}
     params = {"embeddings": emb, "layers": layers}
     if config.dense_out:
-        # sentence-transformers Dense head: tiny ([E, dense_out]) — load
-        # dense, contraction-major
+        # sentence-transformers Dense head: tiny ([E, dense_out]); kept f32
+        # (the head deliberately computes in f32 — bf16 storage would round
+        # the weights before the f32 math could help)
         dense = {}
         for name, (key, shape_fn) in schema.DENSE_TENSORS.items():
             shape = shape_fn(config)
             if key == "dense_w":
-                dense["w"] = source.dense_t(name, shape, dense_dtype)
+                dense["w"] = source.dense_t(name, shape, f32)
             else:
                 dense["b"] = source.dense(name, shape, f32)
         params["dense"] = dense

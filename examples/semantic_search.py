@@ -50,7 +50,12 @@ def main() -> int:
         if not q:
             break
         qv = engine.encode([q])[0]
-        sims = vecs @ qv  # embeddings are L2-normalized
+        # cosine (models converted with normalize=false return raw vectors)
+        def _unit(x):
+            return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                                  1e-12)
+
+        sims = _unit(vecs) @ _unit(qv)
         for rank, idx in enumerate(np.argsort(-sims)[: args.k], 1):
             print(f"{rank}. [{sims[idx]:+.4f}] {corpus[idx]}")
         if interactive:

@@ -105,3 +105,36 @@ def test_loader_prefers_native(native_tok):
 
     tok = load_tokenizer(native_tok[1], backend="auto")
     assert isinstance(tok, NativeTokenizer)
+
+
+def test_hostile_vocab_blobs_rejected_cleanly():
+    """Untrusted GGUF blobs must fail the load, never corrupt memory:
+    negative/absurd vocab ids previously wrote out of bounds
+    (id_to_token[-1]) and added_tokens with a negative id resized the
+    table to 0 then indexed it."""
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    hostile = [
+        '{"model":{"type":"WordPiece","vocab":{"a":-1}}}',
+        '{"model":{"type":"WordPiece","vocab":{"a":-2147483648}}}',
+        '{"model":{"type":"WordPiece","vocab":{"a":999999999}}}',
+        '{"added_tokens":[{"id":-5,"content":"x"}],'
+        '"model":{"type":"WordPiece","vocab":{"[UNK]":0},"unk_token":"[UNK]"}}',
+        '{"added_tokens":[{"content":"x"}],'
+        '"model":{"type":"WordPiece","vocab":{"[UNK]":0},"unk_token":"[UNK]"}}',
+    ]
+    for blob in hostile:
+        with pytest.raises(Exception):
+            NativeTokenizer(blob.encode())
+
+
+def test_added_token_content_preserved():
+    """Regression: added-token content was read after std::move (always
+    empty)."""
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    blob = ('{"added_tokens":[{"id":7,"content":"hello"}],'
+            '"model":{"type":"WordPiece","vocab":{"[UNK]":0},'
+            '"unk_token":"[UNK]"}}')
+    t = NativeTokenizer(blob.encode())
+    assert t.id_to_token(7) == "hello"

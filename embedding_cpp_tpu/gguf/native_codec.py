@@ -83,6 +83,13 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
 def dequantize(raw: np.ndarray, ggml_type: GGMLType, n_elements: int) -> np.ndarray:
     lib = _load()
     raw = np.ascontiguousarray(raw).view(np.uint8).reshape(-1)
+    need = ggml_nbytes(ggml_type, n_elements)
+    if raw.size < need:
+        # the C side takes no length and would read out of bounds
+        raise ValueError(
+            f"raw buffer too small for {n_elements} {ggml_type.name} "
+            f"elements: {raw.size} < {need} bytes"
+        )
     out = np.empty(n_elements, dtype=np.float32)
     n = lib.tpuembed_dequantize(_u8(raw), _TYPE_CODE[ggml_type], n_elements, _f32(out))
     if n < 0:
@@ -102,6 +109,12 @@ def requantize(
     if n_threads is None:
         n_threads = min(8, os.cpu_count() or 1)
     raw = np.ascontiguousarray(raw).view(np.uint8).reshape(-1)
+    need = ggml_nbytes(src_type, n_elements)
+    if raw.size < need:
+        raise ValueError(
+            f"raw buffer too small for {n_elements} {src_type.name} "
+            f"elements: {raw.size} < {need} bytes"
+        )
     out = np.empty(ggml_nbytes(dst_type, n_elements), dtype=np.uint8)
     n = lib.tpuembed_requantize(
         _u8(raw), _TYPE_CODE[src_type], n_elements, _TYPE_CODE[dst_type],

@@ -64,3 +64,21 @@ def test_special_values(nc):
 def test_unaligned_rejected(nc):
     with pytest.raises(ValueError):
         nc.quantize(np.zeros(33, np.float32), GGMLType.Q4_0)
+
+
+def test_short_buffer_rejected():
+    """The C codec takes no buffer length — the wrapper must reject short
+    payloads instead of letting the native side read out of bounds."""
+    import numpy as np
+    import pytest
+
+    from embedding_cpp_tpu.gguf import GGMLType
+    from embedding_cpp_tpu.gguf import native_codec
+
+    if not native_codec.available():
+        pytest.skip("native codec not built")
+    short = np.zeros(10, np.uint8)  # far less than 18 bytes/block
+    with pytest.raises(ValueError, match="too small"):
+        native_codec.dequantize(short, GGMLType.Q4_0, 64)
+    with pytest.raises(ValueError, match="too small"):
+        native_codec.requantize(short, GGMLType.Q4_0, 64, GGMLType.Q4_1)

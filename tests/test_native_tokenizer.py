@@ -138,3 +138,56 @@ def test_added_token_content_preserved():
             '"unk_token":"[UNK]"}}')
     t = NativeTokenizer(blob.encode())
     assert t.id_to_token(7) == "hello"
+
+
+def test_mutation_fuzz_never_crashes():
+    """Deterministic mini-fuzz of the untrusted tokenizer.json surface:
+    structured mutations + raw garbage must load cleanly or raise — the
+    process-killing classes this guards are in the two tests above."""
+    import copy
+    import json
+    import random
+    import string
+
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    base = json.loads(build_tokenizer_json(300))
+    rng = random.Random(0)
+
+    def mutate(obj):
+        o = copy.deepcopy(obj)
+        for _ in range(rng.randint(1, 4)):
+            keys = list(o.keys()) if isinstance(o, dict) else []
+            if not keys:
+                break
+            k = rng.choice(keys)
+            action = rng.choice(["del", "type", "trunc", "junk"])
+            if action == "del":
+                o.pop(k, None)
+            elif action == "type":
+                o[k] = rng.choice([None, 123, [], "x", {"a": 1}])
+            elif action == "trunc" and isinstance(o.get(k), dict) and o[k]:
+                o[k].pop(next(iter(o[k])))
+            else:
+                o["zz_" + str(k)] = "\x00\xff" * 10
+        return o
+
+    cases = []
+    for _ in range(60):
+        m = mutate(base)
+        if rng.random() < 0.5 and isinstance(m.get("model"), dict):
+            m["model"] = mutate(m["model"])
+        cases.append(json.dumps(m))
+    for _ in range(30):
+        n = rng.randint(0, 300)
+        cases.append("".join(rng.choice(string.printable) for _ in range(n)))
+
+    for blob in cases:
+        try:
+            t = NativeTokenizer(blob.encode())
+            t.encode("hello world 中文 test")
+            t.id_to_token(0)
+        except Exception:
+            pass  # clean rejection is the accepted outcome

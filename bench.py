@@ -111,6 +111,62 @@ def run_bench(
     }
 
 
+def run_ab_transfer(
+    preset: str = "minilm-l6",
+    ftype: str = "q4_0",
+    dtype: str = "bfloat16",
+    n_sentences: int = 2758,
+    repeats: int = 5,
+    length_profile: str = "stsb",
+    packing: str = "auto",
+    output_dtypes=("float32", "float16", "int8"),
+):
+    """Interleaved A/B of embedding transfer dtypes within ONE run (relay
+    throughput drifts ~2x minute-to-minute — CLAUDE.md — so sequential runs
+    cannot be compared; round-robin timing can)."""
+    import jax
+
+    from embedding_cpp_tpu.cli.make_test_model import PRESETS
+    from embedding_cpp_tpu.models.bert import ComputeOptions
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    config = PRESETS[preset]
+    engines = {
+        od: Engine.synthetic(
+            config, ftype=ftype,
+            opts=ComputeOptions(dtype=dtype, q4_impl="xla", output_dtype=od),
+            packing=packing,
+        )
+        for od in output_dtypes
+    }
+    texts = synthetic_sentences(n_sentences, profile=length_profile)
+    token_lists = engines[output_dtypes[0]].tokenize_batch(texts)
+
+    best = {od: float("inf") for od in output_dtypes}
+    for eng in engines.values():  # compile
+        eng.embed_tokens(token_lists)
+    for _ in range(repeats):
+        for od, eng in engines.items():  # interleave
+            t0 = time.perf_counter()
+            eng.embed_tokens(token_lists)
+            best[od] = min(best[od], time.perf_counter() - t0)
+    results = {od: round(n_sentences / t, 1) for od, t in best.items()}
+    for od, sps in results.items():
+        print(f"# transfer {od}: {sps} sentences/s "
+              f"({results[od] / results['float32']:.2f}x vs f32)",
+              file=sys.stderr)
+    return {
+        "metric": f"transfer_ab_{preset.replace('-', '_')}_{ftype}",
+        "value": results.get("int8", 0.0),
+        "unit": "sentences/s",
+        "vs_baseline": round(
+            results.get("int8", 0.0) / BASELINES.get(preset, 506.0), 2
+        ),
+        "platform": jax.devices()[0].platform,
+        "per_output_dtype": results,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="minilm-l6")
@@ -124,15 +180,25 @@ def main() -> None:
     p.add_argument("--length-profile", default="stsb", choices=sorted(LENGTH_PROFILES))
     p.add_argument("--packing", default="auto", choices=["auto", "always", "never"])
     p.add_argument("--output-dtype", default="float32",
-                   choices=["float32", "float16", "bfloat16"],
+                   choices=["float32", "float16", "bfloat16", "int8"],
                    help="embedding transfer dtype (headline metric is f32, "
                         "matching the reference's float* outputs)")
+    p.add_argument("--ab-transfer", action="store_true",
+                   help="interleaved A/B of f32/f16/int8 embedding transfer "
+                        "within one run (immune to relay drift)")
     args = p.parse_args()
-    result = run_bench(
-        args.preset, args.ftype, args.dtype, args.q4_impl,
-        args.sentences, args.repeats, length_profile=args.length_profile,
-        packing=args.packing, output_dtype=args.output_dtype,
-    )
+    if args.ab_transfer:
+        result = run_ab_transfer(
+            args.preset, args.ftype, args.dtype,
+            args.sentences, args.repeats, length_profile=args.length_profile,
+            packing=args.packing,
+        )
+    else:
+        result = run_bench(
+            args.preset, args.ftype, args.dtype, args.q4_impl,
+            args.sentences, args.repeats, length_profile=args.length_profile,
+            packing=args.packing, output_dtype=args.output_dtype,
+        )
     print(json.dumps(result))
 
 

@@ -39,7 +39,11 @@ class ComputeOptions:
     # dtype of the returned embeddings.  "float32" matches the reference
     # (bert.h:46 float*); "float16"/"bfloat16" halve the device->host
     # transfer — on normalized embeddings f16 shifts cosine scores by ~1e-4,
-    # standard for vector stores.  Pooling/normalization still run in f32.
+    # standard for vector stores.  "int8" quarters it: the forward returns
+    # (int8 codes, f32 per-vector scale) and the host decodes — the
+    # device->host fetch is the measured bottleneck under the relay
+    # (CLAUDE.md), so transfer compression is throughput, not just memory.
+    # Pooling/normalization still run in f32.
     output_dtype: str = "float32"
     q4_impl: str = "xla"  # "xla" (fused by compiler) | "pallas" (our kernel)
     # "auto": fused Pallas kernel on TPU for S >= 128 (1.7x XLA at S=512,
@@ -232,6 +236,32 @@ def _l2_normalize(x: Array) -> Array:
     return x / jnp.maximum(norm, 1e-12)
 
 
+def quantize_output_i8(out: Array) -> tuple[Array, Array]:
+    """Per-vector symmetric int8: codes = round(x / scale), scale = amax/127.
+    On L2-normalized embeddings the round-trip error is ~amax/254 per
+    element (<0.5% of the largest component) — cosine scores move by ~1e-4.
+    Returns (int8 codes [..., E], f32 scales [...])."""
+    amax = jnp.max(jnp.abs(out), axis=-1)
+    scale = (amax / 127.0).astype(jnp.float32)
+    q = jnp.round(out / jnp.maximum(scale, 1e-20)[..., None])
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_output_i8(q, scale):
+    """Host-side decode of quantize_output_i8 (numpy or jax arrays)."""
+    import numpy as np
+
+    return np.asarray(q, dtype=np.float32) * np.asarray(scale)[..., None]
+
+
+def _cast_output(out: Array, opts: ComputeOptions):
+    """Apply the output transfer encoding: plain dtype cast, or int8
+    (codes, scales) pair."""
+    if opts.output_dtype == "int8":
+        return quantize_output_i8(out)
+    return out.astype(jnp.dtype(opts.output_dtype))
+
+
 def _output_head(pooled: Array, params: dict, config: BertConfig) -> Array:
     """Optional sentence-transformers Dense projection (pooled @ W + b with
     tanh/identity activation — e.g. LaBSE) between pooling and the L2 norm.
@@ -317,12 +347,10 @@ def bert_embed_batch(
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     pooled = pool_normalize(x, mask, config.pooling, normalize=False)
-    out = _output_head(pooled, params, config).astype(
-        jnp.dtype(opts.output_dtype)
-    )
+    out = _output_head(pooled, params, config)
     if gather_idx is not None:
-        return out[gather_idx]
-    return out
+        out = out[gather_idx]
+    return _cast_output(out, opts)
 
 
 def bert_embed_packed(
@@ -361,12 +389,10 @@ def bert_embed_packed(
     pooled = pool_normalize_packed(
         x, seg, pos, n_seg, config.pooling, normalize=False
     )
-    out = _output_head(pooled, params, config).astype(
-        jnp.dtype(opts.output_dtype)
-    )
+    out = _output_head(pooled, params, config)
     if gather_idx is not None:
-        return out.reshape(-1, out.shape[-1])[gather_idx]
-    return out
+        out = out.reshape(-1, out.shape[-1])[gather_idx]
+    return _cast_output(out, opts)
 
 
 def make_forward(config: BertConfig, opts: ComputeOptions = ComputeOptions()):

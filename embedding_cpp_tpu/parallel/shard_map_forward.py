@@ -45,6 +45,10 @@ def shard_params_and_make_forward_manual(
         inside_shard_map=True,
     )
     data_spec = P(DP_AXIS, None)
+    # int8 output mode returns (codes [B,E], scales [B])
+    out_spec = (
+        (data_spec, P(DP_AXIS)) if opts.output_dtype == "int8" else data_spec
+    )
 
     def body(p, ids, mask):
         return bert_embed_batch(p, ids, mask, config, body_opts)
@@ -54,7 +58,7 @@ def shard_params_and_make_forward_manual(
             body,
             mesh=mesh,
             in_specs=(pspecs, data_spec, data_spec),
-            out_specs=data_spec,
+            out_specs=out_spec,
             check_vma=False,
         )
     )
@@ -84,6 +88,12 @@ def make_packed_forward_manual(
     )
     data_spec = P(DP_AXIS, None)
 
+    out_spec = (
+        (P(DP_AXIS, None, None), P(DP_AXIS, None))
+        if opts.output_dtype == "int8"
+        else P(DP_AXIS, None, None)
+    )
+
     def make(n_seg: int, max_seg_len: int | None):
         def body(p, ids, seg, pos):
             # per-device local [B/dp, G, E] slot grid; gather on the host
@@ -98,7 +108,7 @@ def make_packed_forward_manual(
                 body,
                 mesh=mesh,
                 in_specs=(pspecs, data_spec, data_spec, data_spec),
-                out_specs=P(DP_AXIS, None, None),
+                out_specs=out_spec,
                 check_vma=False,
             )
         )

@@ -104,8 +104,15 @@ def shard_params_and_make_forward(
     params = jax.device_put(params, shardings)
 
     data_sharding = NamedSharding(mesh, P(DP_AXIS, None))
-    out_sharding = NamedSharding(mesh, P(DP_AXIS, None))
     rep = NamedSharding(mesh, P())
+    # int8 output mode returns an (codes [B,E], scales [B]) pair — the
+    # out_shardings pytree must match
+    if opts.output_dtype == "int8":
+        out_sharding = (data_sharding, NamedSharding(mesh, P(DP_AXIS)))
+        out_rep = (rep, rep)
+    else:
+        out_sharding = data_sharding
+        out_rep = rep
 
     @partial(
         jax.jit,
@@ -120,7 +127,7 @@ def shard_params_and_make_forward(
     @partial(
         jax.jit,
         in_shardings=(shardings, data_sharding, data_sharding, rep),
-        out_shardings=rep,
+        out_shardings=out_rep,
     )
     def forward_gather(p, ids, mask, gather_idx):
         return bert_embed_batch(p, ids, mask, config, opts,
@@ -136,12 +143,13 @@ def make_packed_forward(mesh, config: BertConfig, opts: ComputeOptions):
     and M is small (one vector per sentence)."""
     data = NamedSharding(mesh, P(DP_AXIS, None))
     rep = NamedSharding(mesh, P())
+    out_rep = (rep, rep) if opts.output_dtype == "int8" else rep
 
     @partial(
         jax.jit,
         static_argnums=(5,),  # n_seg (pjit forbids kwargs with in_shardings)
         in_shardings=(None, data, data, data, rep),
-        out_shardings=rep,
+        out_shardings=out_rep,
     )
     def forward(p, ids, seg, pos, gather_idx, n_seg):
         return bert_embed_packed(

@@ -12,7 +12,7 @@ from typing import Sequence
 
 import numpy as np
 
-from .server import MAGIC
+from .server import MAGIC, MAGIC_ENCODE_I8
 
 
 class EmbeddingClient:
@@ -29,11 +29,18 @@ class EmbeddingClient:
             buf += chunk
         return buf
 
-    def embed(self, texts: str | Sequence[str]) -> np.ndarray:
-        """Batched, length-framed (TPE2)."""
+    def embed(
+        self, texts: str | Sequence[str], wire: str = "f32"
+    ) -> np.ndarray:
+        """Batched, length-framed (TPE2).  `wire="int8"` requests the
+        int8-compressed reply (a quarter of the f32 bytes; the codes are
+        decoded here, so the return value is always f32)."""
         if isinstance(texts, str):
             texts = [texts]
-        payload = [MAGIC, struct.pack("<I", len(texts))]
+        if wire not in ("f32", "int8"):
+            raise ValueError(f"wire must be f32/int8, got {wire!r}")
+        magic = MAGIC_ENCODE_I8 if wire == "int8" else MAGIC
+        payload = [magic, struct.pack("<I", len(texts))]
         for t in texts:
             raw = t.encode("utf-8")
             payload.append(struct.pack("<I", len(raw)))
@@ -45,6 +52,12 @@ class EmbeddingClient:
             raise RuntimeError(
                 f"server error: {self._read_exactly(ln).decode('utf-8')}"
             )
+        if wire == "int8":
+            scales = np.frombuffer(self._read_exactly(count * 4), np.float32)
+            codes = np.frombuffer(
+                self._read_exactly(count * self.n_embd), np.int8
+            ).reshape(count, self.n_embd)
+            return codes.astype(np.float32) * scales[:, None]
         data = self._read_exactly(count * self.n_embd * 4)
         return np.frombuffer(data, np.float32).reshape(count, self.n_embd).copy()
 

@@ -298,6 +298,19 @@ class Engine:
         short = [i for i in packable if len(token_lists[i]) <= self.pack_seq // 4]
         return short if len(short) >= 32 else []
 
+    @staticmethod
+    def _fetch(res) -> np.ndarray:
+        """Device result -> host f32 matrix.  int8 output mode returns an
+        (int8 codes, f32 scales) pair — a quarter the transfer bytes of f32,
+        decoded here (the device->host fetch dominates the q4_0 MiniLM
+        pipeline; see ComputeOptions.output_dtype)."""
+        if isinstance(res, tuple):
+            from ..models.bert import dequantize_output_i8
+
+            q, scale = res
+            return dequantize_output_i8(np.asarray(q), np.asarray(scale))
+        return np.asarray(res)
+
     def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Token-id lists -> [n, n_embd] f32 (the reference's
         bert_eval_batch, but actually batched)."""
@@ -370,7 +383,7 @@ class Engine:
                     )
                 padded_slots += batch.ids.size
             for batch, vecs in pending:
-                vecs = np.asarray(vecs)
+                vecs = self._fetch(vecs)
                 if isinstance(batch, PackedSegBatch):
                     out[batch.orig] = vecs[: len(batch.orig)]
                 else:
@@ -430,4 +443,4 @@ class Engine:
                 ids = np.full((b, s), self.special_ids.pad, dtype=np.int32)
                 mask = np.zeros((b, s), dtype=np.int32)
                 mask[:, 0] = 1
-                np.asarray(self._forward((b, s))(self.params, ids, mask))
+                self._fetch(self._forward((b, s))(self.params, ids, mask))

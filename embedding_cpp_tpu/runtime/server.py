@@ -42,6 +42,10 @@ MAGIC_TOKENIZE = b"\x01TPT"  # u32 n | n*(u32 len | utf8) -> u32 n | n*(u32 k | 
 MAGIC_EVAL = b"\x01TPI"  # u32 n | n*(u32 k | k*i32) -> u32 n | n*n_embd f32
 MAGIC_META = b"\x01TPM"  # -> u32 len | JSON {n_embd, n_max_tokens, name, ...}
 MAGIC_VOCAB = b"\x01TPV"  # u32 id -> u32 len | utf8 token
+# int8-compressed encode: same request body as TPE2, reply
+# u32 n | n * f32 scale | n * n_embd * i8 — a quarter of the f32 reply bytes
+# (vec = codes * scale; cosine scores move ~1e-4 on normalized embeddings)
+MAGIC_ENCODE_I8 = b"\x01TP8"
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 # protocol sanity caps: a malformed/hostile frame must not drive unbounded
 # reads or allocations (the reference has no framing at all to validate)
@@ -143,7 +147,16 @@ async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
 
 
 _MAGICS = (MAGIC, MAGIC_STATS, MAGIC_HEALTH, MAGIC_TOKENIZE, MAGIC_EVAL,
-           MAGIC_META, MAGIC_VOCAB)
+           MAGIC_META, MAGIC_VOCAB, MAGIC_ENCODE_I8)
+
+
+def _quantize_i8_np(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vector symmetric int8 for the wire (codes, scales) — the host
+    analog of models.bert.quantize_output_i8."""
+    amax = np.max(np.abs(vecs), axis=-1)
+    scale = (amax / 127.0).astype(np.float32)
+    q = np.round(vecs / np.maximum(scale, 1e-20)[:, None]).astype(np.int8)
+    return q, scale
 
 
 async def _read_head(reader: asyncio.StreamReader) -> bytes:
@@ -285,7 +298,7 @@ async def handle_client(
                     continue
                 writer.write(struct.pack("<I", len(vecs)))
                 writer.write(np.ascontiguousarray(vecs, np.float32).tobytes())
-            elif head == MAGIC:
+            elif head == MAGIC or head == MAGIC_ENCODE_I8:
                 texts = await _read_texts(reader)
                 try:
                     vecs = await batcher.encode(texts)
@@ -295,7 +308,14 @@ async def handle_client(
                     batcher.stats.requests += 1
                     continue
                 writer.write(struct.pack("<I", len(vecs)))
-                writer.write(np.ascontiguousarray(vecs, np.float32).tobytes())
+                if head == MAGIC_ENCODE_I8:
+                    q, scale = _quantize_i8_np(np.asarray(vecs, np.float32))
+                    writer.write(scale.tobytes())
+                    writer.write(q.tobytes())
+                else:
+                    writer.write(
+                        np.ascontiguousarray(vecs, np.float32).tobytes()
+                    )
             else:
                 # raw mode: one read == one message (reference semantics)
                 rest = await reader.read(RAW_CHUNK - len(head))
@@ -347,10 +367,12 @@ def main() -> None:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
-    p.add_argument("--output-dtype", choices=["float32", "float16", "bfloat16"],
+    p.add_argument("--output-dtype",
+                   choices=["float32", "float16", "bfloat16", "int8"],
                    default="float32",
-                   help="embedding transfer dtype off the device (wire "
-                        "format is always f32)")
+                   help="embedding transfer dtype off the device (the f32 "
+                        "wire replies are unchanged; clients opt into int8 "
+                        "wire compression per-request via \\x01TP8)")
     p.add_argument("--packing", choices=["auto", "always", "never"],
                    default="auto", help="sequence packing policy")
     p.add_argument("--max-batch", type=int, default=256)

@@ -160,3 +160,43 @@ def test_encode_mixed_lengths_packed_and_bucketed():
     from conftest import tpu_atol
 
     np.testing.assert_allclose(a, b, atol=tpu_atol(2e-5), rtol=1e-4)
+
+
+def test_int8_output_transfer(gguf_path):
+    """output_dtype="int8" fetches (codes, scales) — a quarter of the f32
+    device->host bytes — and decodes to f32 embeddings within quantization
+    tolerance of the f32 path (per-vector symmetric scale: error <=
+    scale/2 = amax/254 per element)."""
+    f32 = Engine.from_gguf(gguf_path, opts=ComputeOptions(dtype="float32"))
+    i8 = Engine.from_gguf(
+        gguf_path,
+        opts=ComputeOptions(dtype="float32", output_dtype="int8"),
+    )
+    a = f32.encode(TEXTS)
+    b = i8.encode(TEXTS)
+    assert b.dtype == np.float32
+    # elementwise error bounded by half a quantization step
+    amax = np.abs(a).max(axis=1, keepdims=True)
+    assert np.all(np.abs(a - b) <= amax / 254 + 1e-7)
+    # cosine scores essentially unchanged
+    cos = np.sum(a * b, axis=1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    )
+    assert np.all(cos > 0.9999)
+
+
+def test_int8_output_packed(gguf_path):
+    """int8 transfer through the sequence-packed path (packed forward
+    returns the (codes, scales) pair through the compact gather)."""
+    i8 = Engine.from_gguf(
+        gguf_path,
+        opts=ComputeOptions(dtype="float32", output_dtype="int8"),
+        packing="always",
+    )
+    f32 = Engine.from_gguf(gguf_path, opts=ComputeOptions(dtype="float32"),
+                           packing="never")
+    texts = [f"short sentence {i}" for i in range(40)]
+    a = f32.encode(texts)
+    b = i8.encode(texts)
+    amax = np.abs(a).max(axis=1, keepdims=True)
+    assert np.all(np.abs(a - b) <= amax / 254 + 1e-5)

@@ -271,3 +271,15 @@ def test_malformed_frame_rejected(server):
     s2 = socket.create_connection(("127.0.0.1", port), 5)
     assert len(s2.recv(4)) == 4
     s2.close()
+
+
+def test_int8_wire_compression(server):
+    """\\x01TP8 framed encode: quarter-size reply decodes to within int8
+    quantization tolerance of the f32 reply."""
+    port, engine = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        texts = ["hello world", "the quick brown fox"]
+        f32 = c.embed(texts)
+        i8 = c.embed(texts, wire="int8")
+        amax = np.abs(f32).max(axis=1, keepdims=True)
+        assert np.all(np.abs(f32 - i8) <= amax / 254 + 1e-7)

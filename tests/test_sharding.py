@@ -143,3 +143,24 @@ def test_engine_with_mesh_dense_head(eight_devices):
     b = single.encode(texts)
     assert a.shape == (8, 48)
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_engine_mesh_int8_output(eight_devices):
+    """int8 transfer under a dp x tp mesh: the tuple output shardings
+    (codes sharded over dp / replicated on gather) compile and decode to
+    within quantization tolerance of the single-device f32 path."""
+    import dataclasses as _dc
+
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    pytest.importorskip("tokenizers")
+    mesh = make_mesh(dp=4, tp=2, devices=eight_devices)
+    opts_i8 = _dc.replace(OPTS, output_dtype="int8")
+    eng = Engine.synthetic(CFG, ftype="f32", opts=opts_i8, mesh=mesh)
+    single = Engine.synthetic(CFG, ftype="f32", opts=OPTS)
+    texts = ["hello world", "the quick brown fox", "a", "test sentence"] * 2
+    a = eng.encode(texts)
+    b = single.encode(texts)
+    amax = np.abs(b).max(axis=1, keepdims=True)
+    assert np.all(np.abs(a - b) <= amax / 254 + 2e-5)

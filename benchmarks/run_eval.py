@@ -35,6 +35,40 @@ ENGINE_MODES = ("f32", "f16", "q4_0", "q4_1")
 ALL_MODES = ENGINE_MODES + ("sbert", "sbert-batchless")
 ALL_TASKS = ("STSBenchmark", "EmotionClassification")
 
+# Pinned reference scores (BASELINE.md; reference benchmarks/results/
+# <model>_<mode>/<task>.json).  --assert-baseline gates a real-model run
+# against these: STSB = Spearman of cosine, Emotion = main accuracy score.
+# Tolerance matches the reference's own quantization delta class (~±0.01
+# Spearman, README.origin.md:143) plus bf16-activation headroom.
+EXPECTED_SCORES = {
+    # (model, mode, task): score
+    ("all-MiniLM-L6-v2", "f32", "STSBenchmark"): 0.8201,
+    ("all-MiniLM-L6-v2", "f16", "STSBenchmark"): 0.8201,
+    ("all-MiniLM-L6-v2", "q4_0", "STSBenchmark"): 0.8175,
+    ("all-MiniLM-L6-v2", "q4_1", "STSBenchmark"): 0.8223,
+    ("all-MiniLM-L6-v2", "f32", "EmotionClassification"): 0.4082,
+    ("all-MiniLM-L6-v2", "f16", "EmotionClassification"): 0.4085,
+    ("all-MiniLM-L6-v2", "q4_0", "EmotionClassification"): 0.3911,
+    ("all-MiniLM-L6-v2", "q4_1", "EmotionClassification"): 0.4027,
+    ("all-MiniLM-L12-v2", "f32", "STSBenchmark"): 0.8306,
+    ("all-MiniLM-L12-v2", "f16", "STSBenchmark"): 0.8306,
+    ("all-MiniLM-L12-v2", "q4_0", "STSBenchmark"): 0.8310,
+    ("all-MiniLM-L12-v2", "q4_1", "STSBenchmark"): 0.8325,
+    ("bert-base-uncased", "f32", "STSBenchmark"): 0.4738,
+    ("bert-base-uncased", "f16", "STSBenchmark"): 0.4739,
+    ("bert-base-uncased", "q4_0", "STSBenchmark"): 0.4940,
+    ("bert-base-uncased", "q4_1", "STSBenchmark"): 0.4612,
+}
+SCORE_TOLERANCE = 0.015
+
+
+def check_baseline(model_name: str, mode: str, task: str, score: float):
+    """Return (ok, expected) — ok=None when no pinned number exists."""
+    exp = EXPECTED_SCORES.get((model_name, mode, task))
+    if exp is None:
+        return None, None
+    return abs(score - exp) <= SCORE_TOLERANCE, exp
+
 
 def make_engine_encoder(gguf_path: str, dtype: str = "bfloat16"):
     from embedding_cpp_tpu.models.bert import ComputeOptions
@@ -76,7 +110,9 @@ def get_datasets(synthetic: bool, sts_json: str | None):
 
 
 def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names,
-             warmup: bool = False):
+             warmup: bool = False) -> dict[str, float]:
+    """Run the selected tasks; returns {task: score} for baseline gating."""
+    scores: dict[str, float] = {}
     outdir = RESULTS / f"{model_name}_{mode}"
     outdir.mkdir(parents=True, exist_ok=True)
     if warmup:
@@ -104,10 +140,32 @@ def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names,
         path.write_text(json.dumps(result, indent=2))
         t = result["test"]
         score = t.get("cos_sim", {}).get("spearman", t.get("main_score"))
+        scores[task_name] = score
         print(
             f"{model_name}_{mode:16s} {task_name:24s} "
             f"score={score:.4f} time={t['evaluation_time']}s"
         )
+    return scores
+
+
+def _gate_baseline(failures: list, model_name: str, mode: str,
+                   scores: dict, enabled: bool) -> None:
+    if not enabled:
+        return
+    for task, score in scores.items():
+        ok, exp = check_baseline(model_name, mode, task, score)
+        if ok is None:
+            print(f"! no pinned baseline for ({model_name}, {mode}, {task})",
+                  file=sys.stderr)
+        elif ok:
+            print(f"baseline OK: {model_name}_{mode} {task} "
+                  f"{score:.4f} vs {exp} (±{SCORE_TOLERANCE})",
+                  file=sys.stderr)
+        else:
+            failures.append(
+                f"{model_name}_{mode} {task}: got {score:.4f}, "
+                f"expected {exp} ±{SCORE_TOLERANCE}"
+            )
 
 
 def main() -> None:
@@ -127,7 +185,14 @@ def main() -> None:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile all batch shapes before timing "
-                        "(reported times then measure steady-state)")
+                        "(reported times then measure steady-state; in "
+                        "--server mode this warms the server's compiles "
+                        "through the socket)")
+    p.add_argument("--assert-baseline", action="store_true",
+                   help="gate scores against the pinned reference numbers "
+                        "(EXPECTED_SCORES / BASELINE.md); exits nonzero on "
+                        "a miss.  Use with a real checkpoint, e.g. "
+                        "--hf-dir .../all-MiniLM-L6-v2")
     p.add_argument("--model-name")
     args = p.parse_args()
 
@@ -135,6 +200,7 @@ def main() -> None:
     if sts is None and clf is None:
         print("no datasets available; nothing to do", file=sys.stderr)
         sys.exit(1)
+    failures: list[str] = []
 
     if args.synthetic:
         from embedding_cpp_tpu.cli.make_test_model import make_test_model
@@ -146,43 +212,59 @@ def main() -> None:
                     continue  # no sbert for synthetic weights
                 path = f"{td}/model-{mode}.gguf"
                 make_test_model(path, "minilm-l6", mode)
-                run_mode(mode, model_name, make_engine_encoder(path, args.dtype),
-                         sts, clf, args.tasks, warmup=args.warmup)
-        return
-
-    if args.server:
+                scores = run_mode(
+                    mode, model_name, make_engine_encoder(path, args.dtype),
+                    sts, clf, args.tasks, warmup=args.warmup)
+                _gate_baseline(failures, model_name, mode, scores,
+                               args.assert_baseline)
+    elif args.server:
         from embedding_cpp_tpu.runtime.client import EmbeddingClient
 
         host, _, port = args.server.rpartition(":")
         client = EmbeddingClient(host or "127.0.0.1", int(port))
         model_name = args.model_name or "server"
-        run_mode("server", model_name, client.embed, sts, clf, args.tasks)
+        scores = run_mode("server", model_name, client.embed, sts, clf,
+                          args.tasks, warmup=args.warmup)
+        _gate_baseline(failures, model_name, "server", scores,
+                       args.assert_baseline)
         client.close()
-        return
-
-    if args.gguf:
+    elif args.gguf:
         model_name = args.model_name or Path(args.gguf).stem
-        run_mode("gguf", model_name, make_engine_encoder(args.gguf, args.dtype),
-                 sts, clf, args.tasks, warmup=args.warmup)
-        return
+        scores = run_mode(
+            "gguf", model_name, make_engine_encoder(args.gguf, args.dtype),
+            sts, clf, args.tasks, warmup=args.warmup)
+        _gate_baseline(failures, model_name, "gguf", scores,
+                       args.assert_baseline)
+    else:
+        # HF dir: convert once per requested engine mode, plus sbert modes
+        from embedding_cpp_tpu.models.convert import convert_hf_dir
 
-    # HF dir: convert once per requested engine mode, plus sbert modes
-    from embedding_cpp_tpu.models.convert import convert_hf_dir
+        model_name = args.model_name or Path(args.hf_dir).name
+        with tempfile.TemporaryDirectory() as td:
+            for mode in args.modes:
+                if mode in ENGINE_MODES:
+                    path = f"{td}/model-{mode}.gguf"
+                    convert_hf_dir(args.hf_dir, path, mode)
+                    scores = run_mode(
+                        mode, model_name,
+                        make_engine_encoder(path, args.dtype),
+                        sts, clf, args.tasks, warmup=args.warmup)
+                    _gate_baseline(failures, model_name, mode, scores,
+                                   args.assert_baseline)
+                elif mode == "sbert":
+                    run_mode(mode, model_name,
+                             make_sbert_encoder(args.hf_dir, 32),
+                             sts, clf, args.tasks)
+                elif mode == "sbert-batchless":
+                    run_mode(mode, model_name,
+                             make_sbert_encoder(args.hf_dir, 1),
+                             sts, clf, args.tasks)
 
-    model_name = args.model_name or Path(args.hf_dir).name
-    with tempfile.TemporaryDirectory() as td:
-        for mode in args.modes:
-            if mode in ENGINE_MODES:
-                path = f"{td}/model-{mode}.gguf"
-                convert_hf_dir(args.hf_dir, path, mode)
-                run_mode(mode, model_name, make_engine_encoder(path, args.dtype),
-                         sts, clf, args.tasks, warmup=args.warmup)
-            elif mode == "sbert":
-                run_mode(mode, model_name, make_sbert_encoder(args.hf_dir, 32),
-                         sts, clf, args.tasks)
-            elif mode == "sbert-batchless":
-                run_mode(mode, model_name, make_sbert_encoder(args.hf_dir, 1),
-                         sts, clf, args.tasks)
+    if failures:
+        print("BASELINE ASSERTION FAILURES:", file=sys.stderr)
+        for f in failures:
+            print(f"  {f}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

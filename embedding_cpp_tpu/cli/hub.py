@@ -4,9 +4,10 @@ Equivalent of the reference's models/download-ggml.py and upload-to-hf.py
 (which target the `skeskinen/ggml` prebuilt repo).  Requires network access
 and `huggingface_hub`; degrades to a clear message otherwise.
 
-    python -m embedding_cpp_tpu.cli.hub list  <repo_id>
-    python -m embedding_cpp_tpu.cli.hub get   <repo_id> <filename> [-o DIR]
-    python -m embedding_cpp_tpu.cli.hub put   <repo_id> <local.gguf>
+    python -m embedding_cpp_tpu.cli.hub list     <repo_id>
+    python -m embedding_cpp_tpu.cli.hub get      <repo_id> <filename> [-o DIR]
+    python -m embedding_cpp_tpu.cli.hub put      <repo_id> <local.gguf>
+    python -m embedding_cpp_tpu.cli.hub download <repo_id> <dir>
 """
 from __future__ import annotations
 
@@ -36,6 +37,12 @@ def main() -> None:
     p_put = sub.add_parser("put")
     p_put.add_argument("repo_id")
     p_put.add_argument("path")
+    p_dl = sub.add_parser(
+        "download", help="snapshot a whole HF checkpoint into a local dir "
+                         "(for run_eval.py --hf-dir / Engine.from_hf_dir)"
+    )
+    p_dl.add_argument("repo_id")
+    p_dl.add_argument("outdir")
     args = p.parse_args()
 
     api = _api()
@@ -51,6 +58,11 @@ def main() -> None:
             path = hf_hub_download(
                 args.repo_id, args.filename, local_dir=args.outdir
             )
+            print(path)
+        elif args.cmd == "download":
+            from huggingface_hub import snapshot_download
+
+            path = snapshot_download(args.repo_id, local_dir=args.outdir)
             print(path)
         elif args.cmd == "put":
             import os

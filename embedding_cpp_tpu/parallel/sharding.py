@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.bert import ComputeOptions, bert_embed_batch, bert_embed_packed
@@ -73,19 +74,51 @@ def param_pspecs(params, config: BertConfig, tp: int):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def _globalize(mesh, spec):
+    """Returns a converter: numpy batch -> global jax.Array on a
+    multi-process mesh (jit rejects numpy inputs with non-trivial shardings
+    there).  Identical-on-all-hosts inputs are the caller's contract — the
+    serving plane guarantees it by leader broadcast
+    (parallel/distributed.py); per-host streams use
+    distributed.local_batch instead.  Single-process: no-op."""
+    import jax
+
+    if jax.process_count() == 1:
+        return lambda arr: arr
+    sharding = NamedSharding(mesh, spec)
+
+    def convert(arr):
+        if isinstance(arr, jax.Array):  # already global (per-host stream)
+            return arr
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return convert
+
+
 class ShardedForward:
     """Callable distributed forward.  `__call__` keeps the batch-sharded
     output; `.gather` is the compact-output variant (gather_idx picks the
     real rows on device, so padded batch rows never cross the device->host
     link — the same transfer optimization the single-device engine applies,
-    engine.py compact gather)."""
+    engine.py compact gather).  On a multi-process mesh, numpy data inputs
+    are converted to global arrays (identical-inputs contract; see
+    _globalize)."""
 
-    def __init__(self, plain, gather):
+    def __init__(self, plain, gather, to_global=lambda arr: arr):
         self._plain = plain
-        self.gather = gather
+        self._gather = gather
+        self._to_global = to_global
 
     def __call__(self, p, ids, mask):
-        return self._plain(p, ids, mask)
+        return self._plain(p, self._to_global(ids), self._to_global(mask))
+
+    def gather(self, p, ids, mask, gather_idx):
+        return self._gather(
+            p, self._to_global(ids), self._to_global(mask), gather_idx
+        )
 
 
 def shard_params_and_make_forward(
@@ -133,7 +166,9 @@ def shard_params_and_make_forward(
         return bert_embed_batch(p, ids, mask, config, opts,
                                 gather_idx=gather_idx)
 
-    return params, ShardedForward(forward, forward_gather)
+    return params, ShardedForward(
+        forward, forward_gather, _globalize(mesh, P(DP_AXIS, None))
+    )
 
 
 def make_packed_forward(mesh, config: BertConfig, opts: ComputeOptions):
@@ -156,4 +191,9 @@ def make_packed_forward(mesh, config: BertConfig, opts: ComputeOptions):
             p, ids, seg, pos, config, opts, n_seg=n_seg, gather_idx=gather_idx
         )
 
-    return forward
+    conv = _globalize(mesh, P(DP_AXIS, None))
+
+    def packed(p, ids, seg, pos, gather_idx, n_seg):
+        return forward(p, conv(ids), conv(seg), conv(pos), gather_idx, n_seg)
+
+    return packed

@@ -94,6 +94,11 @@ class Engine:
         else:
             self.params = jax.device_put(params)
             self._sharded_forward = None
+        # multi-host mesh (jax.distributed): plain dp-sharded outputs span
+        # non-addressable devices, so every plain batch routes through the
+        # compact gather (replicated output, locally fetchable) — see
+        # parallel/distributed.py for the serving control plane
+        self._multiprocess = mesh is not None and jax.process_count() > 1
 
     # --- constructors -------------------------------------------------------
     @classmethod
@@ -299,7 +304,22 @@ class Engine:
         return short if len(short) >= 32 else []
 
     @staticmethod
-    def _fetch(res) -> np.ndarray:
+    def _to_host(arr) -> np.ndarray:
+        """One device array -> numpy, tolerating multi-host shardings (a
+        dp-sharded output spanning other hosts' devices all-gathers; all
+        processes reach this in the same order — SPMD lockstep)."""
+        if (
+            isinstance(arr, jax.Array)
+            and not arr.sharding.is_fully_addressable
+            and not arr.sharding.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
+
+    @classmethod
+    def _fetch(cls, res) -> np.ndarray:
         """Device result -> host f32 matrix.  int8 output mode returns an
         (int8 codes, f32 scales) pair — a quarter the transfer bytes of f32,
         decoded here (the device->host fetch dominates the q4_0 MiniLM
@@ -308,8 +328,8 @@ class Engine:
             from ..models.bert import dequantize_output_i8
 
             q, scale = res
-            return dequantize_output_i8(np.asarray(q), np.asarray(scale))
-        return np.asarray(res)
+            return dequantize_output_i8(cls._to_host(q), cls._to_host(scale))
+        return cls._to_host(res)
 
     def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Token-id lists -> [n, n_embd] f32 (the reference's
@@ -369,7 +389,7 @@ class Engine:
             for batch in batches:
                 n_real = len(batch.positions)
                 pad_rows = batch.ids.shape[0] - n_real
-                if pad_rows > 64:
+                if pad_rows > 64 or self._multiprocess:
                     # compact gather: padded rows cost FLOPs, not transfer
                     gidx = self._gather_idx(np.arange(n_real, dtype=np.int32))
                     fwd = self._forward(batch.ids.shape, gather=True)
@@ -443,4 +463,12 @@ class Engine:
                 ids = np.full((b, s), self.special_ids.pad, dtype=np.int32)
                 mask = np.zeros((b, s), dtype=np.int32)
                 mask[:, 0] = 1
-                self._fetch(self._forward((b, s))(self.params, ids, mask))
+                if self._multiprocess:  # warm the path embed_tokens will use
+                    gidx = self._gather_idx(np.arange(b, dtype=np.int32))
+                    self._fetch(
+                        self._forward((b, s), gather=True)(
+                            self.params, ids, mask, gidx
+                        )
+                    )
+                else:
+                    self._fetch(self._forward((b, s))(self.params, ids, mask))

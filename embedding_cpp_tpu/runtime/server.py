@@ -381,13 +381,20 @@ def main() -> None:
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh size (Megatron sharding)")
+    from ..parallel import distributed as dist
+
+    dist.add_args(p)
     args = p.parse_args()
+
+    # multi-host: join the JAX distributed system before any device work;
+    # jax.devices() then spans every process (SURVEY §2.4 comm backend)
+    multihost = dist.init_from_args(args)
 
     from ..models.bert import ComputeOptions
     from .engine import Engine
 
     mesh = None
-    if args.dp or args.tp > 1:
+    if args.dp or args.tp > 1 or multihost:
         import jax
 
         from ..parallel.mesh import make_mesh
@@ -407,7 +414,24 @@ def main() -> None:
         packing=args.packing,
         mesh=mesh,
     )
-    engine.warmup()
+    engine.warmup()  # all processes warm identically (SPMD lockstep)
+    if multihost:
+        import jax
+
+        if jax.process_index() == 0:
+            # leader: owns the client sockets; every device dispatch is
+            # broadcast to the followers first (see parallel/distributed.py)
+            dist.make_leader(engine)
+            try:
+                asyncio.run(serve(engine, args.host, args.port,
+                                  args.max_batch, args.window_ms))
+            finally:
+                dist.broadcast_stop()
+        else:
+            print(f"follower process {jax.process_index()} "
+                  f"of {jax.process_count()} ready", file=sys.stderr)
+            dist.follower_loop(engine)
+        return
     asyncio.run(serve(engine, args.host, args.port, args.max_batch, args.window_ms))
 
 

@@ -34,6 +34,14 @@ def main() -> None:
     p.add_argument("--preset", default="minilm-l6")
     p.add_argument("--ftype", default="q4_0")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--dp", type=int, default=0,
+                   help="serve from a dp(xtp) mesh (0 = single device); on "
+                        "a CPU run pair with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=8")
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--wire", choices=["f32", "int8"], default="f32",
+                   help="client-side reply compression")
+    p.add_argument("--json-out", help="also write the JSON result to a file")
     args = p.parse_args()
 
     from bench import synthetic_sentences
@@ -44,9 +52,19 @@ def main() -> None:
     from embedding_cpp_tpu.runtime.engine import Engine
     from embedding_cpp_tpu.runtime.server import serve
 
+    mesh = None
+    if args.dp or args.tp > 1:
+        import jax
+
+        from embedding_cpp_tpu.parallel.mesh import make_mesh
+
+        dp = args.dp or (len(jax.devices()) // args.tp)
+        mesh = make_mesh(dp=dp, tp=args.tp,
+                         devices=jax.devices()[: dp * args.tp])
     engine = Engine.synthetic(
         PRESETS[args.preset], ftype=args.ftype,
         opts=ComputeOptions(dtype=args.dtype),
+        mesh=mesh,
     )
 
     import socket
@@ -80,7 +98,7 @@ def main() -> None:
     # warmup: compile the shapes this traffic will hit
     warm = EmbeddingClient("127.0.0.1", port)
     for start in range(0, len(texts), args.batch):
-        warm.embed(texts[start : start + args.batch])
+        warm.embed(texts[start : start + args.batch], wire=args.wire)
     warm.close()
 
     done = []
@@ -90,7 +108,7 @@ def main() -> None:
         n = 0
         for start in range(0, len(texts), args.batch):
             chunk = texts[start : start + args.batch]
-            vecs = c.embed(chunk)
+            vecs = c.embed(chunk, wire=args.wire)
             n += len(vecs)
         c.close()
         done.append(n)
@@ -106,14 +124,23 @@ def main() -> None:
     total = int(np.sum(done))
     sps = total / dt
 
+    import jax
+
     print(f"# {args.clients} clients x {args.sentences} sentences "
           f"(batch {args.batch}): {total} served in {dt:.2f}s", file=sys.stderr)
-    print(json.dumps({
-        "metric": f"served_sentences_per_sec_{args.preset}_{args.ftype}",
+    mesh_tag = f"_dp{args.dp}_tp{args.tp}" if mesh is not None else ""
+    result = {
+        "metric": f"served_sentences_per_sec_{args.preset}_{args.ftype}"
+                  f"{mesh_tag}",
         "value": round(sps, 1),
         "unit": "sentences/s",
         "clients": args.clients,
-    }))
+        "platform": jax.devices()[0].platform,
+        "wire": args.wire,
+    }
+    print(json.dumps(result))
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":

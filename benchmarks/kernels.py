@@ -26,57 +26,100 @@ def _sync(y) -> float:
     return float(np.asarray(y))
 
 
-def bench_q4_ffn(m: int, e: int = 384, f: int = 1536, iters: int = 300) -> dict:
-    import jax
+def _make_ffn_pair(m: int, e: int, f: int, weight_scale: float):
     import jax.numpy as jnp
 
     from embedding_cpp_tpu.gguf import GGMLType
     from embedding_cpp_tpu.gguf.quant import quantize_q4_0
-    from embedding_cpp_tpu.ops.q4_matmul import q4_matmul
-    from embedding_cpp_tpu.ops.qtensor import Q4Tensor, dequantize, pack_q4_matmul
+    from embedding_cpp_tpu.ops.qtensor import pack_q4_matmul
 
     rng = np.random.default_rng(0)
     q_up = pack_q4_matmul(
-        quantize_q4_0(rng.normal(size=(f, e)).astype(np.float32)), (f, e),
-        GGMLType.Q4_0,
+        quantize_q4_0((rng.normal(size=(f, e)) * weight_scale).astype(np.float32)),
+        (f, e), GGMLType.Q4_0,
     )
     q_dn = pack_q4_matmul(
-        quantize_q4_0(rng.normal(size=(e, f)).astype(np.float32)), (e, f),
-        GGMLType.Q4_0,
+        quantize_q4_0((rng.normal(size=(e, f)) * weight_scale).astype(np.float32)),
+        (e, f), GGMLType.Q4_0,
     )
     x0 = jnp.asarray(rng.normal(size=(m, e)), dtype=jnp.bfloat16)
-    flops = 2 * m * e * f * 2
+    return q_up, q_dn, x0
 
+
+def _bench_pair(q_up, q_dn, x0, up_impl: str, dn_impl: str, iters: int,
+                epilogue: bool) -> float:
+    """Best-of time per FFN-pair iteration for the chosen impl combo.
+    With epilogue=True a `* 1e-3` elementwise sits between the matmuls —
+    XLA fuses it into its matmul, a pallas_call cannot absorb it."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.ops.q4_matmul import q4_matmul
+    from embedding_cpp_tpu.ops.qtensor import Q4Tensor, dequantize
+
+    def mm(x, t, impl):
+        if impl == "pallas":
+            return q4_matmul(x, t)  # already x.dtype out
+        return jnp.matmul(
+            x, dequantize(t, dtype=x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+    @jax.jit
+    def loop(x, a_qs, a_s, b_qs, b_s):
+        ta = Q4Tensor(qs=a_qs, scales=a_s, mins=None, shape=q_up.shape,
+                      qtype=q_up.qtype)
+        tb = Q4Tensor(qs=b_qs, scales=b_s, mins=None, shape=q_dn.shape,
+                      qtype=q_dn.qtype)
+
+        def body(i, x):
+            h = mm(x, ta, up_impl)
+            if epilogue:
+                h = (h * 1e-3).astype(x.dtype)
+            y = mm(h, tb, dn_impl)
+            if epilogue:
+                y = (y * 1e-3).astype(x.dtype)
+            return y
+
+        return jnp.sum(
+            jax.lax.fori_loop(0, iters, body, x).astype(jnp.float32)
+        )
+
+    args = (x0, q_up.qs, q_up.scales, q_dn.qs, q_dn.scales)
+    _sync(loop(*args))
+    best = min(_timed(lambda: _sync(loop(*args))) for _ in range(3))
+    return max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+
+
+def bench_q4_ffn(m: int, e: int = 384, f: int = 1536, iters: int = 300) -> dict:
+    """Pure fused-dequant matmul throughput: the FFN pair chained with NO
+    elementwise between matmuls (weights pre-scaled so activations stay
+    finite).  Measures the dot + dequant, not epilogue fusion — see
+    bench_q4_epilogue for that."""
+    q_up, q_dn, x0 = _make_ffn_pair(m, e, f, weight_scale=2e-2)
+    flops = 2 * m * e * f * 2
     out = {}
     for impl in ("pallas", "xla"):
-        def mm(x, t):
-            if impl == "pallas":
-                return q4_matmul(x, t)
-            return jnp.matmul(
-                x, dequantize(t, dtype=x.dtype),
-                preferred_element_type=jnp.float32,
-            )
+        per = _bench_pair(q_up, q_dn, x0, impl, impl, iters, epilogue=False)
+        out[impl] = {"us": round(per * 1e6, 1),
+                     "tflops": round(flops / per / 1e12, 1)}
+    return out
 
-        @jax.jit
-        def loop(x, a_qs, a_s, b_qs, b_s):
-            ta = Q4Tensor(qs=a_qs, scales=a_s, mins=None, shape=q_up.shape,
-                          qtype=q_up.qtype)
-            tb = Q4Tensor(qs=b_qs, scales=b_s, mins=None, shape=q_dn.shape,
-                          qtype=q_dn.qtype)
 
-            def body(i, x):
-                h = mm(x, ta).astype(jnp.bfloat16) * 1e-3
-                return mm(h, tb).astype(jnp.bfloat16) * 1e-3
-
-            return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
-
-        args = (x0, q_up.qs, q_up.scales, q_dn.qs, q_dn.scales)
-        _sync(loop(*args))
-        best = min(
-            _timed(lambda: _sync(loop(*args))) for _ in range(2)
-        )
-        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
-        out[impl] = {"us": round(per * 1e6, 1), "tflops": round(flops / per / 1e12, 1)}
+def bench_q4_epilogue(m: int, e: int = 384, f: int = 1536,
+                      iters: int = 100) -> dict:
+    """Epilogue-fusion control (benchmarks/results/q4_kernel_analysis.md):
+    the same pair with a `* 1e-3` cast between the matmuls.  XLA absorbs the
+    elementwise into its matmul epilogue; after a pallas_call it becomes a
+    separate full-array HBM pass — this, not the Mosaic dot, was the r1
+    "pallas loses at M=32k" gap.  Mixed combos isolate per-matmul cost."""
+    q_up, q_dn, x0 = _make_ffn_pair(m, e, f, weight_scale=1.0)
+    flops = 2 * m * e * f * 2
+    out = {}
+    for up, dn in (("pallas", "pallas"), ("pallas", "xla"),
+                   ("xla", "pallas"), ("xla", "xla")):
+        per = _bench_pair(q_up, q_dn, x0, up, dn, iters, epilogue=True)
+        out[f"{up[0]}{dn[0]}"] = {"us": round(per * 1e6, 1),
+                                  "tflops": round(flops / per / 1e12, 1)}
     return out
 
 
@@ -187,6 +230,12 @@ def main() -> None:
         print(f"q4 ffn M={m:6d}: pallas {r['pallas']['us']:8.1f}us "
               f"{r['pallas']['tflops']:6.1f} TF/s | xla {r['xla']['us']:8.1f}us "
               f"{r['xla']['tflops']:6.1f} TF/s", file=sys.stderr)
+    r = bench_q4_epilogue(max(args.m))
+    results["q4_epilogue"] = {max(args.m): r}
+    print("q4 epilogue combos (up,dn) M="
+          f"{max(args.m)}: " + "  ".join(
+              f"{k}={v['us']}us/{v['tflops']}TF" for k, v in r.items()),
+          file=sys.stderr)
     r = bench_attention()
     results["attention"]["b32_s512"] = r
     print(f"attention B=32 S=512: pallas {r['pallas']['us']:8.1f}us | "

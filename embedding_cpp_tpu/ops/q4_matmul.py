@@ -201,22 +201,32 @@ def q4_matmul(x: Array, w: Q4Tensor) -> Array:
     assert k == k2 * 2, (x.shape, w.qs.shape)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
-    tm = _pick_tile(m, (512, 256, 128, 64, 32, 16, 8))
-    if m % tm or tm % sublane or k % QK4 or n % 128:
+    itemsize = x.dtype.itemsize
+
+    def vmem_est(tm: int) -> int:
+        # VMEM for the 1-D (full-weight-resident) kernel, x2 buffered
+        return (
+            k * n * itemsize  # dequantized weight scratch
+            + 2 * tm * (k + n) * itemsize  # double-buffered x and out tiles
+            + (k // 2) * n  # packed nibbles
+            + (k // QK4) * n * 4 * (2 if w.mins is not None else 1)
+        )
+
+    candidates = tuple(
+        c for c in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+        if c <= m and m % c == 0 and c % sublane == 0
+    )
+    if not candidates or k % QK4 or n % 128:
         from .qtensor import dequantize
 
         wd = dequantize(w, dtype=x.dtype)
         return jnp.matmul(x, wd, preferred_element_type=jnp.float32)
 
-    # VMEM budget for the 1-D (full-weight-resident) kernel, x2 buffered
-    itemsize = x.dtype.itemsize
-    vmem_est = (
-        k * n * itemsize  # dequantized weight scratch
-        + 2 * tm * (k + n) * itemsize  # double-buffered x and out tiles
-        + (k // 2) * n  # packed nibbles
-        + (k // QK4) * n * 4 * (2 if w.mins is not None else 1)
-    )
-    if vmem_est <= 12 * 1024 * 1024:
+    # largest M tile that fits VMEM: fewer grid steps amortize the per-tile
+    # pipeline overhead (tm=1024 measured 181 TF/s for the FFN pair at M=32k
+    # vs 512's ~176; benchmarks/results/q4_kernel_analysis.md)
+    tm = next((c for c in candidates if vmem_est(c) <= 12 * 1024 * 1024), 0)
+    if tm:
         return _q4_matmul_1d(x, w.qs, w.scales, w.mins, tm=tm)
     tn = _pick_tile(n, (512, 384, 256, 128))
     if n % tn:

@@ -254,11 +254,35 @@ def dequantize_output_i8(q, scale):
     return np.asarray(q, dtype=np.float32) * np.asarray(scale)[..., None]
 
 
+def pack_output_i8(out: Array) -> Array:
+    """Quantize + bit-pack into ONE uint8 array [..., E+4]: codes in the
+    first E bytes, the f32 scale's 4 bytes appended.  One array means one
+    device->host fetch — the relay pays a ~25 ms round trip PER FETCH, so a
+    (codes, scales) pair costs an extra RTT per batch that erases the size
+    win (measured: pair-int8 20.9k < f16 21.7k sentences/s; packed avoids
+    it)."""
+    q, scale = quantize_output_i8(out)
+    qb = jax.lax.bitcast_convert_type(q, jnp.uint8)
+    sb = jax.lax.bitcast_convert_type(scale, jnp.uint8)  # [..., 4]
+    return jnp.concatenate([qb, sb], axis=-1)
+
+
+def unpack_output_i8(packed) -> "jnp.ndarray":
+    """Host-side decode of pack_output_i8: numpy [..., E+4] u8 -> f32
+    [..., E]."""
+    import numpy as np
+
+    packed = np.ascontiguousarray(packed)
+    q = packed[..., :-4].view(np.int8)
+    scale = np.ascontiguousarray(packed[..., -4:]).view(np.float32)[..., 0]
+    return q.astype(np.float32) * scale[..., None]
+
+
 def _cast_output(out: Array, opts: ComputeOptions):
-    """Apply the output transfer encoding: plain dtype cast, or int8
-    (codes, scales) pair."""
+    """Apply the output transfer encoding: plain dtype cast, or packed int8
+    (uint8 [..., E+4]; see pack_output_i8)."""
     if opts.output_dtype == "int8":
-        return quantize_output_i8(out)
+        return pack_output_i8(out)
     return out.astype(jnp.dtype(opts.output_dtype))
 
 

@@ -45,10 +45,7 @@ def shard_params_and_make_forward_manual(
         inside_shard_map=True,
     )
     data_spec = P(DP_AXIS, None)
-    # int8 output mode returns (codes [B,E], scales [B])
-    out_spec = (
-        (data_spec, P(DP_AXIS)) if opts.output_dtype == "int8" else data_spec
-    )
+    out_spec = data_spec  # int8 mode packs into one uint8 [B, E+4] array
 
     def body(p, ids, mask):
         return bert_embed_batch(p, ids, mask, config, body_opts)
@@ -88,11 +85,7 @@ def make_packed_forward_manual(
     )
     data_spec = P(DP_AXIS, None)
 
-    out_spec = (
-        (P(DP_AXIS, None, None), P(DP_AXIS, None))
-        if opts.output_dtype == "int8"
-        else P(DP_AXIS, None, None)
-    )
+    out_spec = P(DP_AXIS, None, None)  # int8 mode packs into one u8 array
 
     def make(n_seg: int, max_seg_len: int | None):
         def body(p, ids, seg, pos):

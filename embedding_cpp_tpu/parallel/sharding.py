@@ -138,14 +138,10 @@ def shard_params_and_make_forward(
 
     data_sharding = NamedSharding(mesh, P(DP_AXIS, None))
     rep = NamedSharding(mesh, P())
-    # int8 output mode returns an (codes [B,E], scales [B]) pair — the
-    # out_shardings pytree must match
-    if opts.output_dtype == "int8":
-        out_sharding = (data_sharding, NamedSharding(mesh, P(DP_AXIS)))
-        out_rep = (rep, rep)
-    else:
-        out_sharding = data_sharding
-        out_rep = rep
+    # int8 output mode returns one packed uint8 [B, E+4] array — same
+    # batch-axis sharding as any other output dtype
+    out_sharding = data_sharding
+    out_rep = rep
 
     @partial(
         jax.jit,
@@ -178,7 +174,7 @@ def make_packed_forward(mesh, config: BertConfig, opts: ComputeOptions):
     and M is small (one vector per sentence)."""
     data = NamedSharding(mesh, P(DP_AXIS, None))
     rep = NamedSharding(mesh, P())
-    out_rep = (rep, rep) if opts.output_dtype == "int8" else rep
+    out_rep = rep  # int8 mode packs into one uint8 array
 
     @partial(
         jax.jit,

@@ -320,16 +320,17 @@ class Engine:
 
     @classmethod
     def _fetch(cls, res) -> np.ndarray:
-        """Device result -> host f32 matrix.  int8 output mode returns an
-        (int8 codes, f32 scales) pair — a quarter the transfer bytes of f32,
-        decoded here (the device->host fetch dominates the q4_0 MiniLM
-        pipeline; see ComputeOptions.output_dtype)."""
-        if isinstance(res, tuple):
-            from ..models.bert import dequantize_output_i8
+        """Device result -> host f32 matrix.  int8 output mode returns one
+        packed uint8 array (codes + scale bytes, models.bert.pack_output_i8)
+        — a quarter the transfer bytes of f32 in a single fetch (the
+        device->host fetch dominates the q4_0 MiniLM pipeline; see
+        ComputeOptions.output_dtype)."""
+        host = cls._to_host(res)
+        if host.dtype == np.uint8:
+            from ..models.bert import unpack_output_i8
 
-            q, scale = res
-            return dequantize_output_i8(cls._to_host(q), cls._to_host(scale))
-        return cls._to_host(res)
+            return unpack_output_i8(host)
+        return host
 
     def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Token-id lists -> [n, n_embd] f32 (the reference's

@@ -12,7 +12,7 @@ from typing import Sequence
 
 import numpy as np
 
-from .server import MAGIC, MAGIC_ENCODE_I8
+from .server import MAGIC, MAGIC_ENCODE_I8, MAGIC_INDEX, MAGIC_SEARCH
 
 
 class EmbeddingClient:
@@ -60,6 +60,46 @@ class EmbeddingClient:
             return codes.astype(np.float32) * scales[:, None]
         data = self._read_exactly(count * self.n_embd * 4)
         return np.frombuffer(data, np.float32).reshape(count, self.n_embd).copy()
+
+    def _send_texts(self, magic: bytes, texts: Sequence[str],
+                    prefix: bytes = b"") -> None:
+        payload = [magic, prefix, struct.pack("<I", len(texts))]
+        for t in texts:
+            raw = t.encode("utf-8")
+            payload.append(struct.pack("<I", len(raw)))
+            payload.append(raw)
+        self.sock.sendall(b"".join(payload))
+
+    def _check_error(self, head: int) -> None:
+        if head == 0xFFFFFFFF:
+            (ln,) = struct.unpack("<I", self._read_exactly(4))
+            raise RuntimeError(
+                f"server error: {self._read_exactly(ln).decode('utf-8')}"
+            )
+
+    def index(self, texts: Sequence[str]) -> int:
+        """Embed texts into the server's on-device vector index; returns the
+        total indexed count.  The vectors never leave the device."""
+        self._send_texts(MAGIC_INDEX, list(texts))
+        (total,) = struct.unpack("<I", self._read_exactly(4))
+        self._check_error(total)
+        return total
+
+    def search(self, queries: Sequence[str], k: int = 10):
+        """Top-k over the server's on-device index: returns
+        (indices [n, k] int32, scores [n, k] f32) — only ids + scores cross
+        the wire (the reference's sample_client pulls every corpus vector)."""
+        self._send_texts(MAGIC_SEARCH, list(queries), struct.pack("<I", k))
+        (n,) = struct.unpack("<I", self._read_exactly(4))
+        self._check_error(n)
+        (kk,) = struct.unpack("<I", self._read_exactly(4))
+        idx = np.frombuffer(
+            self._read_exactly(4 * n * kk), np.int32
+        ).reshape(n, kk).copy()
+        scores = np.frombuffer(
+            self._read_exactly(4 * n * kk), np.float32
+        ).reshape(n, kk).copy()
+        return idx, scores
 
     def stats(self) -> dict:
         """Server metrics snapshot (TPES)."""

@@ -46,6 +46,13 @@ MAGIC_VOCAB = b"\x01TPV"  # u32 id -> u32 len | utf8 token
 # u32 n | n * f32 scale | n * n_embd * i8 — a quarter of the f32 reply bytes
 # (vec = codes * scale; cosine scores move ~1e-4 on normalized embeddings)
 MAGIC_ENCODE_I8 = b"\x01TP8"
+# on-device vector search (runtime/search.py — embeddings never leave HBM;
+# the reference's sample_client pulls the whole corpus over the socket):
+# index:  u32 n | n*(u32 len | utf8)          -> u32 total_indexed
+# search: u32 k | u32 n | n*(u32 len | utf8)  -> u32 n | u32 k |
+#                                                n*k i32 idx | n*k f32 score
+MAGIC_INDEX = b"\x01TPB"
+MAGIC_SEARCH = b"\x01TPS"
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 # protocol sanity caps: a malformed/hostile frame must not drive unbounded
 # reads or allocations (the reference has no framing at all to validate)
@@ -87,6 +94,19 @@ class ContinuousBatcher:
         self.queue: asyncio.Queue = asyncio.Queue()
         self.stats = ServerStats()
         self._task: asyncio.Task | None = None
+        self.index = None  # lazy on-device VectorIndex (shared, thread-safe)
+
+    def index_texts(self, texts: list[str]) -> int:
+        if self.index is None:
+            from .search import VectorIndex
+
+            self.index = VectorIndex(self.engine)
+        return self.index.add(texts)
+
+    def search_texts(self, texts: list[str], k: int):
+        if self.index is None:
+            raise RuntimeError("no index built (send an index frame first)")
+        return self.index.search(texts, k)
 
     async def start(self) -> None:
         self._task = asyncio.create_task(self._run())
@@ -147,7 +167,8 @@ async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
 
 
 _MAGICS = (MAGIC, MAGIC_STATS, MAGIC_HEALTH, MAGIC_TOKENIZE, MAGIC_EVAL,
-           MAGIC_META, MAGIC_VOCAB, MAGIC_ENCODE_I8)
+           MAGIC_META, MAGIC_VOCAB, MAGIC_ENCODE_I8, MAGIC_INDEX,
+           MAGIC_SEARCH)
 
 
 def _quantize_i8_np(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -298,6 +319,38 @@ async def handle_client(
                     continue
                 writer.write(struct.pack("<I", len(vecs)))
                 writer.write(np.ascontiguousarray(vecs, np.float32).tobytes())
+            elif head == MAGIC_INDEX:
+                texts = await _read_texts(reader)
+                loop = asyncio.get_running_loop()
+                try:
+                    total = await loop.run_in_executor(
+                        None, batcher.index_texts, texts
+                    )
+                except Exception as e:
+                    _error_frame(writer, e)
+                    await writer.drain()
+                    batcher.stats.requests += 1
+                    continue
+                writer.write(struct.pack("<I", total))
+            elif head == MAGIC_SEARCH:
+                (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                _check(0 < k <= (1 << 12), f"top-k {k}")
+                texts = await _read_texts(reader)
+                loop = asyncio.get_running_loop()
+                try:
+                    idx, scores = await loop.run_in_executor(
+                        None, batcher.search_texts, texts, int(k)
+                    )
+                except Exception as e:
+                    _error_frame(writer, e)
+                    await writer.drain()
+                    batcher.stats.requests += 1
+                    continue
+                writer.write(struct.pack("<II", idx.shape[0], idx.shape[1]))
+                writer.write(np.ascontiguousarray(idx, np.int32).tobytes())
+                writer.write(
+                    np.ascontiguousarray(scores, np.float32).tobytes()
+                )
             elif head == MAGIC or head == MAGIC_ENCODE_I8:
                 texts = await _read_texts(reader)
                 try:

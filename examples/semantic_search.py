@@ -1,20 +1,23 @@
 """Semantic search demo: embed a corpus once, answer queries by cosine.
 
-The in-process analog of the reference's examples/sample_client.py flow
-(embed sample_client_texts.txt, then interactive top-k), using the Engine
-directly — the corpus embeds in one packed call instead of a socket
-round-trip per sentence.
+The analog of the reference's examples/sample_client.py flow (embed
+sample_client_texts.txt, then interactive top-k).  Two modes:
+
+- in-process (default): Engine + the on-device VectorIndex — the corpus
+  embeds in one packed call, stays in HBM, and each query fetches only k
+  ids + scores (the reference pulls every corpus vector to the client);
+- remote (--server host:port): the same index/search through a running
+  embedding server's \\x01TPB / \\x01TPS frames.
 
 Usage:
     python examples/semantic_search.py <model.gguf> [corpus.txt] [-k 5]
+    python examples/semantic_search.py --server 127.0.0.1:8080
     echo "how do plants make food" | python examples/semantic_search.py m.gguf
 """
 import argparse
 import os
 import sys
 import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -24,23 +27,40 @@ DEFAULT_CORPUS = os.path.join(os.path.dirname(__file__),
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("model", help="GGUF model path")
+    p.add_argument("model", nargs="?", help="GGUF model path")
     p.add_argument("corpus", nargs="?", default=DEFAULT_CORPUS,
                    help="one sentence per line")
     p.add_argument("-k", type=int, default=5, help="results per query")
+    p.add_argument("--server", metavar="HOST:PORT",
+                   help="search through a running embedding server instead "
+                        "of loading a model in-process")
     args = p.parse_args()
+    if not args.server and not args.model:
+        p.error("either a model path or --server is required")
 
-    from embedding_cpp_tpu import Engine
-
-    engine = Engine.from_gguf(args.model)
     with open(args.corpus) as f:
         corpus = [line.strip() for line in f if line.strip()]
 
     t0 = time.perf_counter()
-    vecs = engine.encode(corpus)  # packed: one dispatch per shape class
+    if args.server:
+        from embedding_cpp_tpu.runtime.client import EmbeddingClient
+
+        host, _, port = args.server.rpartition(":")
+        client = EmbeddingClient(host or "127.0.0.1", int(port))
+        client.index(corpus)
+        search = client.search
+    else:
+        from embedding_cpp_tpu import Engine
+        from embedding_cpp_tpu.runtime.search import VectorIndex
+
+        engine = Engine.from_gguf(args.model)
+        index = VectorIndex(engine)
+        index.add(corpus)
+        search = index.search
     dt = time.perf_counter() - t0
-    print(f"embedded {len(corpus)} sentences in {dt:.2f}s "
-          f"({len(corpus) / dt:.0f}/s), dim {vecs.shape[1]}", file=sys.stderr)
+    print(f"indexed {len(corpus)} sentences in {dt:.2f}s "
+          f"({len(corpus) / dt:.0f}/s) — embeddings stay on device",
+          file=sys.stderr)
 
     interactive = sys.stdin.isatty()
     if interactive:
@@ -49,15 +69,9 @@ def main() -> int:
         q = line.strip()
         if not q:
             break
-        qv = engine.encode([q])[0]
-        # cosine (models converted with normalize=false return raw vectors)
-        def _unit(x):
-            return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
-                                  1e-12)
-
-        sims = _unit(vecs) @ _unit(qv)
-        for rank, idx in enumerate(np.argsort(-sims)[: args.k], 1):
-            print(f"{rank}. [{sims[idx]:+.4f}] {corpus[idx]}")
+        idx, scores = search([q], args.k)
+        for rank, (i, s) in enumerate(zip(idx[0], scores[0]), 1):
+            print(f"{rank}. [{s:+.4f}] {corpus[i]}")
         if interactive:
             print("query (empty line to quit):", file=sys.stderr)
     return 0

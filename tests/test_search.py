@@ -1,0 +1,82 @@
+"""On-device vector search (runtime/search.py): exact top-k parity with a
+numpy brute force, capacity growth, bucket padding.  The reference's
+retrieval demo pulls every corpus vector to the client
+(examples/sample_client.py:40-69); here only ids + scores leave the device.
+"""
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.models import BertConfig, ComputeOptions
+from embedding_cpp_tpu.runtime.engine import Engine
+from embedding_cpp_tpu.runtime.search import VectorIndex
+
+CFG = BertConfig(
+    n_vocab=1000, n_ctx=64, n_embd=64, n_layer=1, n_head=4, n_ff=128
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    pytest.importorskip("tokenizers")
+    return Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
+
+
+def test_search_matches_numpy(engine):
+    corpus = [f"sentence number {i} about topic {i % 7}" for i in range(50)]
+    queries = ["sentence about topic 3", "totally different words here"]
+    idx = VectorIndex(engine, dtype="float32")
+    assert idx.add(corpus) == 50
+    got_idx, got_scores = idx.search(queries, k=5)
+
+    cvecs = engine.encode(corpus)
+    qvecs = engine.encode(queries)
+    scores = qvecs @ cvecs.T
+    ref_idx = np.argsort(-scores, axis=1)[:, :5]
+    np.testing.assert_array_equal(got_idx, ref_idx)
+    np.testing.assert_allclose(
+        got_scores, np.take_along_axis(scores, ref_idx, axis=1), atol=1e-5
+    )
+
+
+def test_search_bf16_ranking_stable(engine):
+    """bf16 corpus storage: top-1 must agree with the f32 ranking on a
+    corpus with distinct topics."""
+    corpus = [f"unique topic {i} word{i} token{i}" for i in range(20)]
+    f32 = VectorIndex(engine, dtype="float32")
+    b16 = VectorIndex(engine, dtype="bfloat16")
+    f32.add(corpus)
+    b16.add(corpus)
+    queries = [corpus[3], corpus[17]]
+    i32, _ = f32.search(queries, k=1)
+    i16, _ = b16.search(queries, k=1)
+    np.testing.assert_array_equal(i32, i16)
+    np.testing.assert_array_equal(i32[:, 0], [3, 17])
+
+
+def test_incremental_add_and_growth(engine):
+    """Appends across the capacity boundary keep earlier vectors intact."""
+    idx = VectorIndex(engine, dtype="float32")
+    texts1 = [f"first batch {i}" for i in range(10)]
+    texts2 = [f"second batch {i}" for i in range(10)]
+    idx.add(texts1)
+    total = idx.add(texts2)
+    assert total == 20 and len(idx) == 20
+    got, _ = idx.search([texts1[4]], k=1)
+    assert got[0, 0] == 4
+    got, _ = idx.search([texts2[7]], k=1)
+    assert got[0, 0] == 17  # position 10 + 7 in the concatenated corpus
+
+
+def test_add_vectors_shape_check(engine):
+    idx = VectorIndex(engine)
+    with pytest.raises(ValueError):
+        idx.add_vectors(np.zeros((3, CFG.n_embd + 1), np.float32))
+    with pytest.raises(ValueError):
+        idx.search(["anything"], k=1)  # empty index
+
+
+def test_k_clamped_to_corpus(engine):
+    idx = VectorIndex(engine, dtype="float32")
+    idx.add(["only one", "and two"])
+    got, scores = idx.search(["only one"], k=10)
+    assert got.shape == (1, 2)

@@ -283,3 +283,63 @@ def test_int8_wire_compression(server):
         i8 = c.embed(texts, wire="int8")
         amax = np.abs(f32).max(axis=1, keepdims=True)
         assert np.all(np.abs(f32 - i8) <= amax / 254 + 1e-7)
+
+
+def test_index_and_search_frames(server):
+    """\\x01TPB / \\x01TPS: build the on-device index and search it — only
+    ids + scores cross the wire."""
+    port, engine = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        corpus = [f"document about topic {i}" for i in range(12)]
+        assert c.index(corpus) == 12
+        idx, scores = c.search([corpus[5], corpus[9]], k=3)
+        assert idx.shape == (2, 3) and scores.shape == (2, 3)
+        assert idx[0, 0] == 5 and idx[1, 0] == 9
+        assert np.all(scores[:, 0] >= scores[:, 1])
+    # search before index on a fresh server errors per-request: covered by
+    # the error frame (connection survives) — exercised via a new connection
+    # in test_error_frame_isolates_request's pattern
+
+
+def test_search_without_index_errors():
+    pytest.importorskip("tokenizers")
+    engine = Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
+    engine.warmup()
+    loop = asyncio.new_event_loop()
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(serve(engine, "127.0.0.1", port, window_ms=1.0))
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    with EmbeddingClient("127.0.0.1", port) as c:
+        with pytest.raises(RuntimeError, match="no index"):
+            c.search(["query"], k=1)
+        # connection survives the error frame
+        assert c.index(["doc"]) == 1
+        idx, _ = c.search(["doc"], k=1)
+        assert idx[0, 0] == 0
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)

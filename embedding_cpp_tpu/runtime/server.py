@@ -473,7 +473,15 @@ def main() -> None:
 
         if jax.process_index() == 0:
             # leader: owns the client sockets; every device dispatch is
-            # broadcast to the followers first (see parallel/distributed.py)
+            # broadcast to the followers first (see parallel/distributed.py).
+            # SIGTERM must unwind (not kill) so the finally releases the
+            # followers from their blocking broadcast.
+            import signal
+
+            def _terminate(signum, frame):
+                raise SystemExit(0)
+
+            signal.signal(signal.SIGTERM, _terminate)
             dist.make_leader(engine)
             try:
                 asyncio.run(serve(engine, args.host, args.port,

@@ -192,9 +192,17 @@ def test_multiprocess_server_end_to_end(tmp_path):
         )
         np.testing.assert_allclose(vecs, single.encode(texts), atol=2e-5,
                                    rtol=1e-4)
+        # graceful shutdown: SIGTERM to the leader broadcasts STOP, which
+        # releases the follower from its blocking broadcast
+        procs[0].terminate()
+        try:
+            assert procs[1].wait(timeout=60) == 0, "follower died uncleanly"
+        except subprocess.TimeoutExpired:
+            pytest.fail("follower not released by the leader's STOP")
     finally:
         for p in procs:
-            p.terminate()
+            if p.poll() is None:
+                p.terminate()
         for p in procs:
             try:
                 p.wait(timeout=10)

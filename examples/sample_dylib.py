@@ -57,6 +57,16 @@ class TpuEmbedModel:
         self.lib.tpe_vocab_id_to_token.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
         ]
+        self.lib.tpe_index.restype = ctypes.c_int32
+        self.lib.tpe_index.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_char_p),
+        ]
+        self.lib.tpe_search.restype = ctypes.c_int32
+        self.lib.tpe_search.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
 
         if model_path is not None:
             self.ctx = self.lib.tpe_load_from_file(model_path.encode())
@@ -108,6 +118,35 @@ class TpuEmbedModel:
         if n < 0:
             raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
         return buf.value.decode()
+
+    def index(self, sentences):
+        """Embed sentences into the server's on-device vector index;
+        returns the total indexed count (tpe_index)."""
+        n = len(sentences)
+        texts = (ctypes.c_char_p * n)(*[s.encode() for s in sentences])
+        total = self.lib.tpe_index(self.ctx, n, texts)
+        if total < 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return total
+
+    def search(self, queries, k=5):
+        """Top-k over the on-device index (tpe_search): returns
+        (indices [n, k'], scores [n, k']) — only ids + scores crossed the
+        wire."""
+        n = len(queries)
+        texts = (ctypes.c_char_p * n)(*[q.encode() for q in queries])
+        idx = np.zeros((n, k), dtype=np.int32)
+        scores = np.zeros((n, k), dtype=np.float32)
+        kr = self.lib.tpe_search(
+            self.ctx, n, texts, k,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if kr < 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        # entries are packed for k' columns; reshape accordingly
+        return (idx.reshape(-1)[: n * kr].reshape(n, kr),
+                scores.reshape(-1)[: n * kr].reshape(n, kr))
 
     def encode(self, sentences):
         one = isinstance(sentences, str)

@@ -59,6 +59,16 @@ int tpe_eval_batch(tpe_ctx* ctx, int32_t n_inputs, const int32_t* lens,
 int32_t tpe_vocab_id_to_token(tpe_ctx* ctx, int32_t token_id, char* buf,
                               int32_t cap);
 
+// Build/append the server's on-device vector index (embeddings stay in
+// device HBM).  Returns the total indexed count, or -1.
+int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts);
+
+// Top-k search over the on-device index.  out_idx and out_scores must each
+// hold n_queries * k entries; only ids + scores cross the wire.  Returns
+// the k actually used (clamped to the corpus size), or -1.
+int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
+                   int32_t k, int32_t* out_idx, float* out_scores);
+
 // Human-readable description of the last failure on this context.
 const char* tpe_last_error(tpe_ctx* ctx);
 

@@ -406,6 +406,73 @@ int tpe_eval_batch(tpe_ctx* ctx, int32_t n_inputs, const int32_t* lens,
     return 0;
 }
 
+namespace {
+// Append `u32 count | count * (u32 len | utf8)` to req.
+void append_texts(std::string* req, int32_t n, const char** texts) {
+    uint32_t count = static_cast<uint32_t>(n);
+    req->append(reinterpret_cast<const char*>(&count), 4);
+    for (int32_t i = 0; i < n; ++i) {
+        uint32_t len = texts[i] ? static_cast<uint32_t>(strlen(texts[i])) : 0;
+        req->append(reinterpret_cast<const char*>(&len), 4);
+        if (len) req->append(texts[i], len);
+    }
+}
+}  // namespace
+
+// Build/append the server's on-device vector index (the \x01TPB frame —
+// embeddings stay in device HBM; runtime/search.py).  Returns the total
+// indexed count, or -1 (see tpe_last_error).
+int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts) {
+    if (!ctx || ctx->fd < 0 || n_texts <= 0) return -1;
+    std::string req;
+    req.append("\x01TPB", 4);
+    append_texts(&req, n_texts, texts);
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+    uint32_t total = 0;
+    if (!read_reply_count(ctx, &total)) return -1;
+    return static_cast<int32_t>(total);
+}
+
+// Top-k search over the on-device index (the \x01TPS frame): out_idx and
+// out_scores must each hold n_queries * k entries.  Only ids + scores cross
+// the wire.  Returns the k actually used (clamped to the corpus size
+// server-side), or -1.
+int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
+                   int32_t k, int32_t* out_idx, float* out_scores) {
+    if (!ctx || ctx->fd < 0 || n_queries <= 0 || k <= 0 || !out_idx ||
+        !out_scores)
+        return -1;
+    std::string req;
+    req.append("\x01TPS", 4);
+    uint32_t ku = static_cast<uint32_t>(k);
+    req.append(reinterpret_cast<const char*>(&ku), 4);
+    append_texts(&req, n_queries, queries);
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+    uint32_t n = 0;
+    if (!read_reply_count(ctx, &n)) return -1;
+    uint32_t kr = 0;
+    if (n != static_cast<uint32_t>(n_queries) ||
+        !read_exactly(ctx->fd, &kr, 4) || kr > ku) {
+        ctx->last_error = "bad search reply";
+        kill_conn(ctx);
+        return -1;
+    }
+    size_t cells = static_cast<size_t>(n) * kr;
+    if (!read_exactly(ctx->fd, out_idx, 4 * cells) ||
+        !read_exactly(ctx->fd, out_scores, 4 * cells)) {
+        ctx->last_error = "recv failed";
+        kill_conn(ctx);
+        return -1;
+    }
+    return static_cast<int32_t>(kr);
+}
+
 // Token id -> token string (bert_vocab_id_to_token, bert.h:90).  Writes a
 // NUL-terminated string into buf[cap]; returns the token byte length
 // (excluding NUL), or -1 on error.

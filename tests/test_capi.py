@@ -214,3 +214,24 @@ def test_ctypes_full_bert_h_surface(running_server):
         assert model.id_to_token(ids[0]) == engine.id_to_token(ids[0])
     finally:
         model.close()
+
+
+def test_index_and_search_via_capi(running_server):
+    """tpe_index / tpe_search: on-device vector search through the C ABI."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    engine, port = running_server
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        corpus = [f"document number {i} about subject {i % 5}"
+                  for i in range(8)]
+        assert model.index(corpus) >= 8  # index is server-global, may grow
+        idx, scores = model.search([corpus[2], corpus[6]], k=3)
+        assert idx.shape == (2, 3) and scores.shape == (2, 3)
+        assert np.all(scores[:, 0] >= scores[:, 1])
+        # k clamps to the corpus size when oversized
+        idx2, _ = model.search([corpus[0]], k=4096)
+        assert idx2.shape[1] <= 4096
+    finally:
+        model.close()

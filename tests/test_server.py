@@ -343,3 +343,38 @@ def test_search_without_index_errors():
         assert idx[0, 0] == 0
     loop.call_soon_threadsafe(holder["task"].cancel)
     t.join(timeout=5)
+
+
+def test_pipelined_requests_one_connection(server):
+    """The framed protocol is pipelineable: a client may send N requests
+    back-to-back and read the N replies afterwards (the reference's
+    unframed protocol cannot do this at all — replies would be
+    indistinguishable).  Overlapping fills the batcher window, so pipelined
+    requests may also share one device batch."""
+    port, engine = server
+    s = socket.create_connection(("127.0.0.1", port), 10)
+    (n_embd,) = struct.unpack("<i", s.recv(4))
+    texts = [f"pipelined request {i}" for i in range(5)]
+    frames = []
+    for t in texts:
+        raw = t.encode()
+        frames.append(b"TPE2" + struct.pack("<I", 1)
+                      + struct.pack("<I", len(raw)) + raw)
+    s.sendall(b"".join(frames))  # all five requests before any reply read
+
+    def read_exactly(n):
+        buf = b""
+        while len(buf) < n:
+            chunk = s.recv(n - len(buf))
+            assert chunk
+            buf += chunk
+        return buf
+
+    got = []
+    for _ in texts:
+        (count,) = struct.unpack("<I", read_exactly(4))
+        assert count == 1
+        got.append(np.frombuffer(read_exactly(n_embd * 4), np.float32))
+    expected = engine.encode(texts)
+    np.testing.assert_allclose(np.stack(got), expected, atol=1e-5)
+    s.close()

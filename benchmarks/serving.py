@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--preset", default="minilm-l6")
     p.add_argument("--ftype", default="q4_0")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--output-dtype", default="float32",
+                   choices=["float32", "float16", "bfloat16", "int8"],
+                   help="engine device->host transfer dtype (the wire stays "
+                        "f32 unless --wire int8)")
     p.add_argument("--dp", type=int, default=0,
                    help="serve from a dp(xtp) mesh (0 = single device); on "
                         "a CPU run pair with "
@@ -63,7 +67,7 @@ def main() -> None:
                          devices=jax.devices()[: dp * args.tp])
     engine = Engine.synthetic(
         PRESETS[args.preset], ftype=args.ftype,
-        opts=ComputeOptions(dtype=args.dtype),
+        opts=ComputeOptions(dtype=args.dtype, output_dtype=args.output_dtype),
         mesh=mesh,
     )
 
@@ -129,9 +133,10 @@ def main() -> None:
     print(f"# {args.clients} clients x {args.sentences} sentences "
           f"(batch {args.batch}): {total} served in {dt:.2f}s", file=sys.stderr)
     mesh_tag = f"_dp{args.dp}_tp{args.tp}" if mesh is not None else ""
+    od_tag = "" if args.output_dtype == "float32" else f"_{args.output_dtype}"
     result = {
         "metric": f"served_sentences_per_sec_{args.preset}_{args.ftype}"
-                  f"{mesh_tag}",
+                  f"{mesh_tag}{od_tag}",
         "value": round(sps, 1),
         "unit": "sentences/s",
         "clients": args.clients,

@@ -89,6 +89,23 @@ class VectorIndex:
             self._n = need
             return self._n
 
+    # --- persistence ----------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist the indexed vectors (.npz).  GGUF is the model checkpoint
+        format; the index is derived state, stored separately."""
+        with self._lock:
+            vecs = (
+                np.zeros((0, self.engine.n_embd), np.float32)
+                if self._n == 0
+                else np.asarray(self._corpus[: self._n], dtype=np.float32)
+            )
+        np.savez_compressed(path, vectors=vecs)
+
+    def load(self, path: str) -> int:
+        """Append vectors previously saved with save(); returns the total."""
+        with np.load(path) as data:
+            return self.add_vectors(data["vectors"])
+
     # --- querying ------------------------------------------------------------
     def search(self, queries: Sequence[str], k: int = 10):
         """Texts -> (indices [n, k] int32, scores [n, k] f32)."""

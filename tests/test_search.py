@@ -80,3 +80,20 @@ def test_k_clamped_to_corpus(engine):
     idx.add(["only one", "and two"])
     got, scores = idx.search(["only one"], k=10)
     assert got.shape == (1, 2)
+
+
+def test_save_load_roundtrip(engine, tmp_path):
+    """Index persistence: saved vectors reload into an equivalent index."""
+    corpus = [f"persisted doc {i}" for i in range(15)]
+    idx = VectorIndex(engine, dtype="float32")
+    idx.add(corpus)
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+
+    idx2 = VectorIndex(engine, dtype="float32")
+    assert idx2.load(path) == 15
+    q = [corpus[8]]
+    i1, s1 = idx.search(q, k=3)
+    i2, s2 = idx2.search(q, k=3)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)

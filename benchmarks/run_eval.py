@@ -70,11 +70,15 @@ def check_baseline(model_name: str, mode: str, task: str, score: float):
     return abs(score - exp) <= SCORE_TOLERANCE, exp
 
 
-def make_engine_encoder(gguf_path: str, dtype: str = "bfloat16"):
+def make_engine_encoder(gguf_path: str, dtype: str = "bfloat16",
+                        output_dtype: str = "float32"):
     from embedding_cpp_tpu.models.bert import ComputeOptions
     from embedding_cpp_tpu.runtime.engine import Engine
 
-    engine = Engine.from_gguf(gguf_path, opts=ComputeOptions(dtype=dtype))
+    engine = Engine.from_gguf(
+        gguf_path,
+        opts=ComputeOptions(dtype=dtype, output_dtype=output_dtype),
+    )
     return engine.encode
 
 
@@ -183,6 +187,10 @@ def main() -> None:
     p.add_argument("--synthetic-data", action="store_true",
                    help="use synthetic datasets with any model source")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--output-dtype", default="float32",
+                   choices=["float32", "float16", "bfloat16", "int8"],
+                   help="engine embedding transfer dtype (int8 = packed "
+                        "codes+scale; scores shift ~1e-4)")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile all batch shapes before timing "
                         "(reported times then measure steady-state; in "
@@ -213,7 +221,7 @@ def main() -> None:
                 path = f"{td}/model-{mode}.gguf"
                 make_test_model(path, "minilm-l6", mode)
                 scores = run_mode(
-                    mode, model_name, make_engine_encoder(path, args.dtype),
+                    mode, model_name, make_engine_encoder(path, args.dtype, args.output_dtype),
                     sts, clf, args.tasks, warmup=args.warmup)
                 _gate_baseline(failures, model_name, mode, scores,
                                args.assert_baseline)
@@ -231,7 +239,7 @@ def main() -> None:
     elif args.gguf:
         model_name = args.model_name or Path(args.gguf).stem
         scores = run_mode(
-            "gguf", model_name, make_engine_encoder(args.gguf, args.dtype),
+            "gguf", model_name, make_engine_encoder(args.gguf, args.dtype, args.output_dtype),
             sts, clf, args.tasks, warmup=args.warmup)
         _gate_baseline(failures, model_name, "gguf", scores,
                        args.assert_baseline)
@@ -247,7 +255,7 @@ def main() -> None:
                     convert_hf_dir(args.hf_dir, path, mode)
                     scores = run_mode(
                         mode, model_name,
-                        make_engine_encoder(path, args.dtype),
+                        make_engine_encoder(path, args.dtype, args.output_dtype),
                         sts, clf, args.tasks, warmup=args.warmup)
                     _gate_baseline(failures, model_name, mode, scores,
                                    args.assert_baseline)

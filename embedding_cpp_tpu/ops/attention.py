@@ -23,47 +23,71 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    # blocks: q [1,1,TQ,d]; k, v [1,1,S,d]; bias [1,1,S] f32
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [TQ, S]
-    scores = scores * scale + bias_ref[0]
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hb):
+    # blocks: q [1,HB,TQ,d]; k, v [1,HB,S,d]; bias [1,1,S] f32.  Per-head
+    # dots run sequentially inside one grid cell: at d=32 each dot uses a
+    # quarter of the MXU's contraction/lane width, so the win comes from
+    # fewer grid cells (less per-cell overhead), not dot shape — measured
+    # 460 us vs 692 at (B=32, S=512, H=12) for hb=H, tq=S vs hb=1, tq=256.
+    bias = bias_ref[0, 0]
+    for hh in range(hb):
+        q = q_ref[0, hh]
+        k = k_ref[0, hh]
+        v = v_ref[0, hh]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, S]
+        scores = scores * scale + bias[None, :]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0, hh] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tq",))
-def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *, tq: int) -> Array:
+def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
+                tq_candidates=(512, 256, 128)) -> tuple[int, int]:
+    """(tq, hb): whole-sequence q tiles and as many heads per grid cell as
+    the VMEM budget allows (per-head score tiles are sequential, so only the
+    q/k/v/out tiles scale with hb)."""
+    for tq in (s, *tq_candidates):
+        if s % tq:
+            continue
+        for hb in range(h, 0, -1):
+            if h % hb:
+                continue
+            tiles = 2 * hb * (3 * s + tq) * d * itemsize  # dbl-buffered qkv+o
+            if tiles + tq * s * 4 <= 10 * 1024 * 1024:
+                return tq, hb
+    return s, 1
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "hb"))
+def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *,
+                     tq: int, hb: int) -> Array:
     """q/k/v: [B, H, S, d]; mask_bias: [B, S] f32 additive. -> [B, H, S, d]"""
     b, h, s, d = q.shape
     scale = 1.0 / (d**0.5)
-    grid = (b, h, s // tq)
+    grid = (b, h // hb, s // tq)
 
-    kernel = functools.partial(_attn_kernel, scale=scale)
+    kernel = functools.partial(_attn_kernel, scale=scale, hb=hb)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                (1, hb, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                (1, hb, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                (1, hb, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -71,7 +95,7 @@ def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *, tq: int)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            (1, hb, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
@@ -114,24 +138,13 @@ def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
         ).astype(o_ref.dtype)
 
 
-def _head_block(h: int, tq: int, s: int) -> int:
-    """Largest head count per grid cell whose f32 score tiles fit a ~4 MB
-    VMEM budget (the 12-head MiniLM case lands on 6)."""
-    budget = (4 << 20) // (tq * s * 4)
-    hb = max(1, min(h, budget))
-    while h % hb:
-        hb -= 1
-    return hb
-
-
-@functools.partial(jax.jit, static_argnames=("tq",))
+@functools.partial(jax.jit, static_argnames=("tq", "hb"))
 def _flash_attention_packed(
-    q: Array, k: Array, v: Array, seg: Array, *, tq: int
+    q: Array, k: Array, v: Array, seg: Array, *, tq: int, hb: int
 ) -> Array:
     """q/k/v: [B, H, S, d]; seg: [B, S] int32 (-1 = padding). -> [B, H, S, d]"""
     b, h, s, d = q.shape
     scale = 1.0 / (d**0.5)
-    hb = _head_block(h, tq, s)
     grid = (b, h // hb, s // tq)
 
     kernel = functools.partial(_attn_seg_kernel, scale=scale, hb=hb)
@@ -292,22 +305,23 @@ def flash_attention_packed(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    tq = 128 if s % 128 == 0 else s
     if max_seg_len is not None and s % 128 == 0:
         # margin (wmax-tq)/2 must cover W plus the 8-alignment slack on both
         # the window start round-down and the needed right edge
-        wmax = -(-(tq + 2 * max_seg_len + 24) // 128) * 128
+        tq_w = 128
+        wmax = -(-(tq_w + 2 * max_seg_len + 24) // 128) * 128
         # measured on v5e at S=512/d=32 the kernel is overhead-bound, not
         # dot-bound — windowing only pays once the full [TQ, S] tile is
         # substantially larger (long-context rows); at S<=512 the full
         # kernel wins (3.2 ms vs 3.6-4.0 ms per 64x12-head call)
         if wmax < s and s >= 1024:
             out = _flash_attention_packed_window(
-                qt, kt, vt, seg.astype(jnp.int32), tq=tq, wmax=wmax
+                qt, kt, vt, seg.astype(jnp.int32), tq=tq_w, wmax=wmax
             )
             return out.transpose(0, 2, 1, 3)
-    tq = 256 if s % 256 == 0 else tq
-    out = _flash_attention_packed(qt, kt, vt, seg.astype(jnp.int32), tq=tq)
+    tq, hb = _attn_tiles(h, s, d, q.dtype.itemsize)
+    out = _flash_attention_packed(qt, kt, vt, seg.astype(jnp.int32), tq=tq,
+                                  hb=hb)
     return out.transpose(0, 2, 1, 3)
 
 
@@ -321,7 +335,6 @@ def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array) -> Array:
     unaligned d).
     """
     b, s, h, d = q.shape
-    tq = 256 if s % 256 == 0 else (128 if s % 128 == 0 else s)
     # kernel needs sublane-aligned q tiles and a pow-of-two-ish d
     if s % 8 or d % 8:
         scores = jnp.einsum(
@@ -336,5 +349,7 @@ def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array) -> Array:
     qt = q.transpose(0, 2, 1, 3)  # [B, H, S, d]
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out = _flash_attention(qt, kt, vt, mask_bias.astype(jnp.float32), tq=tq)
+    tq, hb = _attn_tiles(h, s, d, q.dtype.itemsize)
+    out = _flash_attention(qt, kt, vt, mask_bias.astype(jnp.float32), tq=tq,
+                           hb=hb)
     return out.transpose(0, 2, 1, 3)

@@ -208,6 +208,46 @@ def bench_packed_attention(b: int = 64, s: int = 512, h: int = 12, d: int = 32,
     return out
 
 
+def bench_windowed_attention(b: int = 8, s: int = 2048, h: int = 12,
+                             d: int = 32, seg_len: int = 64,
+                             iters: int = 20) -> dict:
+    """Long packed rows (S >= 1024): the windowed kernel's score tiles are
+    [TQ, wmax] instead of [TQ, S] — attention cost tracks the max segment
+    length, not S^2."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.ops.attention import flash_attention_packed
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    seg = jnp.asarray(
+        np.repeat(np.arange(s // seg_len), seg_len)[None, :].repeat(b, 0)
+        .astype(np.int32)
+    )
+
+    out = {}
+    for name, msl in (("windowed", seg_len), ("full", None)):
+        @jax.jit
+        def loop(q, k, v, seg):
+            def body(i, acc):
+                o = flash_attention_packed(
+                    q + (acc * 1e-20).astype(q.dtype), k, v, seg,
+                    max_seg_len=msl,
+                )
+                return acc + o[0, 0, 0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        _sync(loop(q, k, v, seg))
+        best = min(_timed(lambda: _sync(loop(q, k, v, seg))) for _ in range(2))
+        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        out[name] = {"us": round(per * 1e6, 1)}
+    return out
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -244,6 +284,11 @@ def main() -> None:
     results["packed_attention"] = {"b64_s512_w16": r}
     print(f"packed attention B=64 S=512: pallas {r['pallas']['us']:8.1f}us | "
           f"xla {r['xla']['us']:8.1f}us", file=sys.stderr)
+    r = bench_windowed_attention()
+    results["windowed_attention"] = {"b8_s2048_w64": r}
+    print(f"windowed attention B=8 S=2048 W=64: windowed "
+          f"{r['windowed']['us']:8.1f}us | full {r['full']['us']:8.1f}us",
+          file=sys.stderr)
     print(json.dumps(results))
 
 

@@ -49,10 +49,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hb):
 
 
 def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
-                tq_candidates=(512, 256, 128)) -> tuple[int, int]:
+                tq_candidates=(512, 256, 128),
+                score_bytes: int = 4) -> tuple[int, int]:
     """(tq, hb): whole-sequence q tiles and as many heads per grid cell as
     the VMEM budget allows (per-head score tiles are sequential, so only the
-    q/k/v/out tiles scale with hb)."""
+    q/k/v/out tiles scale with hb).  score_bytes=8 for the segment-masked
+    kernel, whose [TQ, S] boolean mask lives alongside the f32 scores."""
     for tq in (s, *tq_candidates):
         if s % tq:
             continue
@@ -60,7 +62,7 @@ def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
             if h % hb:
                 continue
             tiles = 2 * hb * (3 * s + tq) * d * itemsize  # dbl-buffered qkv+o
-            if tiles + tq * s * 4 <= 10 * 1024 * 1024:
+            if tiles + tq * s * score_bytes <= 10 * 1024 * 1024:
                 return tq, hb
     return s, 1
 
@@ -190,49 +192,55 @@ def _flash_attention_packed(
 
 
 def _attn_seg_window_kernel(
-    q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *, scale, tq, wmax, s
+    q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *, scale, tq, wmax, s, hb
 ):
-    # blocks: q [1,1,TQ,d]; k, v [1,1,S,d]; segq [1,1,TQ]; segk [1,1,S].
+    # blocks: q [1,HB,TQ,d]; k, v [1,HB,S,d]; segq [1,TQ,1]; segk [1,S,1].
     # Packed segments are contiguous, so a q tile starting at qs only has
     # valid keys within [qs - W, qs + TQ + W) for W = max segment length;
     # the dots run on that window (wmax >= TQ + 2W + 24) instead of all S —
-    # restoring per-sentence attention cost inside packed rows.
+    # restoring per-sentence attention cost inside packed rows.  The window
+    # and its mask are computed once per grid cell and shared by the HB
+    # sequential per-head dots (same win as the full kernels: fewer cells).
     qi = pl.program_id(2)
     qs = qi * tq
     margin = (wmax - tq) // 2
     kstart = jnp.clip(((qs - margin) // 8) * 8, 0, s - wmax)
     kstart = pl.multiple_of(kstart, 8)
-    q = q_ref[0, 0]
-    k = k_ref[0, 0, pl.ds(kstart, wmax), :]
-    v = v_ref[0, 0, pl.ds(kstart, wmax), :]
-    scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [TQ, wmax]
     # seg refs are [1, S, 1] (S on sublanes): the windowed key slice is a
     # sublane-dim dynamic slice, which Mosaic supports (lane-dim ones don't)
-    allowed = segq_ref[0, :, 0][:, None] == segk_ref[0, pl.ds(kstart, wmax), 0][None, :]
-    scores = jnp.where(allowed, scores * scale, -1e9)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    allowed = (
+        segq_ref[0, :, 0][:, None]
+        == segk_ref[0, pl.ds(kstart, wmax), 0][None, :]
+    )
+    for hh in range(hb):
+        q = q_ref[0, hh]
+        k = k_ref[0, hh, pl.ds(kstart, wmax), :]
+        v = v_ref[0, hh, pl.ds(kstart, wmax), :]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, wmax]
+        scores = jnp.where(allowed, scores * scale, -1e9)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0, hh] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tq", "wmax"))
+@functools.partial(jax.jit, static_argnames=("tq", "wmax", "hb"))
 def _flash_attention_packed_window(
-    q: Array, k: Array, v: Array, seg: Array, *, tq: int, wmax: int
+    q: Array, k: Array, v: Array, seg: Array, *, tq: int, wmax: int, hb: int
 ) -> Array:
     """Windowed variant: only [tq, wmax] score tiles instead of [tq, S]."""
     b, h, s, d = q.shape
     scale = 1.0 / (d**0.5)
-    grid = (b, h, s // tq)
+    grid = (b, h // hb, s // tq)
 
     kernel = functools.partial(
-        _attn_seg_window_kernel, scale=scale, tq=tq, wmax=wmax, s=s
+        _attn_seg_window_kernel, scale=scale, tq=tq, wmax=wmax, s=s, hb=hb
     )
     seg3 = seg[:, :, None]  # [B, S, 1]: S on sublanes for dynamic slicing
     return pl.pallas_call(
@@ -240,15 +248,15 @@ def _flash_attention_packed_window(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                (1, hb, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                (1, hb, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                (1, hb, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -259,7 +267,7 @@ def _flash_attention_packed_window(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            (1, hb, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
@@ -308,18 +316,30 @@ def flash_attention_packed(
     if max_seg_len is not None and s % 128 == 0:
         # margin (wmax-tq)/2 must cover W plus the 8-alignment slack on both
         # the window start round-down and the needed right edge
-        tq_w = 128
+        tq_w = 256 if s % 256 == 0 else 128
         wmax = -(-(tq_w + 2 * max_seg_len + 24) // 128) * 128
         # measured on v5e at S=512/d=32 the kernel is overhead-bound, not
         # dot-bound — windowing only pays once the full [TQ, S] tile is
         # substantially larger (long-context rows); at S<=512 the full
-        # kernel wins (3.2 ms vs 3.6-4.0 ms per 64x12-head call)
+        # kernel wins
         if wmax < s and s >= 1024:
+            itemsize = q.dtype.itemsize
+            hb = next(
+                (
+                    c
+                    for c in range(h, 0, -1)
+                    if h % c == 0
+                    and 2 * c * (3 * s + tq_w) * d * itemsize
+                    + tq_w * wmax * 8
+                    <= 10 * 1024 * 1024
+                ),
+                1,
+            )
             out = _flash_attention_packed_window(
-                qt, kt, vt, seg.astype(jnp.int32), tq=tq_w, wmax=wmax
+                qt, kt, vt, seg.astype(jnp.int32), tq=tq_w, wmax=wmax, hb=hb
             )
             return out.transpose(0, 2, 1, 3)
-    tq, hb = _attn_tiles(h, s, d, q.dtype.itemsize)
+    tq, hb = _attn_tiles(h, s, d, q.dtype.itemsize, score_bytes=8)
     out = _flash_attention_packed(qt, kt, vt, seg.astype(jnp.int32), tq=tq,
                                   hb=hb)
     return out.transpose(0, 2, 1, 3)

@@ -133,6 +133,6 @@ def test_packed_window_covers_exact_boundaries():
     qt, kt, vt = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
     wmax = -(-(128 + 2 * W + 24) // 128) * 128
     got = np.asarray(
-        _flash_attention_packed_window(qt, kt, vt, seg, tq=128, wmax=wmax)
+        _flash_attention_packed_window(qt, kt, vt, seg, tq=128, wmax=wmax, hb=1)
     ).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(got, expected, atol=_tpu_atol(2e-5), rtol=1e-4)

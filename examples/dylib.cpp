@@ -18,6 +18,9 @@ typedef void (*tpe_free_fn)(void*);
 typedef int32_t (*tpe_n_embd_fn)(void*);
 typedef int (*tpe_encode_batch_fn)(void*, int32_t, const char**, float*);
 typedef const char* (*tpe_last_error_fn)(void*);
+typedef int32_t (*tpe_index_fn)(void*, int32_t, const char**);
+typedef int32_t (*tpe_search_fn)(void*, int32_t, const char**, int32_t,
+                                 int32_t*, float*);
 
 int main(int argc, char** argv) {
     if (argc < 2) {
@@ -71,6 +74,30 @@ int main(int argc, char** argv) {
         for (int j = 0; j < 6 && j < n_embd; ++j)
             printf(" %+.4f", out[(size_t)i * n_embd + j]);
         printf(" ...\n");
+    }
+
+    // on-device vector search: index a tiny corpus, query top-2 —
+    // only ids + scores come back over the socket
+    auto index_fn = (tpe_index_fn)dlsym(lib, "tpe_index");
+    auto search_fn = (tpe_search_fn)dlsym(lib, "tpe_search");
+    if (index_fn && search_fn) {
+        const char* corpus[] = {
+            "The quick brown fox jumps over the lazy dog",
+            "Quantum entanglement cannot transmit information",
+            "A fast auburn fox leaps above the sleepy hound",
+        };
+        if (index_fn(ctx, 3, corpus) >= 3) {
+            const char* query = "a speedy fox";
+            int32_t idx[2];
+            float scores[2];
+            int32_t k = search_fn(ctx, 1, &query, 2, idx, scores);
+            if (k > 0) {
+                printf("search %-24s ->", query);
+                for (int j = 0; j < k; ++j)
+                    printf(" #%d(%.3f)", idx[j], scores[j]);
+                printf("\n");
+            }
+        }
     }
     free_ctx(ctx);
     dlclose(lib);

@@ -26,6 +26,7 @@ import asyncio
 import json
 import struct
 import sys
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -67,6 +68,10 @@ class ProtocolError(Exception):
     pass
 
 
+class OverloadedError(RuntimeError):
+    """Backpressure: the batcher's pending-sentence budget is exhausted."""
+
+
 def _check(cond: bool, what: str) -> None:
     if not cond:
         raise ProtocolError(f"malformed frame: {what}")
@@ -79,18 +84,47 @@ class ServerStats:
     sentences: int = 0
     batches: int = 0
     errors: int = 0
+    rejected: int = 0  # backpressure rejections (queue saturated)
+    # ring buffer of recent request latencies (seconds) -> percentiles
+    latencies: list = field(default_factory=list, repr=False)
+    _lat_idx: int = 0
+    LAT_WINDOW = 1024
+
+    def record_latency(self, seconds: float) -> None:
+        if len(self.latencies) < self.LAT_WINDOW:
+            self.latencies.append(seconds)
+        else:
+            self.latencies[self._lat_idx] = seconds
+            self._lat_idx = (self._lat_idx + 1) % self.LAT_WINDOW
 
     def as_dict(self) -> dict:
-        return self.__dict__.copy()
+        d = {k: v for k, v in self.__dict__.items()
+             if not k.startswith("_") and k != "latencies"}
+        if self.latencies:
+            lat = np.sort(np.asarray(self.latencies))
+            d["latency_ms"] = {
+                "p50": round(float(lat[len(lat) // 2]) * 1e3, 2),
+                "p95": round(float(lat[int(len(lat) * 0.95)]) * 1e3, 2),
+                "p99": round(float(lat[min(int(len(lat) * 0.99),
+                                           len(lat) - 1)]) * 1e3, 2),
+                "window": len(lat),
+            }
+        return d
 
 
 class ContinuousBatcher:
     """Merge pending encode requests across connections into device batches."""
 
-    def __init__(self, engine, max_batch: int = 256, window_ms: float = 2.0):
+    def __init__(self, engine, max_batch: int = 256, window_ms: float = 2.0,
+                 max_pending: int = 16384):
         self.engine = engine
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
+        # backpressure: cap admitted-but-unserved sentences so a flood of
+        # requests degrades into error frames instead of unbounded memory
+        # (the reference has no limit — and no concurrency either)
+        self.max_pending = max_pending
+        self._pending = 0
         self.queue: asyncio.Queue = asyncio.Queue()
         self.stats = ServerStats()
         self._task: asyncio.Task | None = None
@@ -120,9 +154,19 @@ class ContinuousBatcher:
                 pass
 
     async def encode(self, texts: list[str]) -> np.ndarray:
-        fut = asyncio.get_running_loop().create_future()
-        await self.queue.put((texts, fut))
-        return await fut
+        if self._pending + len(texts) > self.max_pending:
+            self.stats.rejected += 1
+            raise OverloadedError(
+                f"server overloaded: {self._pending} sentences pending "
+                f"(cap {self.max_pending})"
+            )
+        self._pending += len(texts)
+        try:
+            fut = asyncio.get_running_loop().create_future()
+            await self.queue.put((texts, fut))
+            return await fut
+        finally:
+            self._pending -= len(texts)
 
     async def _run(self) -> None:
         while True:
@@ -242,6 +286,7 @@ async def handle_client(
             head = await _read_head(reader)
             if not head:
                 break
+            t_req = time.perf_counter()
             if head == MAGIC_STATS:
                 from ..utils.metrics import GLOBAL as metrics
 
@@ -370,12 +415,20 @@ async def handle_client(
                         np.ascontiguousarray(vecs, np.float32).tobytes()
                     )
             else:
-                # raw mode: one read == one message (reference semantics)
+                # raw mode: one read == one message (reference semantics).
+                # The unframed protocol has no error representation — on
+                # failure (incl. backpressure) the connection drops, exactly
+                # how the reference's server dies on any error
                 rest = await reader.read(RAW_CHUNK - len(head))
                 text = (head + rest).decode("utf-8", errors="replace")
-                vecs = await batcher.encode([text])
+                try:
+                    vecs = await batcher.encode([text])
+                except Exception:
+                    batcher.stats.errors += 1
+                    break
                 writer.write(np.ascontiguousarray(vecs[0], np.float32).tobytes())
             batcher.stats.requests += 1
+            batcher.stats.record_latency(time.perf_counter() - t_req)
             await writer.drain()
     except ProtocolError as e:
         # stream is desynchronized: report once, then drop the connection
@@ -397,8 +450,10 @@ async def handle_client(
 
 async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
                 max_batch: int = 256, window_ms: float = 2.0,
-                ready_event: asyncio.Event | None = None):
-    batcher = ContinuousBatcher(engine, max_batch, window_ms)
+                ready_event: asyncio.Event | None = None,
+                max_pending: int = 16384):
+    batcher = ContinuousBatcher(engine, max_batch, window_ms,
+                                max_pending=max_pending)
     await batcher.start()
     server = await asyncio.start_server(
         lambda r, w: handle_client(r, w, batcher, engine.n_embd), host, port
@@ -430,6 +485,9 @@ def main() -> None:
                    default="auto", help="sequence packing policy")
     p.add_argument("--max-batch", type=int, default=256)
     p.add_argument("--window-ms", type=float, default=2.0)
+    p.add_argument("--max-pending", type=int, default=16384,
+                   help="backpressure cap on admitted-but-unserved sentences "
+                        "(overload requests get error frames)")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--tp", type=int, default=1,
@@ -485,7 +543,8 @@ def main() -> None:
             dist.make_leader(engine)
             try:
                 asyncio.run(serve(engine, args.host, args.port,
-                                  args.max_batch, args.window_ms))
+                                  args.max_batch, args.window_ms,
+                                  max_pending=args.max_pending))
             finally:
                 dist.broadcast_stop()
         else:
@@ -493,7 +552,8 @@ def main() -> None:
                   f"of {jax.process_count()} ready", file=sys.stderr)
             dist.follower_loop(engine)
         return
-    asyncio.run(serve(engine, args.host, args.port, args.max_batch, args.window_ms))
+    asyncio.run(serve(engine, args.host, args.port, args.max_batch,
+                      args.window_ms, max_pending=args.max_pending))
 
 
 if __name__ == "__main__":

@@ -378,3 +378,96 @@ def test_pipelined_requests_one_connection(server):
     expected = engine.encode(texts)
     np.testing.assert_allclose(np.stack(got), expected, atol=1e-5)
     s.close()
+
+
+def test_latency_percentiles_in_stats(server):
+    port, _ = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        for _ in range(5):
+            c.embed(["latency probe"])
+        snap = c.stats()
+        lat = snap["server"].get("latency_ms")
+        assert lat and lat["window"] >= 5
+        assert 0 <= lat["p50"] <= lat["p95"] <= lat["p99"]
+
+
+def test_backpressure_error_frame():
+    """A request exceeding the pending-sentence cap gets an overload error
+    frame (framed mode); the connection survives and later requests work."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.runtime.server import serve as _serve
+
+    engine = Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
+    engine.warmup()
+    loop = asyncio.new_event_loop()
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(
+            _serve(engine, "127.0.0.1", port, window_ms=1.0, max_pending=2)
+        )
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+
+    with EmbeddingClient("127.0.0.1", port) as c:
+        with pytest.raises(RuntimeError, match="overloaded"):
+            c.embed(["one", "two", "three"])  # 3 > cap 2
+        vecs = c.embed(["fits"])  # under the cap: still served
+        assert vecs.shape == (1, CFG.n_embd)
+        assert c.stats()["server"]["rejected"] >= 1
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)
+
+
+def test_hostile_search_frames(server):
+    """Hostile/invalid index+search frames produce error frames, not hangs
+    or unbounded allocations."""
+    port, _ = server
+    s = socket.create_connection(("127.0.0.1", port), 10)
+    s.recv(4)  # handshake
+
+    def read_u32():
+        buf = b""
+        while len(buf) < 4:
+            buf += s.recv(4 - len(buf))
+        return struct.unpack("<I", buf)[0]
+
+    # k = 0 violates the frame contract -> malformed error, connection drops
+    s.sendall(b"\x01TPS" + struct.pack("<I", 0) + struct.pack("<I", 1)
+              + struct.pack("<I", 1) + b"x")
+    assert read_u32() == 0xFFFFFFFF
+    ln = read_u32()
+    assert b"malformed" in s.recv(ln)
+    s.close()
+
+    # absurd item count on the index frame
+    s2 = socket.create_connection(("127.0.0.1", port), 10)
+    s2.recv(4)
+    s2.sendall(b"\x01TPB" + struct.pack("<I", 0xFFFFFFF0))
+    head = b""
+    while len(head) < 4:
+        head += s2.recv(4 - len(head))
+    assert struct.unpack("<I", head)[0] == 0xFFFFFFFF
+    s2.close()

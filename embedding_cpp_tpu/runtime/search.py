@@ -37,6 +37,43 @@ def _search_kernel(corpus, qvecs, n_real, k):
     return jax.lax.top_k(scores, k)
 
 
+def _make_sharded_search(mesh):
+    """Two-stage distributed top-k over a dp-sharded corpus: each shard
+    ranks its local rows (shard_map body — matmul + local lax.top_k, no
+    collectives), the k*dp candidates concatenate over dp, and a tiny final
+    top_k merges them.  Scores for a huge corpus never materialize globally
+    — only [Q, k*dp] candidates do."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DP_AXIS
+
+    @partial(jax.jit, static_argnums=(3,))
+    def search(corpus, qvecs, n_real, k):
+        def body(c_local, q):
+            scores = jnp.matmul(
+                q, c_local.T, preferred_element_type=jnp.float32
+            )  # [Q, N/dp]
+            n_local = c_local.shape[0]
+            base = jax.lax.axis_index(DP_AXIS) * n_local
+            valid = (jnp.arange(n_local) + base) < n_real
+            scores = jnp.where(valid[None, :], scores, -jnp.inf)
+            s, i = jax.lax.top_k(scores, k)
+            return s, (i + base).astype(jnp.int32)
+
+        s, i = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(DP_AXIS, None), P()),
+            out_specs=(P(None, DP_AXIS), P(None, DP_AXIS)),
+            check_vma=False,
+        )(corpus, qvecs)
+        # [Q, k*dp] candidates -> final k
+        sf, pos = jax.lax.top_k(s, k)
+        return sf, jnp.take_along_axis(i, pos, axis=1)
+
+    return search
+
+
 class VectorIndex:
     """Brute-force exact top-k over engine embeddings, resident in HBM.
 
@@ -45,11 +82,26 @@ class VectorIndex:
     retrieval).  Exact search is the right baseline at encoder scale: 1M
     vectors x 384 dims is one [Q, 384] x [384, 1M] matmul — microseconds of
     MXU time per query batch.
+
+    `mesh` shards the corpus rows over the dp axis (corpora beyond one
+    chip's HBM): search becomes a two-stage distributed top-k — per-shard
+    local ranking, then a merge over the tiny k*dp candidate set.
     """
 
-    def __init__(self, engine, dtype: str = "bfloat16"):
+    def __init__(self, engine, dtype: str = "bfloat16", mesh=None):
         self.engine = engine
         self.dtype = jnp.dtype(dtype)
+        self.mesh = mesh
+        self._dp = 1
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DP_AXIS
+
+            self._dp = mesh.shape.get(DP_AXIS, 1)
+            self._sharding = NamedSharding(mesh, P(DP_AXIS, None))
+            self._sharded_search = _make_sharded_search(mesh)
         self._corpus = None  # [capacity, n_embd] device array
         self._n = 0
         self._lock = threading.Lock()
@@ -74,18 +126,26 @@ class VectorIndex:
             need = self._n + len(vecs)
             cap = 0 if self._corpus is None else self._corpus.shape[0]
             if need > cap:
-                new_cap = -(-need // _CAPACITY_STEP) * _CAPACITY_STEP
+                # capacity steps divide evenly over dp shards
+                step = _CAPACITY_STEP * self._dp
+                new_cap = -(-need // step) * step
                 grown = jnp.zeros(
                     (new_cap, self.engine.n_embd), dtype=self.dtype
                 )
+                if self._sharding is not None:
+                    grown = jax.device_put(grown, self._sharding)
                 if self._corpus is not None:
                     grown = jax.lax.dynamic_update_slice(
                         grown, self._corpus, (0, 0)
                     )
+                    if self._sharding is not None:
+                        grown = jax.device_put(grown, self._sharding)
                 self._corpus = grown
             self._corpus = jax.lax.dynamic_update_slice(
                 self._corpus, jnp.asarray(vecs, dtype=self.dtype), (self._n, 0)
             )
+            if self._sharding is not None:
+                self._corpus = jax.device_put(self._corpus, self._sharding)
             self._n = need
             return self._n
 
@@ -127,9 +187,18 @@ class VectorIndex:
                 q = np.concatenate(
                     [q, np.zeros((qb - nq, q.shape[1]), np.float32)]
                 )
-            scores, idx = _search_kernel(
-                self._corpus, jnp.asarray(q, dtype=self.dtype), self._n, k
-            )
+            if self._sharding is not None:
+                # per-shard top_k needs k <= rows per shard (capacity steps
+                # keep that bound far above practical k)
+                k = min(k, self._corpus.shape[0] // self._dp)
+                scores, idx = self._sharded_search(
+                    self._corpus, jnp.asarray(q, dtype=self.dtype),
+                    self._n, k,
+                )
+            else:
+                scores, idx = _search_kernel(
+                    self._corpus, jnp.asarray(q, dtype=self.dtype), self._n, k
+                )
             # only [nq, k] ids + scores cross the link
             return (
                 np.asarray(idx)[:nq].astype(np.int32),

@@ -132,9 +132,15 @@ class ContinuousBatcher:
 
     def index_texts(self, texts: list[str]) -> int:
         if self.index is None:
+            import jax
+
             from .search import VectorIndex
 
-            self.index = VectorIndex(self.engine)
+            # dp-shard the corpus over the serving mesh; multi-host serving
+            # keeps the index leader-local (followers only replay
+            # embed_tokens — a sharded search would need their participation)
+            mesh = self.engine.mesh if jax.process_count() == 1 else None
+            self.index = VectorIndex(self.engine, mesh=mesh)
         return self.index.add(texts)
 
     def search_texts(self, texts: list[str], k: int):

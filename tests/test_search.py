@@ -97,3 +97,30 @@ def test_save_load_roundtrip(engine, tmp_path):
     i2, s2 = idx2.search(q, k=3)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_sharded_index_matches_single(engine):
+    """dp-sharded corpus + two-stage distributed top-k == single-device
+    exact search (8 virtual devices; corpus rows shard over dp)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8, tp=1, devices=jax.devices()[:8])
+    corpus = [f"shard doc {i} topic {i % 9}" for i in range(60)]
+    queries = ["shard doc 17 topic 8", "something unrelated entirely"]
+
+    single = VectorIndex(engine, dtype="float32")
+    single.add(corpus)
+    sharded = VectorIndex(engine, dtype="float32", mesh=mesh)
+    sharded.add(corpus)
+
+    i1, s1 = single.search(queries, k=7)
+    i2, s2 = sharded.search(queries, k=7)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+    # corpus rows really shard over dp
+    shard_rows = sharded._corpus.sharding.shard_shape(sharded._corpus.shape)[0]
+    assert shard_rows == sharded._corpus.shape[0] // 8

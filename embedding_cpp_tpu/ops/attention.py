@@ -64,7 +64,10 @@ def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
             tiles = 2 * hb * (3 * s + tq) * d * itemsize  # dbl-buffered qkv+o
             if tiles + tq * s * score_bytes <= 10 * 1024 * 1024:
                 return tq, hb
-    return s, 1
+    # nothing fits the budget model (very long s): smallest safe tile — a
+    # whole-sequence fallback would be an [S, S] score tile that cannot
+    # compile
+    return (128 if s % 128 == 0 else s), 1
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "hb"))

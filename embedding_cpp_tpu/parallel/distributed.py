@@ -157,19 +157,30 @@ def make_leader(engine) -> None:
     """Patch engine.embed_tokens on process 0 so every device dispatch is
     announced to the followers first (they replay the identical call, which
     keeps all processes in SPMD lockstep).  encode()/server frames all route
-    through embed_tokens, so one patch covers the serving surface."""
+    through embed_tokens, so one patch covers the serving surface.
+
+    A dedicated lock makes broadcast + execution atomic per request: the
+    server drives the engine from several executor threads, and without it
+    two threads could interleave their broadcasts or execute in a different
+    order than the followers replay — mismatched collective sequences across
+    processes."""
+    import threading
+
     import jax
 
     assert jax.process_index() == 0, "make_leader runs on process 0 only"
     real = engine.embed_tokens
+    lock = threading.Lock()
 
     def embed_tokens(token_lists):
-        payload = _encode_token_lists(token_lists)
-        _broadcast(
-            np.array([OP_EMBED, payload.shape[0], payload.shape[1]], np.int32)
-        )
-        _broadcast(payload)
-        return real(token_lists)
+        with lock:
+            payload = _encode_token_lists(token_lists)
+            _broadcast(
+                np.array([OP_EMBED, payload.shape[0], payload.shape[1]],
+                         np.int32)
+            )
+            _broadcast(payload)
+            return real(token_lists)
 
     engine.embed_tokens = embed_tokens
 

@@ -115,13 +115,26 @@ class VectorIndex:
         vecs = self.engine.encode(list(texts))
         return self.add_vectors(vecs)
 
+    @staticmethod
+    def _unit(vecs: np.ndarray) -> np.ndarray:
+        """Index semantics are cosine: unit-normalize defensively (models
+        converted with normalize=false return raw vectors — config.normalize
+        — and add_vectors accepts arbitrary user vectors; for already
+        normalized inputs this is a numeric no-op)."""
+        norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+        return vecs / np.maximum(norms, 1e-12)
+
     def add_vectors(self, vecs: np.ndarray) -> int:
-        """Append precomputed (normalized) vectors [n, n_embd]."""
+        """Append precomputed vectors [n, n_embd] (unit-normalized here —
+        ranking is by cosine)."""
         vecs = np.asarray(vecs, dtype=np.float32)
         if vecs.ndim != 2 or vecs.shape[1] != self.engine.n_embd:
             raise ValueError(
                 f"expected [n, {self.engine.n_embd}] vectors, got {vecs.shape}"
             )
+        if len(vecs) == 0:
+            return self._n
+        vecs = self._unit(vecs)
         with self._lock:
             need = self._n + len(vecs)
             cap = 0 if self._corpus is None else self._corpus.shape[0]
@@ -177,7 +190,7 @@ class VectorIndex:
             if self._n == 0:
                 raise ValueError("index is empty")
             k = min(k, self._n)
-            q = np.asarray(qvecs, dtype=np.float32)
+            q = self._unit(np.asarray(qvecs, dtype=np.float32))
             nq = q.shape[0]
             # pad the query batch to a bucket (stable compiled shapes)
             qb = next((b for b in _QUERY_BUCKETS if nq <= b), None)

@@ -26,6 +26,7 @@ import asyncio
 import json
 import struct
 import sys
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -129,18 +130,29 @@ class ContinuousBatcher:
         self.stats = ServerStats()
         self._task: asyncio.Task | None = None
         self.index = None  # lazy on-device VectorIndex (shared, thread-safe)
+        self._index_init_lock = threading.Lock()
 
     def index_texts(self, texts: list[str]) -> int:
         if self.index is None:
-            import jax
+            # double-checked under a lock: two concurrent first index frames
+            # run on separate executor threads, and the loser's documents
+            # must not land in an orphaned index
+            with self._index_init_lock:
+                if self.index is None:
+                    import jax
 
-            from .search import VectorIndex
+                    from .search import VectorIndex
 
-            # dp-shard the corpus over the serving mesh; multi-host serving
-            # keeps the index leader-local (followers only replay
-            # embed_tokens — a sharded search would need their participation)
-            mesh = self.engine.mesh if jax.process_count() == 1 else None
-            self.index = VectorIndex(self.engine, mesh=mesh)
+                    # dp-shard the corpus over the serving mesh; multi-host
+                    # serving keeps the index leader-local (followers only
+                    # replay embed_tokens — a sharded search would need
+                    # their participation)
+                    mesh = (
+                        self.engine.mesh
+                        if jax.process_count() == 1
+                        else None
+                    )
+                    self.index = VectorIndex(self.engine, mesh=mesh)
         return self.index.add(texts)
 
     def search_texts(self, texts: list[str], k: int):
@@ -160,6 +172,13 @@ class ContinuousBatcher:
                 pass
 
     async def encode(self, texts: list[str]) -> np.ndarray:
+        if len(texts) > self.max_pending:
+            # distinct permanent error: retrying can never clear this one
+            self.stats.rejected += 1
+            raise OverloadedError(
+                f"request too large: {len(texts)} sentences exceed the "
+                f"--max-pending cap {self.max_pending}; split the request"
+            )
         if self._pending + len(texts) > self.max_pending:
             self.stats.rejected += 1
             raise OverloadedError(

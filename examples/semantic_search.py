@@ -42,12 +42,15 @@ def main() -> int:
         corpus = [line.strip() for line in f if line.strip()]
 
     t0 = time.perf_counter()
+    base = 0  # our corpus's offset within the (server-global) index
     if args.server:
         from embedding_cpp_tpu.runtime.client import EmbeddingClient
 
         host, _, port = args.server.rpartition(":")
         client = EmbeddingClient(host or "127.0.0.1", int(port))
-        client.index(corpus)
+        # the server index persists across clients: returned ids are global,
+        # our texts start at total - len(corpus)
+        base = client.index(corpus) - len(corpus)
         search = client.search
     else:
         from embedding_cpp_tpu import Engine
@@ -71,7 +74,13 @@ def main() -> int:
             break
         idx, scores = search([q], args.k)
         for rank, (i, s) in enumerate(zip(idx[0], scores[0]), 1):
-            print(f"{rank}. [{s:+.4f}] {corpus[i]}")
+            local = i - base
+            text = (
+                corpus[local]
+                if 0 <= local < len(corpus)
+                else f"<index entry {i} from another client>"
+            )
+            print(f"{rank}. [{s:+.4f}] {text}")
         if interactive:
             print("query (empty line to quit):", file=sys.stderr)
     return 0

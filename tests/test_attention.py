@@ -136,3 +136,16 @@ def test_packed_window_covers_exact_boundaries():
         _flash_attention_packed_window(qt, kt, vt, seg, tq=128, wmax=wmax, hb=1)
     ).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(got, expected, atol=_tpu_atol(2e-5), rtol=1e-4)
+
+
+def test_attn_tiles_never_whole_sequence_over_budget():
+    """The tile picker must not fall back to an [S, S] score tile when
+    nothing fits the VMEM budget (that tile cannot compile on TPU)."""
+    from embedding_cpp_tpu.ops.attention import _attn_tiles
+
+    tq, hb = _attn_tiles(12, 8192, 32, 2, score_bytes=8)
+    assert tq * 8192 * 8 <= 10 * 1024 * 1024 or tq == 128
+    assert tq < 8192
+    # normal encoder shapes still pick whole-sequence tiles with all heads
+    tq, hb = _attn_tiles(12, 512, 32, 2)
+    assert tq == 512 and hb == 12

@@ -124,3 +124,29 @@ def test_sharded_index_matches_single(engine):
     # corpus rows really shard over dp
     shard_rows = sharded._corpus.sharding.shard_shape(sharded._corpus.shape)[0]
     assert shard_rows == sharded._corpus.shape[0] // 8
+
+
+def test_empty_save_load_roundtrip(engine, tmp_path):
+    """Empty-index save/load must not crash (add_vectors with 0 rows)."""
+    idx = VectorIndex(engine)
+    path = str(tmp_path / "empty.npz")
+    idx.save(path)
+    idx2 = VectorIndex(engine)
+    assert idx2.load(path) == 0
+    assert len(idx2) == 0
+
+
+def test_unnormalized_vectors_rank_by_cosine(engine):
+    """Raw (un-normalized) vectors are unit-normalized at add/search time —
+    ranking is cosine, never magnitude (models with normalize=false return
+    raw pooled vectors)."""
+    rng = np.random.default_rng(0)
+    E = engine.n_embd
+    a = rng.normal(size=E).astype(np.float32)
+    b = rng.normal(size=E).astype(np.float32)
+    idx = VectorIndex(engine, dtype="float32")
+    # corpus: a tiny copy of `a`, and a huge copy of `b`
+    idx.add_vectors(np.stack([a * 1e-3, b * 1e6]))
+    got, scores = idx.search_vectors(a[None, :], k=2)
+    assert got[0, 0] == 0  # direction wins, not magnitude
+    assert scores[0, 0] > 0.999

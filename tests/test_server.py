@@ -432,7 +432,9 @@ def test_backpressure_error_frame():
             time.sleep(0.05)
 
     with EmbeddingClient("127.0.0.1", port) as c:
-        with pytest.raises(RuntimeError, match="overloaded"):
+        # a single request over the cap is a permanent "too large" error
+        # (retrying could never clear it), distinct from transient overload
+        with pytest.raises(RuntimeError, match="request too large"):
             c.embed(["one", "two", "three"])  # 3 > cap 2
         vecs = c.embed(["fits"])  # under the cap: still served
         assert vecs.shape == (1, CFG.n_embd)

@@ -150,3 +150,34 @@ def test_unnormalized_vectors_rank_by_cosine(engine):
     got, scores = idx.search_vectors(a[None, :], k=2)
     assert got[0, 0] == 0  # direction wins, not magnitude
     assert scores[0, 0] > 0.999
+
+
+def test_two_stage_topk_exact():
+    """The blocked two-stage selection is bit-exact vs plain lax.top_k
+    (global top-k is a subset of the union of per-block top-ks)."""
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.runtime.search import _TOPK_BLOCK, _select_topk
+
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(5, 8 * _TOPK_BLOCK)), jnp.float32)
+    import jax
+
+    s_ref, i_ref = jax.lax.top_k(scores, 7)
+    s2, i2 = _select_topk(scores, 7, exact=True)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i2))
+    # ties at block boundaries: duplicated values keep valid indices
+    tied = jnp.zeros((2, 2 * _TOPK_BLOCK), jnp.float32)
+    st, it = _select_topk(tied, 3, exact=True)
+    assert np.asarray(st).shape == (2, 3)
+
+
+def test_approx_search_recall(engine):
+    """exact=False (lax.approx_max_k) finds the true top-1 on a corpus with
+    distinct topics (falls back to exact off-TPU)."""
+    corpus = [f"distinct topic {i} word{i}" for i in range(30)]
+    idx = VectorIndex(engine, dtype="float32", exact=False)
+    idx.add(corpus)
+    got, _ = idx.search([corpus[11]], k=3)
+    assert got[0, 0] == 11

@@ -52,16 +52,36 @@ def _select_topk(scores, k: int, exact: bool):
     return sf, jnp.take_along_axis(cand_i, pos, axis=-1)
 
 
+def _pack_result(scores, idx):
+    """(scores f32 [..., k], idx i32 [..., k]) -> one f32 [..., 2k] array
+    (idx bitcast into the trailing columns).  One array = ONE device->host
+    fetch — each fetch pays a ~25 ms relay round trip, which dominated the
+    end-to-end search latency when scores and ids fetched separately."""
+    return jnp.concatenate(
+        [scores, jax.lax.bitcast_convert_type(idx.astype(jnp.int32),
+                                              jnp.float32)],
+        axis=-1,
+    )
+
+
+def _unpack_result(packed: np.ndarray, k: int):
+    packed = np.ascontiguousarray(packed, dtype=np.float32)
+    scores = packed[..., :k]
+    idx = np.ascontiguousarray(packed[..., k:]).view(np.int32)
+    return scores, idx
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def _search_kernel(corpus, qvecs, n_real, k, exact):
-    """corpus [N, E] (padded), qvecs [Qb, E] -> (scores [Qb, k], idx [Qb, k]).
-    Padded corpus rows are masked to -inf before top_k."""
+    """corpus [N, E] (padded), qvecs [Qb, E] -> packed f32 [Qb, 2k]
+    (scores | bitcast idx).  Padded corpus rows are masked to -inf."""
     scores = jnp.matmul(
         qvecs, corpus.T, preferred_element_type=jnp.float32
     )
     valid = jnp.arange(corpus.shape[0]) < n_real
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
-    return _select_topk(scores, k, exact)
+    s, i = _select_topk(scores, k, exact)
+    return _pack_result(s, i)
 
 
 def _make_sharded_search(mesh, exact: bool = True):
@@ -96,7 +116,7 @@ def _make_sharded_search(mesh, exact: bool = True):
         )(corpus, qvecs)
         # [Q, k*dp] candidates -> final k
         sf, pos = jax.lax.top_k(s, k)
-        return sf, jnp.take_along_axis(i, pos, axis=1)
+        return _pack_result(sf, jnp.take_along_axis(i, pos, axis=1))
 
     return search
 
@@ -238,17 +258,15 @@ class VectorIndex:
                 # per-shard top_k needs k <= rows per shard (capacity steps
                 # keep that bound far above practical k)
                 k = min(k, self._corpus.shape[0] // self._dp)
-                scores, idx = self._sharded_search(
+                packed = self._sharded_search(
                     self._corpus, jnp.asarray(q, dtype=self.dtype),
                     self._n, k,
                 )
             else:
-                scores, idx = _search_kernel(
+                packed = _search_kernel(
                     self._corpus, jnp.asarray(q, dtype=self.dtype),
                     self._n, k, self.exact,
                 )
-            # only [nq, k] ids + scores cross the link
-            return (
-                np.asarray(idx)[:nq].astype(np.int32),
-                np.asarray(scores)[:nq].astype(np.float32),
-            )
+            # only [nq, 2k] packed scores+ids cross the link, in ONE fetch
+            scores, idx = _unpack_result(np.asarray(packed)[:nq], k)
+            return idx, scores

@@ -23,16 +23,24 @@ mesh, asserting output parity with the single-process path.
 from __future__ import annotations
 
 import sys
+import threading
 from typing import Sequence
 
 import numpy as np
 
 from .mesh import DP_AXIS
 
+# one lock orders EVERY leader-side broadcast+dispatch pair (engine embeds
+# and index ops alike): followers replay strictly in broadcast order, so the
+# leader must execute in that same order
+_LEADER_LOCK = threading.Lock()
+
 # leader -> follower opcodes (first slot of the fixed-size header broadcast)
 OP_STOP = 0
 OP_EMBED = 1
-_HEADER_SHAPE = (3,)  # [op, n_rows, payload_width]
+OP_INDEX = 2  # vector-index append (payload: f32 [n, E] normalized vectors)
+OP_SEARCH = 3  # index search (payload: f32 padded queries; header[3] = k)
+_HEADER_SHAPE = (4,)  # [op, n_rows, payload_width, k]
 
 
 def initialize(
@@ -159,24 +167,22 @@ def make_leader(engine) -> None:
     keeps all processes in SPMD lockstep).  encode()/server frames all route
     through embed_tokens, so one patch covers the serving surface.
 
-    A dedicated lock makes broadcast + execution atomic per request: the
-    server drives the engine from several executor threads, and without it
-    two threads could interleave their broadcasts or execute in a different
-    order than the followers replay — mismatched collective sequences across
-    processes."""
-    import threading
-
+    The shared _LEADER_LOCK makes broadcast + execution atomic per request:
+    the server drives the engine from several executor threads, and without
+    it two threads could interleave their broadcasts or execute in a
+    different order than the followers replay — mismatched collective
+    sequences across processes.  Index ops (make_leader_index) serialize
+    through the same lock for the same reason."""
     import jax
 
     assert jax.process_index() == 0, "make_leader runs on process 0 only"
     real = engine.embed_tokens
-    lock = threading.Lock()
 
     def embed_tokens(token_lists):
-        with lock:
+        with _LEADER_LOCK:
             payload = _encode_token_lists(token_lists)
             _broadcast(
-                np.array([OP_EMBED, payload.shape[0], payload.shape[1]],
+                np.array([OP_EMBED, payload.shape[0], payload.shape[1], 0],
                          np.int32)
             )
             _broadcast(payload)
@@ -185,28 +191,76 @@ def make_leader(engine) -> None:
     engine.embed_tokens = embed_tokens
 
 
+def make_leader_index(engine):
+    """Leader-side VectorIndex over the multi-host mesh: the corpus shards
+    across every host's devices, so every index device op (vector append,
+    search dispatch) broadcasts to the followers first and they replay it
+    with bitwise-identical inputs (follower_loop OP_INDEX/OP_SEARCH)."""
+    import jax
+
+    from ..runtime.search import VectorIndex
+
+    assert jax.process_index() == 0
+
+    class LeaderIndex(VectorIndex):
+        def _commit_vectors(self, vecs):
+            with _LEADER_LOCK:
+                _broadcast(np.array(
+                    [OP_INDEX, vecs.shape[0], vecs.shape[1], 0], np.int32
+                ))
+                _broadcast(np.ascontiguousarray(vecs, np.float32))
+                return super()._commit_vectors(vecs)
+
+        def _run_search(self, q, k):
+            with _LEADER_LOCK:
+                _broadcast(np.array(
+                    [OP_SEARCH, q.shape[0], q.shape[1], k], np.int32
+                ))
+                _broadcast(np.ascontiguousarray(q, np.float32))
+                return super()._run_search(q, k)
+
+    return LeaderIndex(engine, mesh=engine.mesh)
+
+
 def broadcast_stop() -> None:
     """Leader: release the followers (end of serving)."""
-    _broadcast(np.array([OP_STOP, 0, 0], np.int32))
+    _broadcast(np.array([OP_STOP, 0, 0, 0], np.int32))
 
 
 def follower_loop(engine) -> None:
-    """Processes 1..N-1: replay the leader's engine dispatches until STOP.
+    """Processes 1..N-1: replay the leader's device dispatches until STOP.
 
     The engine's batching is deterministic in its inputs, so replaying
     embed_tokens with the broadcast token lists issues the same jit calls in
-    the same order as the leader — the SPMD contract.
+    the same order as the leader — the SPMD contract.  Index ops replay into
+    a follower-local VectorIndex over the same global mesh (the corpus is
+    dp-sharded across hosts; search results replicate, the follower just
+    discards its copy).
     """
     import jax
 
     assert jax.process_index() != 0, "follower_loop runs on processes > 0"
+    fidx = None
     while True:
         header = _broadcast(np.zeros(_HEADER_SHAPE, np.int32))
         op, n, width = int(header[0]), int(header[1]), int(header[2])
         if op == OP_STOP:
             return
-        payload = _broadcast(np.zeros((n, width), np.int32))
-        engine.embed_tokens(_decode_token_lists(payload))
+        if op == OP_EMBED:
+            payload = _broadcast(np.zeros((n, width), np.int32))
+            engine.embed_tokens(_decode_token_lists(payload))
+            continue
+        payload = _broadcast(np.zeros((n, width), np.float32))
+        if fidx is None:
+            from ..runtime.search import VectorIndex
+
+            fidx = VectorIndex(engine, mesh=engine.mesh)
+        if op == OP_INDEX:
+            with fidx._lock:
+                fidx._commit_vectors(payload)
+        elif op == OP_SEARCH:
+            with fidx._lock:
+                fidx._run_search(payload, int(header[3]))
 
 
 def barrier(name: str = "barrier") -> None:

@@ -90,11 +90,14 @@ def _make_sharded_search(mesh, exact: bool = True):
     collectives), the k*dp candidates concatenate over dp, and a tiny final
     top_k merges them.  Scores for a huge corpus never materialize globally
     — only [Q, k*dp] candidates do."""
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import DP_AXIS
 
-    @partial(jax.jit, static_argnums=(3,))
+    # packed result replicates explicitly: on a multi-host mesh the leader
+    # must be able to fetch it locally (np.asarray on fully-replicated)
+    @partial(jax.jit, static_argnums=(3,),
+             out_shardings=NamedSharding(mesh, P()))
     def search(corpus, qvecs, n_real, k):
         def body(c_local, q):
             scores = jnp.matmul(
@@ -190,31 +193,37 @@ class VectorIndex:
             return self._n
         vecs = self._unit(vecs)
         with self._lock:
-            need = self._n + len(vecs)
-            cap = 0 if self._corpus is None else self._corpus.shape[0]
-            if need > cap:
-                # capacity steps divide evenly over dp shards
-                step = _CAPACITY_STEP * self._dp
-                new_cap = -(-need // step) * step
-                grown = jnp.zeros(
-                    (new_cap, self.engine.n_embd), dtype=self.dtype
+            return self._commit_vectors(vecs)
+
+    def _commit_vectors(self, vecs: np.ndarray) -> int:
+        """Device-side append of normalized vectors (caller holds _lock).
+        The multi-host leader overrides this to broadcast first — followers
+        replay it with bitwise-identical inputs (parallel/distributed.py)."""
+        need = self._n + len(vecs)
+        cap = 0 if self._corpus is None else self._corpus.shape[0]
+        if need > cap:
+            # capacity steps divide evenly over dp shards
+            step = _CAPACITY_STEP * self._dp
+            new_cap = -(-need // step) * step
+            grown = jnp.zeros(
+                (new_cap, self.engine.n_embd), dtype=self.dtype
+            )
+            if self._sharding is not None:
+                grown = jax.device_put(grown, self._sharding)
+            if self._corpus is not None:
+                grown = jax.lax.dynamic_update_slice(
+                    grown, self._corpus, (0, 0)
                 )
                 if self._sharding is not None:
                     grown = jax.device_put(grown, self._sharding)
-                if self._corpus is not None:
-                    grown = jax.lax.dynamic_update_slice(
-                        grown, self._corpus, (0, 0)
-                    )
-                    if self._sharding is not None:
-                        grown = jax.device_put(grown, self._sharding)
-                self._corpus = grown
-            self._corpus = jax.lax.dynamic_update_slice(
-                self._corpus, jnp.asarray(vecs, dtype=self.dtype), (self._n, 0)
-            )
-            if self._sharding is not None:
-                self._corpus = jax.device_put(self._corpus, self._sharding)
-            self._n = need
-            return self._n
+            self._corpus = grown
+        self._corpus = jax.lax.dynamic_update_slice(
+            self._corpus, jnp.asarray(vecs, dtype=self.dtype), (self._n, 0)
+        )
+        if self._sharding is not None:
+            self._corpus = jax.device_put(self._corpus, self._sharding)
+        self._n = need
+        return self._n
 
     # --- persistence ----------------------------------------------------------
     def save(self, path: str) -> None:
@@ -244,6 +253,10 @@ class VectorIndex:
             if self._n == 0:
                 raise ValueError("index is empty")
             k = min(k, self._n)
+            if self._sharding is not None:
+                # per-shard top_k needs k <= rows per shard (capacity steps
+                # keep that bound far above practical k)
+                k = min(k, self._corpus.shape[0] // self._dp)
             q = self._unit(np.asarray(qvecs, dtype=np.float32))
             nq = q.shape[0]
             # pad the query batch to a bucket (stable compiled shapes)
@@ -254,19 +267,20 @@ class VectorIndex:
                 q = np.concatenate(
                     [q, np.zeros((qb - nq, q.shape[1]), np.float32)]
                 )
-            if self._sharding is not None:
-                # per-shard top_k needs k <= rows per shard (capacity steps
-                # keep that bound far above practical k)
-                k = min(k, self._corpus.shape[0] // self._dp)
-                packed = self._sharded_search(
-                    self._corpus, jnp.asarray(q, dtype=self.dtype),
-                    self._n, k,
-                )
-            else:
-                packed = _search_kernel(
-                    self._corpus, jnp.asarray(q, dtype=self.dtype),
-                    self._n, k, self.exact,
-                )
+            packed = self._run_search(q, k)
             # only [nq, 2k] packed scores+ids cross the link, in ONE fetch
             scores, idx = _unpack_result(np.asarray(packed)[:nq], k)
             return idx, scores
+
+    def _run_search(self, q: np.ndarray, k: int):
+        """Dispatch the search kernel on the padded query batch (caller
+        holds _lock).  Overridden by the multi-host leader to broadcast the
+        (q, k) pair so followers replay the identical dispatch."""
+        if self._sharding is not None:
+            return self._sharded_search(
+                self._corpus, jnp.asarray(q, dtype=self.dtype), self._n, k
+            )
+        return _search_kernel(
+            self._corpus, jnp.asarray(q, dtype=self.dtype),
+            self._n, k, self.exact,
+        )

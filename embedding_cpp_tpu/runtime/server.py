@@ -143,16 +143,17 @@ class ContinuousBatcher:
 
                     from .search import VectorIndex
 
-                    # dp-shard the corpus over the serving mesh; multi-host
-                    # serving keeps the index leader-local (followers only
-                    # replay embed_tokens — a sharded search would need
-                    # their participation)
-                    mesh = (
-                        self.engine.mesh
-                        if jax.process_count() == 1
-                        else None
-                    )
-                    self.index = VectorIndex(self.engine, mesh=mesh)
+                    if jax.process_count() > 1:
+                        # multi-host: corpus shards across every host's
+                        # devices; index ops broadcast so followers replay
+                        from ..parallel import distributed as dist
+
+                        self.index = dist.make_leader_index(self.engine)
+                    else:
+                        # dp-shard the corpus over the serving mesh
+                        self.index = VectorIndex(
+                            self.engine, mesh=self.engine.mesh
+                        )
         return self.index.add(texts)
 
     def search_texts(self, texts: list[str], k: int):

@@ -192,6 +192,15 @@ def test_multiprocess_server_end_to_end(tmp_path):
         )
         np.testing.assert_allclose(vecs, single.encode(texts), atol=2e-5,
                                    rtol=1e-4)
+        # distributed vector index: the corpus shards across both processes'
+        # devices; index + search ops broadcast to the follower (OP_INDEX /
+        # OP_SEARCH replay) and results come back correct
+        corpus = [f"distributed document {i}" for i in range(10)]
+        with EmbeddingClient("127.0.0.1", sport) as c2:
+            assert c2.index(corpus) == 10
+            idx, scores = c2.search([corpus[4], corpus[8]], k=2)
+            assert idx[0, 0] == 4 and idx[1, 0] == 8
+            assert np.all(scores[:, 0] >= scores[:, 1])
         # graceful shutdown: SIGTERM to the leader broadcasts STOP, which
         # releases the follower from its blocking broadcast
         procs[0].terminate()

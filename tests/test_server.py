@@ -473,3 +473,20 @@ def test_hostile_search_frames(server):
         head += s2.recv(4 - len(head))
     assert struct.unpack("<I", head)[0] == 0xFFFFFFFF
     s2.close()
+
+
+def test_raw_text_with_magic_prefix(server):
+    """A raw-mode text that shares a prefix with a magic but diverges
+    ('TPEncoding...') must still be served as raw text — the head
+    accumulator bails to raw mode the moment the bytes cannot be a magic."""
+    port, engine = server
+    s = socket.create_connection(("127.0.0.1", port), 10)
+    (n_embd,) = struct.unpack("<i", s.recv(4))
+    s.sendall(b"TPEncoding is fun")
+    data = b""
+    while len(data) < n_embd * 4:
+        data += s.recv(n_embd * 4 - len(data))
+    vec = np.frombuffer(data, np.float32)
+    expected = engine.encode(["TPEncoding is fun"])[0]
+    np.testing.assert_allclose(vec, expected, atol=1e-5)
+    s.close()

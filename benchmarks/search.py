@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-DISPATCH_FLOOR_S = 0.023
+from kernels import DISPATCH_FLOOR_S  # noqa: E402 (canonical relay floor)
 
 
 def main() -> None:
@@ -36,8 +36,6 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--json-out")
     args = p.parse_args()
-
-    import functools
 
     import jax
     import jax.numpy as jnp

@@ -66,8 +66,8 @@ def _pack_result(scores, idx):
 
 def _unpack_result(packed: np.ndarray, k: int):
     packed = np.ascontiguousarray(packed, dtype=np.float32)
-    scores = packed[..., :k]
-    idx = np.ascontiguousarray(packed[..., k:]).view(np.int32)
+    scores = np.array(packed[..., :k])  # writable copies, not views
+    idx = np.array(np.ascontiguousarray(packed[..., k:]).view(np.int32))
     return scores, idx
 
 
@@ -81,6 +81,10 @@ def _search_kernel(corpus, qvecs, n_real, k, exact):
     valid = jnp.arange(corpus.shape[0]) < n_real
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
     s, i = _select_topk(scores, k, exact)
+    # approx selection on TPU bins the row space and can emit -inf slots
+    # whose ids point into the padded region; sanitize them to -1 so a
+    # caller can never index a phantom document (exact mode always fills k)
+    i = jnp.where(jnp.isfinite(s), i, -1)
     return _pack_result(s, i)
 
 
@@ -117,9 +121,11 @@ def _make_sharded_search(mesh, exact: bool = True):
             out_specs=(P(None, DP_AXIS), P(None, DP_AXIS)),
             check_vma=False,
         )(corpus, qvecs)
-        # [Q, k*dp] candidates -> final k
+        # [Q, k*dp] candidates -> final k; -inf slots sanitize to id -1
         sf, pos = jax.lax.top_k(s, k)
-        return _pack_result(sf, jnp.take_along_axis(i, pos, axis=1))
+        idxf = jnp.take_along_axis(i, pos, axis=1)
+        idxf = jnp.where(jnp.isfinite(sf), idxf, -1)
+        return _pack_result(sf, idxf)
 
     return search
 
@@ -230,6 +236,17 @@ class VectorIndex:
         """Persist the indexed vectors (.npz).  GGUF is the model checkpoint
         format; the index is derived state, stored separately."""
         with self._lock:
+            if (
+                self._corpus is not None
+                and not self._corpus.sharding.is_fully_addressable
+            ):
+                # multi-host sharded corpus: a leader-only fetch would need
+                # collectives the followers never replay (no OP_* exists for
+                # save) — persist the source vectors instead
+                raise NotImplementedError(
+                    "save() on a multi-host sharded index is not supported; "
+                    "persist the source vectors and re-add them"
+                )
             vecs = (
                 np.zeros((0, self.engine.n_embd), np.float32)
                 if self._n == 0
@@ -244,7 +261,12 @@ class VectorIndex:
 
     # --- querying ------------------------------------------------------------
     def search(self, queries: Sequence[str], k: int = 10):
-        """Texts -> (indices [n, k] int32, scores [n, k] f32)."""
+        """Texts -> (indices [n, k] int32, scores [n, k] f32).
+
+        With `exact=False`, slots the approximate selection could not fill
+        come back as index -1 with score -inf (possible when valid rows
+        cluster into few of approx_max_k's bins); exact mode always fills k.
+        """
         qvecs = self.engine.encode(list(queries))
         return self.search_vectors(qvecs, k)
 

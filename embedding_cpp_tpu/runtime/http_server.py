@@ -1,0 +1,264 @@
+"""Minimal HTTP/1.1 embedding endpoint over the continuous batcher.
+
+The reference serves raw TCP only (examples/server.cpp).  This module adds
+the serving surface modern clients expect — an OpenAI-compatible
+`POST /v1/embeddings` — without any new dependencies: a small hand-rolled
+asyncio HTTP server that shares the SAME ContinuousBatcher (and therefore
+the same device batches) as the TCP protocol.
+
+    POST /v1/embeddings   {"input": "text" | ["texts"...],
+                           "encoding_format": "float" (default) | "base64"}
+      -> {"object": "list", "data": [{"object": "embedding", "index": i,
+          "embedding": [...]}], "model": ..., "usage": {...}}
+    GET  /healthz         -> 200 "ok"
+    GET  /metrics         -> JSON metrics snapshot (same payload as TPES)
+    GET  /v1/models       -> model listing
+
+Run standalone (`python -m embedding_cpp_tpu.runtime.http_server -m m.gguf`)
+or alongside the TCP server (`runtime.server --http-port 8081`).
+"""
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+import sys
+
+import numpy as np
+
+MAX_BODY = 256 << 20  # request-body cap
+MAX_HEADER = 64 << 10
+
+
+class HttpError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+_STATUS_TEXT = {200: "OK", 400: "Bad Request", 404: "Not Found",
+                405: "Method Not Allowed", 413: "Payload Too Large",
+                429: "Too Many Requests", 500: "Internal Server Error"}
+
+
+def _response(status: int, body: bytes, content_type: str = "application/json",
+              keep_alive: bool = True) -> bytes:
+    head = (
+        f"HTTP/1.1 {status} {_STATUS_TEXT.get(status, 'OK')}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n"
+        "\r\n"
+    )
+    return head.encode("ascii") + body
+
+
+def _json_response(status: int, obj) -> bytes:
+    return _response(status, json.dumps(obj).encode("utf-8"))
+
+
+def _error_response(status: int, message: str) -> bytes:
+    return _json_response(
+        status, {"error": {"message": message, "type": "invalid_request_error"
+                           if status < 500 else "server_error"}}
+    )
+
+
+async def _read_request(reader: asyncio.StreamReader):
+    """-> (method, path, headers, body) or None on clean EOF."""
+    try:
+        request_line = await reader.readline()
+    except (asyncio.LimitOverrunError, ValueError):
+        raise HttpError(400, "request line too long")
+    if not request_line:
+        return None
+    parts = request_line.decode("latin-1").strip().split()
+    if len(parts) != 3:
+        raise HttpError(400, "malformed request line")
+    method, path, _version = parts
+    headers = {}
+    total = 0
+    while True:
+        line = await reader.readline()
+        total += len(line)
+        if total > MAX_HEADER:
+            raise HttpError(400, "headers too large")
+        if line in (b"\r\n", b"\n", b""):
+            break
+        if b":" in line:
+            k, _, v = line.decode("latin-1").partition(":")
+            headers[k.strip().lower()] = v.strip()
+    length = int(headers.get("content-length", "0") or "0")
+    if length < 0 or length > MAX_BODY:
+        raise HttpError(413, f"body too large ({length} bytes)")
+    body = await reader.readexactly(length) if length else b""
+    return method, path, headers, body
+
+
+def _parse_embed_request(body: bytes):
+    try:
+        payload = json.loads(body or b"{}")
+    except json.JSONDecodeError as e:
+        raise HttpError(400, f"invalid JSON: {e}")
+    if not isinstance(payload, dict):
+        raise HttpError(400, "body must be a JSON object")
+    texts = payload.get("input")
+    if isinstance(texts, str):
+        texts = [texts]
+    if (
+        not isinstance(texts, list)
+        or not texts
+        or not all(isinstance(t, str) for t in texts)
+    ):
+        raise HttpError(400, "'input' must be a string or list of strings")
+    fmt = payload.get("encoding_format", "float")
+    if fmt not in ("float", "base64"):
+        raise HttpError(400, "encoding_format must be 'float' or 'base64'")
+    return texts, fmt
+
+
+async def handle_http(reader, writer, batcher, model_name: str) -> None:
+    from .server import OverloadedError
+
+    batcher.stats.connections += 1
+    try:
+        while True:
+            try:
+                req = await _read_request(reader)
+            except HttpError as e:
+                writer.write(_error_response(e.status, str(e)))
+                await writer.drain()
+                break
+            except (asyncio.IncompleteReadError, ConnectionResetError):
+                break
+            if req is None:
+                break
+            method, path, headers, body = req
+            try:
+                if path == "/healthz":
+                    out = _response(200, b"ok", "text/plain")
+                elif path == "/metrics":
+                    from ..utils.metrics import GLOBAL as metrics
+
+                    snap = metrics.snapshot()
+                    snap["server"] = batcher.stats.as_dict()
+                    out = _json_response(200, snap)
+                elif path == "/v1/models":
+                    out = _json_response(200, {
+                        "object": "list",
+                        "data": [{"id": model_name, "object": "model"}],
+                    })
+                elif path == "/v1/embeddings":
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, fmt = _parse_embed_request(body)
+                    try:
+                        vecs = await batcher.encode(texts)
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    vecs = np.ascontiguousarray(vecs, np.float32)
+                    if fmt == "base64":
+                        data = [
+                            {"object": "embedding", "index": i,
+                             "embedding": base64.b64encode(
+                                 v.tobytes()).decode("ascii")}
+                            for i, v in enumerate(vecs)
+                        ]
+                    else:
+                        data = [
+                            {"object": "embedding", "index": i,
+                             "embedding": v.tolist()}
+                            for i, v in enumerate(vecs)
+                        ]
+                    n_tokens = int(
+                        sum(len(ids)
+                            for ids in batcher.engine.tokenize_batch(texts))
+                    ) if batcher.engine.tokenizer is not None else 0
+                    out = _json_response(200, {
+                        "object": "list",
+                        "data": data,
+                        "model": model_name,
+                        "usage": {"prompt_tokens": n_tokens,
+                                  "total_tokens": n_tokens},
+                    })
+                    batcher.stats.requests += 1
+                else:
+                    raise HttpError(404, f"no route for {path}")
+            except HttpError as e:
+                out = _error_response(e.status, str(e))
+                if e.status >= 500:
+                    batcher.stats.errors += 1
+            except Exception as e:  # engine failures -> 500, connection lives
+                batcher.stats.errors += 1
+                out = _error_response(500, f"{type(e).__name__}: {e}")
+            writer.write(out)
+            await writer.drain()
+            if headers.get("connection", "").lower() == "close":
+                break
+    finally:
+        writer.close()
+        try:
+            await writer.wait_closed()
+        except Exception:
+            pass
+
+
+async def serve_http(engine, host: str = "0.0.0.0", port: int = 8081,
+                     batcher=None, max_batch: int = 256,
+                     window_ms: float = 2.0,
+                     ready_event: asyncio.Event | None = None):
+    """Serve HTTP; pass an existing batcher to share device batches with the
+    TCP protocol (runtime.server --http-port does exactly that)."""
+    from .server import ContinuousBatcher
+
+    own_batcher = batcher is None
+    if own_batcher:
+        batcher = ContinuousBatcher(engine, max_batch, window_ms)
+        await batcher.start()
+    model_name = getattr(getattr(engine, "config", None), "name", "") or \
+        "embedding-model"
+    server = await asyncio.start_server(
+        lambda r, w: handle_http(r, w, batcher, model_name), host, port
+    )
+    if ready_event is not None:
+        ready_event.set()
+    print(f"http server listening on {host}:{port} "
+          f"(POST /v1/embeddings)", file=sys.stderr)
+    try:
+        async with server:
+            await server.serve_forever()
+    finally:
+        if own_batcher:
+            await batcher.stop()
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8081)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--output-dtype",
+                   choices=["float32", "float16", "bfloat16", "int8"],
+                   default="float32")
+    p.add_argument("--packing", choices=["auto", "always", "never"],
+                   default="auto")
+    args = p.parse_args()
+
+    from ..models.bert import ComputeOptions
+    from .engine import Engine
+
+    engine = Engine.from_gguf(
+        args.model,
+        opts=ComputeOptions(dtype=args.dtype, output_dtype=args.output_dtype),
+        packing=args.packing,
+    )
+    engine.warmup()
+    asyncio.run(serve_http(engine, args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()

@@ -477,20 +477,40 @@ async def handle_client(
 async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
                 max_batch: int = 256, window_ms: float = 2.0,
                 ready_event: asyncio.Event | None = None,
-                max_pending: int = 16384):
+                max_pending: int = 16384, http_port: int | None = None):
     batcher = ContinuousBatcher(engine, max_batch, window_ms,
                                 max_pending=max_pending)
     await batcher.start()
     server = await asyncio.start_server(
         lambda r, w: handle_client(r, w, batcher, engine.n_embd), host, port
     )
+    http_server = None
+    if http_port is not None:
+        # HTTP/JSON surface over the SAME batcher: TCP and HTTP requests
+        # merge into shared device batches (runtime/http_server.py)
+        from .http_server import handle_http
+
+        model_name = getattr(
+            getattr(engine, "config", None), "name", ""
+        ) or "embedding-model"
+        http_server = await asyncio.start_server(
+            lambda r, w: handle_http(r, w, batcher, model_name),
+            host, http_port,
+        )
+        print(f"http server listening on {host}:{http_port} "
+              f"(POST /v1/embeddings)", file=sys.stderr)
     if ready_event is not None:
         ready_event.set()
     print(f"server listening on {host}:{port} (n_embd={engine.n_embd})",
           file=sys.stderr)
     try:
         async with server:
-            await server.serve_forever()
+            if http_server is not None:
+                async with http_server:
+                    await asyncio.gather(server.serve_forever(),
+                                         http_server.serve_forever())
+            else:
+                await server.serve_forever()
     finally:
         await batcher.stop()
 
@@ -514,6 +534,10 @@ def main() -> None:
     p.add_argument("--max-pending", type=int, default=16384,
                    help="backpressure cap on admitted-but-unserved sentences "
                         "(overload requests get error frames)")
+    p.add_argument("--http-port", type=int, default=None,
+                   help="also serve HTTP/JSON (OpenAI-compatible "
+                        "POST /v1/embeddings) on this port, sharing the "
+                        "same continuous batcher")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--tp", type=int, default=1,
@@ -570,7 +594,8 @@ def main() -> None:
             try:
                 asyncio.run(serve(engine, args.host, args.port,
                                   args.max_batch, args.window_ms,
-                                  max_pending=args.max_pending))
+                                  max_pending=args.max_pending,
+                                  http_port=args.http_port))
             finally:
                 dist.broadcast_stop()
         else:
@@ -579,7 +604,8 @@ def main() -> None:
             dist.follower_loop(engine)
         return
     asyncio.run(serve(engine, args.host, args.port, args.max_batch,
-                      args.window_ms, max_pending=args.max_pending))
+                      args.window_ms, max_pending=args.max_pending,
+                      http_port=args.http_port))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,171 @@
+"""HTTP/JSON serving surface (runtime/http_server.py): OpenAI-compatible
+/v1/embeddings over the shared continuous batcher, health/metrics routes,
+error handling.  The reference serves raw TCP only."""
+import asyncio
+import base64
+import http.client
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.models import BertConfig, ComputeOptions
+from embedding_cpp_tpu.runtime.engine import Engine
+from embedding_cpp_tpu.runtime.server import serve
+
+CFG = BertConfig(
+    n_vocab=1000, n_ctx=64, n_embd=64, n_layer=1, n_head=4, n_ff=128,
+    name="http-test-model",
+)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    """TCP + HTTP on one process, shared batcher."""
+    pytest.importorskip("tokenizers")
+    engine = Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
+    engine.warmup()
+    tcp_port, http_port = _free_port(), _free_port()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(
+            serve(engine, "127.0.0.1", tcp_port, window_ms=2.0,
+                  http_port=http_port)
+        )
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", http_port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    yield http_port, tcp_port, engine
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)
+
+
+def _post(port, path, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", path, json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    body = json.loads(r.read())
+    conn.close()
+    return r.status, body
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    raw = r.read()
+    conn.close()
+    return r.status, raw
+
+
+def test_embeddings_endpoint(http_server):
+    port, _, engine = http_server
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": ["hello world", "the quick brown fox"]})
+    assert status == 200
+    assert body["object"] == "list" and body["model"] == "http-test-model"
+    vecs = np.array([d["embedding"] for d in body["data"]], np.float32)
+    expected = engine.encode(["hello world", "the quick brown fox"])
+    np.testing.assert_allclose(vecs, expected, atol=1e-5)
+    assert body["usage"]["prompt_tokens"] > 0
+    assert [d["index"] for d in body["data"]] == [0, 1]
+
+
+def test_embeddings_single_string_and_base64(http_server):
+    port, _, engine = http_server
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": "hello world",
+                          "encoding_format": "base64"})
+    assert status == 200
+    raw = base64.b64decode(body["data"][0]["embedding"])
+    vec = np.frombuffer(raw, np.float32)
+    np.testing.assert_allclose(vec, engine.encode(["hello world"])[0],
+                               atol=1e-5)
+
+
+def test_health_metrics_models(http_server):
+    port, _, _ = http_server
+    status, raw = _get(port, "/healthz")
+    assert status == 200 and raw == b"ok"
+    status, raw = _get(port, "/metrics")
+    snap = json.loads(raw)
+    assert status == 200 and "server" in snap
+    status, raw = _get(port, "/v1/models")
+    assert status == 200
+    assert json.loads(raw)["data"][0]["id"] == "http-test-model"
+
+
+def test_http_error_handling(http_server):
+    port, _, _ = http_server
+    status, body = _post(port, "/v1/embeddings", {"input": []})
+    assert status == 400 and "input" in body["error"]["message"]
+    status, body = _post(port, "/v1/embeddings", {"input": 42})
+    assert status == 400
+    status, raw = _get(port, "/nope")
+    assert status == 404
+    # malformed JSON
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/v1/embeddings", "{not json",
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 400
+    conn.close()
+
+
+def test_http_keepalive_multiple_requests(http_server):
+    port, _, engine = http_server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    for i in range(3):
+        conn.request("POST", "/v1/embeddings",
+                     json.dumps({"input": f"request {i}"}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        body = json.loads(r.read())
+        vec = np.array(body["data"][0]["embedding"], np.float32)
+        np.testing.assert_allclose(
+            vec, engine.encode([f"request {i}"])[0], atol=1e-5
+        )
+    conn.close()
+
+
+def test_tcp_and_http_share_batcher(http_server):
+    """Both protocols serve from one process and agree numerically."""
+    from embedding_cpp_tpu.runtime.client import EmbeddingClient
+
+    http_port, tcp_port, _ = http_server
+    with EmbeddingClient("127.0.0.1", tcp_port) as c:
+        tcp_vec = c.embed(["shared batcher"])[0]
+    _, body = _post(http_port, "/v1/embeddings", {"input": "shared batcher"})
+    http_vec = np.array(body["data"][0]["embedding"], np.float32)
+    np.testing.assert_allclose(tcp_vec, http_vec, atol=1e-6)

@@ -39,19 +39,9 @@ class EmbeddingClient:
             texts = [texts]
         if wire not in ("f32", "int8"):
             raise ValueError(f"wire must be f32/int8, got {wire!r}")
-        magic = MAGIC_ENCODE_I8 if wire == "int8" else MAGIC
-        payload = [magic, struct.pack("<I", len(texts))]
-        for t in texts:
-            raw = t.encode("utf-8")
-            payload.append(struct.pack("<I", len(raw)))
-            payload.append(raw)
-        self.sock.sendall(b"".join(payload))
+        self._send_texts(MAGIC_ENCODE_I8 if wire == "int8" else MAGIC, texts)
         (count,) = struct.unpack("<I", self._read_exactly(4))
-        if count == 0xFFFFFFFF:  # server-side error frame
-            (ln,) = struct.unpack("<I", self._read_exactly(4))
-            raise RuntimeError(
-                f"server error: {self._read_exactly(ln).decode('utf-8')}"
-            )
+        self._check_error(count)
         if wire == "int8":
             scales = np.frombuffer(self._read_exactly(count * 4), np.float32)
             codes = np.frombuffer(

@@ -30,6 +30,11 @@ MAX_BODY = 256 << 20  # request-body cap
 MAX_HEADER = 64 << 10
 
 
+def _model_name(engine) -> str:
+    return getattr(getattr(engine, "config", None), "name", "") or \
+        "embedding-model"
+
+
 class HttpError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
@@ -170,6 +175,8 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                              "embedding": v.tolist()}
                             for i, v in enumerate(vecs)
                         ]
+                    # usage re-tokenizes (~90k sentences/s native) rather
+                    # than plumbing counts out of the batched encode path
                     n_tokens = int(
                         sum(len(ids)
                             for ids in batcher.engine.tokenize_batch(texts))
@@ -215,10 +222,9 @@ async def serve_http(engine, host: str = "0.0.0.0", port: int = 8081,
     if own_batcher:
         batcher = ContinuousBatcher(engine, max_batch, window_ms)
         await batcher.start()
-    model_name = getattr(getattr(engine, "config", None), "name", "") or \
-        "embedding-model"
     server = await asyncio.start_server(
-        lambda r, w: handle_http(r, w, batcher, model_name), host, port
+        lambda r, w: handle_http(r, w, batcher, _model_name(engine)),
+        host, port,
     )
     if ready_event is not None:
         ready_event.set()

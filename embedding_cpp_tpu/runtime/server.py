@@ -304,6 +304,13 @@ async def handle_client(
     n_embd: int,
 ) -> None:
     batcher.stats.connections += 1
+
+    async def _request_failed(e: Exception) -> None:
+        # per-request failure isolation: error frame, connection stays up
+        _error_frame(writer, e)
+        await writer.drain()
+        batcher.stats.requests += 1
+
     try:
         # handshake: n_embd as raw int32 (server.cpp:107)
         writer.write(struct.pack("<i", n_embd))
@@ -343,9 +350,7 @@ async def handle_client(
                     # real engine failure: visible in stats + error frame,
                     # not silently an empty token
                     batcher.stats.errors += 1
-                    _error_frame(writer, e)
-                    await writer.drain()
-                    batcher.stats.requests += 1
+                    await _request_failed(e)
                     continue
                 writer.write(struct.pack("<I", len(tok)) + tok)
             elif head == MAGIC_TOKENIZE:
@@ -356,9 +361,7 @@ async def handle_client(
                         None, batcher.engine.tokenize_batch, texts
                     )
                 except Exception as e:
-                    _error_frame(writer, e)
-                    await writer.drain()
-                    batcher.stats.requests += 1
+                    await _request_failed(e)
                     continue
                 writer.write(struct.pack("<I", len(id_lists)))
                 for ids in id_lists:
@@ -384,9 +387,7 @@ async def handle_client(
                         None, batcher.engine.embed_tokens, id_lists
                     )
                 except Exception as e:
-                    _error_frame(writer, e)
-                    await writer.drain()
-                    batcher.stats.requests += 1
+                    await _request_failed(e)
                     continue
                 writer.write(struct.pack("<I", len(vecs)))
                 writer.write(np.ascontiguousarray(vecs, np.float32).tobytes())
@@ -398,9 +399,7 @@ async def handle_client(
                         None, batcher.index_texts, texts
                     )
                 except Exception as e:
-                    _error_frame(writer, e)
-                    await writer.drain()
-                    batcher.stats.requests += 1
+                    await _request_failed(e)
                     continue
                 writer.write(struct.pack("<I", total))
             elif head == MAGIC_SEARCH:
@@ -413,9 +412,7 @@ async def handle_client(
                         None, batcher.search_texts, texts, int(k)
                     )
                 except Exception as e:
-                    _error_frame(writer, e)
-                    await writer.drain()
-                    batcher.stats.requests += 1
+                    await _request_failed(e)
                     continue
                 writer.write(struct.pack("<II", idx.shape[0], idx.shape[1]))
                 writer.write(np.ascontiguousarray(idx, np.int32).tobytes())
@@ -427,9 +424,7 @@ async def handle_client(
                 try:
                     vecs = await batcher.encode(texts)
                 except Exception as e:
-                    _error_frame(writer, e)
-                    await writer.drain()
-                    batcher.stats.requests += 1
+                    await _request_failed(e)
                     continue
                 writer.write(struct.pack("<I", len(vecs)))
                 if head == MAGIC_ENCODE_I8:
@@ -488,13 +483,10 @@ async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
     if http_port is not None:
         # HTTP/JSON surface over the SAME batcher: TCP and HTTP requests
         # merge into shared device batches (runtime/http_server.py)
-        from .http_server import handle_http
+        from .http_server import _model_name, handle_http
 
-        model_name = getattr(
-            getattr(engine, "config", None), "name", ""
-        ) or "embedding-model"
         http_server = await asyncio.start_server(
-            lambda r, w: handle_http(r, w, batcher, model_name),
+            lambda r, w: handle_http(r, w, batcher, _model_name(engine)),
             host, http_port,
         )
         print(f"http server listening on {host}:{http_port} "

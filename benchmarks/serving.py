@@ -44,7 +44,14 @@ def main() -> None:
                         "XLA_FLAGS=--xla_force_host_platform_device_count=8")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--wire", choices=["f32", "int8"], default="f32",
-                   help="client-side reply compression")
+                   help="client-side reply compression (tcp protocol)")
+    p.add_argument("--protocol", choices=["tcp", "http"], default="tcp",
+                   help="drive the framed TCP protocol or the HTTP/JSON "
+                        "endpoint (POST /v1/embeddings)")
+    p.add_argument("--http-encoding", choices=["float", "base64"],
+                   default="float",
+                   help="HTTP reply encoding (base64 skips JSON float "
+                        "formatting — much cheaper for large batches)")
     p.add_argument("--json-out", help="also write the JSON result to a file")
     args = p.parse_args()
 
@@ -78,11 +85,20 @@ def main() -> None:
     port = sock.getsockname()[1]
     sock.close()
 
+    http_port = None
+    if args.protocol == "http":
+        hsock = socket.socket()
+        hsock.bind(("127.0.0.1", 0))
+        http_port = hsock.getsockname()[1]
+        hsock.close()
+
     loop = asyncio.new_event_loop()
 
     def run_server():
         asyncio.set_event_loop(loop)
-        task = loop.create_task(serve(engine, "127.0.0.1", port))
+        task = loop.create_task(
+            serve(engine, "127.0.0.1", port, http_port=http_port)
+        )
         try:
             loop.run_until_complete(task)
         except asyncio.CancelledError:
@@ -99,23 +115,53 @@ def main() -> None:
             time.sleep(0.05)
 
     texts = synthetic_sentences(args.sentences)
-    # warmup: compile the shapes this traffic will hit
-    warm = EmbeddingClient("127.0.0.1", port)
-    for start in range(0, len(texts), args.batch):
-        warm.embed(texts[start : start + args.batch], wire=args.wire)
-    warm.close()
 
-    done = []
+    if args.protocol == "http":
+        import http.client as _http
+        import json as _json
 
-    def client_main(cid: int):
-        c = EmbeddingClient("127.0.0.1", port)
-        n = 0
+        def _embed_http(conn, chunk):
+            conn.request("POST", "/v1/embeddings",
+                         _json.dumps({"input": chunk,
+                                      "encoding_format": args.http_encoding}),
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            body = _json.loads(r.read())
+            assert r.status == 200, body
+            return body["data"]
+
+        warm_conn = _http.HTTPConnection("127.0.0.1", http_port, timeout=600)
         for start in range(0, len(texts), args.batch):
-            chunk = texts[start : start + args.batch]
-            vecs = c.embed(chunk, wire=args.wire)
-            n += len(vecs)
-        c.close()
-        done.append(n)
+            _embed_http(warm_conn, texts[start : start + args.batch])
+        warm_conn.close()
+
+        done = []
+
+        def client_main(cid: int):
+            conn = _http.HTTPConnection("127.0.0.1", http_port, timeout=600)
+            n = 0
+            for start in range(0, len(texts), args.batch):
+                n += len(_embed_http(conn, texts[start : start + args.batch]))
+            conn.close()
+            done.append(n)
+    else:
+        # warmup: compile the shapes this traffic will hit
+        warm = EmbeddingClient("127.0.0.1", port)
+        for start in range(0, len(texts), args.batch):
+            warm.embed(texts[start : start + args.batch], wire=args.wire)
+        warm.close()
+
+        done = []
+
+        def client_main(cid: int):
+            c = EmbeddingClient("127.0.0.1", port)
+            n = 0
+            for start in range(0, len(texts), args.batch):
+                chunk = texts[start : start + args.batch]
+                vecs = c.embed(chunk, wire=args.wire)
+                n += len(vecs)
+            c.close()
+            done.append(n)
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=client_main, args=(i,))
@@ -133,6 +179,10 @@ def main() -> None:
     print(f"# {args.clients} clients x {args.sentences} sentences "
           f"(batch {args.batch}): {total} served in {dt:.2f}s", file=sys.stderr)
     mesh_tag = f"_dp{args.dp}_tp{args.tp}" if mesh is not None else ""
+    if args.protocol == "http":
+        mesh_tag += "_http"
+        if args.http_encoding != "float":
+            mesh_tag += f"_{args.http_encoding}"
     od_tag = "" if args.output_dtype == "float32" else f"_{args.output_dtype}"
     result = {
         "metric": f"served_sentences_per_sec_{args.preset}_{args.ftype}"

@@ -10,6 +10,11 @@ the same device batches) as the TCP protocol.
                            "encoding_format": "float" (default) | "base64"}
       -> {"object": "list", "data": [{"object": "embedding", "index": i,
           "embedding": [...]}], "model": ..., "usage": {...}}
+    POST /v1/index        {"input": ["texts"...]} -> {"total": N}
+                          (embed into the on-device vector index)
+    POST /v1/search       {"input": ["queries"...], "k": 10}
+      -> {"results": [[{"index": id, "score": s}, ...k], ...]}
+                          (top-k over the index; vectors never leave HBM)
     GET  /healthz         -> 200 "ok"
     GET  /metrics         -> JSON metrics snapshot (same payload as TPES)
     GET  /v1/models       -> model listing
@@ -153,6 +158,41 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                         "object": "list",
                         "data": [{"id": model_name, "object": "model"}],
                     })
+                elif path == "/v1/index":
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _ = _parse_embed_request(body)
+                    loop = asyncio.get_running_loop()
+                    total = await loop.run_in_executor(
+                        None, batcher.index_texts, texts
+                    )
+                    out = _json_response(200, {"object": "index",
+                                               "total": total})
+                    batcher.stats.requests += 1
+                elif path == "/v1/search":
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _ = _parse_embed_request(body)
+                    try:
+                        payload = json.loads(body)
+                        k = int(payload.get("k", 10))
+                    except Exception:
+                        k = 10
+                    if not 0 < k <= 4096:
+                        raise HttpError(400, "k must be in 1..4096")
+                    loop = asyncio.get_running_loop()
+                    idx, scores = await loop.run_in_executor(
+                        None, batcher.search_texts, texts, k
+                    )
+                    out = _json_response(200, {
+                        "object": "search",
+                        "results": [
+                            [{"index": int(i), "score": float(sc)}
+                             for i, sc in zip(row_i, row_s)]
+                            for row_i, row_s in zip(idx, scores)
+                        ],
+                    })
+                    batcher.stats.requests += 1
                 elif path == "/v1/embeddings":
                     if method != "POST":
                         raise HttpError(405, "POST required")

@@ -169,3 +169,20 @@ def test_tcp_and_http_share_batcher(http_server):
     _, body = _post(http_port, "/v1/embeddings", {"input": "shared batcher"})
     http_vec = np.array(body["data"][0]["embedding"], np.float32)
     np.testing.assert_allclose(tcp_vec, http_vec, atol=1e-6)
+
+
+def test_http_index_and_search(http_server):
+    """/v1/index + /v1/search: on-device vector search over HTTP."""
+    port, _, _ = http_server
+    corpus = [f"http document about topic {i}" for i in range(8)]
+    status, body = _post(port, "/v1/index", {"input": corpus})
+    assert status == 200 and body["total"] >= 8
+    status, body = _post(port, "/v1/search",
+                         {"input": [corpus[3]], "k": 2})
+    assert status == 200
+    hits = body["results"][0]
+    assert len(hits) == 2 and hits[0]["score"] >= hits[1]["score"]
+    # search before any index on a FRESH server is covered by the TCP test;
+    # here assert bad k is rejected
+    status, body = _post(port, "/v1/search", {"input": ["q"], "k": 0})
+    assert status == 400

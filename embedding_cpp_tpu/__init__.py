@@ -19,7 +19,11 @@ def __getattr__(name):
         from .runtime.engine import Engine
 
         return Engine
+    if name == "VectorIndex":
+        from .runtime.search import VectorIndex
+
+        return VectorIndex
     raise AttributeError(name)
 
 
-__all__ = ["gguf", "Engine", "__version__"]
+__all__ = ["gguf", "Engine", "VectorIndex", "__version__"]

@@ -98,8 +98,15 @@ async def _read_request(reader: asyncio.StreamReader):
         if b":" in line:
             k, _, v = line.decode("latin-1").partition(":")
             headers[k.strip().lower()] = v.strip()
-    length = int(headers.get("content-length", "0") or "0")
-    if length < 0 or length > MAX_BODY:
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        raise HttpError(400, "chunked transfer encoding not supported")
+    try:
+        length = int(headers.get("content-length", "0") or "0")
+    except ValueError:
+        raise HttpError(400, "malformed content-length")
+    if length < 0:
+        raise HttpError(400, "malformed content-length")
+    if length > MAX_BODY:
         raise HttpError(413, f"body too large ({length} bytes)")
     body = await reader.readexactly(length) if length else b""
     return method, path, headers, body

@@ -186,3 +186,31 @@ def test_http_index_and_search(http_server):
     # here assert bad k is rejected
     status, body = _post(port, "/v1/search", {"input": ["q"], "k": 0})
     assert status == 400
+
+
+def test_http_hostile_headers(http_server):
+    """Malformed content-length and chunked encoding get clean 400s, not a
+    silently dropped connection or a misread body."""
+    port, _, _ = http_server
+
+    def raw_request(payload: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", port), 10)
+        s.sendall(payload)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        s.close()
+        return int(data.split(b" ", 2)[1]) if data else 0
+
+    assert raw_request(
+        b"POST /v1/embeddings HTTP/1.1\r\nContent-Length: abc\r\n\r\n"
+    ) == 400
+    assert raw_request(
+        b"POST /v1/embeddings HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n"
+    ) == 400
+    assert raw_request(
+        b"POST /v1/embeddings HTTP/1.1\r\nContent-Length: 999999999999\r\n\r\n"
+    ) == 413

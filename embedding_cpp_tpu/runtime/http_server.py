@@ -31,8 +31,9 @@ import sys
 
 import numpy as np
 
-MAX_BODY = 256 << 20  # request-body cap
+MAX_BODY = 64 << 20  # request-body cap (matches the TCP MAX_REQUEST_BYTES)
 MAX_HEADER = 64 << 10
+MAX_ITEMS = 1 << 16  # texts per request (matches the TCP frame cap)
 
 
 def _model_name(engine) -> str:
@@ -89,7 +90,10 @@ async def _read_request(reader: asyncio.StreamReader):
     headers = {}
     total = 0
     while True:
-        line = await reader.readline()
+        try:
+            line = await reader.readline()
+        except (asyncio.LimitOverrunError, ValueError):
+            raise HttpError(400, "header line too long")
         total += len(line)
         if total > MAX_HEADER:
             raise HttpError(400, "headers too large")
@@ -113,6 +117,8 @@ async def _read_request(reader: asyncio.StreamReader):
 
 
 def _parse_embed_request(body: bytes):
+    """-> (texts, encoding_format, payload dict); enforces the same
+    per-request caps as the TCP frames (item count, body bytes)."""
     try:
         payload = json.loads(body or b"{}")
     except json.JSONDecodeError as e:
@@ -128,13 +134,24 @@ def _parse_embed_request(body: bytes):
         or not all(isinstance(t, str) for t in texts)
     ):
         raise HttpError(400, "'input' must be a string or list of strings")
+    if len(texts) > MAX_ITEMS:
+        raise HttpError(413, f"too many inputs ({len(texts)} > {MAX_ITEMS})")
     fmt = payload.get("encoding_format", "float")
     if fmt not in ("float", "base64"):
         raise HttpError(400, "encoding_format must be 'float' or 'base64'")
-    return texts, fmt
+    return texts, fmt, payload
+
+
+def _parse_k(payload, corpus_cap: int = 4096) -> int:
+    k = payload.get("k", 10)
+    if not isinstance(k, int) or isinstance(k, bool) or not 0 < k <= corpus_cap:
+        raise HttpError(400, f"k must be an integer in 1..{corpus_cap}")
+    return k
 
 
 async def handle_http(reader, writer, batcher, model_name: str) -> None:
+    import time
+
     from .server import OverloadedError
 
     batcher.stats.connections += 1
@@ -143,7 +160,9 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
             try:
                 req = await _read_request(reader)
             except HttpError as e:
-                writer.write(_error_response(e.status, str(e)))
+                # closing after this response: say so in the header
+                writer.write(_error_response(e.status, str(e))
+                             .replace(b"keep-alive", b"close", 1))
                 await writer.drain()
                 break
             except (asyncio.IncompleteReadError, ConnectionResetError):
@@ -151,6 +170,7 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
             if req is None:
                 break
             method, path, headers, body = req
+            t_req = time.perf_counter()
             try:
                 if path == "/healthz":
                     out = _response(200, b"ok", "text/plain")
@@ -168,7 +188,7 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                 elif path == "/v1/index":
                     if method != "POST":
                         raise HttpError(405, "POST required")
-                    texts, _ = _parse_embed_request(body)
+                    texts, _, _ = _parse_embed_request(body)
                     loop = asyncio.get_running_loop()
                     total = await loop.run_in_executor(
                         None, batcher.index_texts, texts
@@ -179,14 +199,8 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                 elif path == "/v1/search":
                     if method != "POST":
                         raise HttpError(405, "POST required")
-                    texts, _ = _parse_embed_request(body)
-                    try:
-                        payload = json.loads(body)
-                        k = int(payload.get("k", 10))
-                    except Exception:
-                        k = 10
-                    if not 0 < k <= 4096:
-                        raise HttpError(400, "k must be in 1..4096")
+                    texts, _, payload = _parse_embed_request(body)
+                    k = _parse_k(payload)
                     loop = asyncio.get_running_loop()
                     idx, scores = await loop.run_in_executor(
                         None, batcher.search_texts, texts, k
@@ -203,7 +217,7 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                 elif path == "/v1/embeddings":
                     if method != "POST":
                         raise HttpError(405, "POST required")
-                    texts, fmt = _parse_embed_request(body)
+                    texts, fmt, _ = _parse_embed_request(body)
                     try:
                         vecs = await batcher.encode(texts)
                     except OverloadedError as e:
@@ -223,11 +237,16 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                             for i, v in enumerate(vecs)
                         ]
                     # usage re-tokenizes (~90k sentences/s native) rather
-                    # than plumbing counts out of the batched encode path
-                    n_tokens = int(
-                        sum(len(ids)
-                            for ids in batcher.engine.tokenize_batch(texts))
-                    ) if batcher.engine.tokenizer is not None else 0
+                    # than plumbing counts out of the batched encode path;
+                    # in the executor so the event loop never blocks
+                    if batcher.engine.tokenizer is not None:
+                        loop = asyncio.get_running_loop()
+                        id_lists = await loop.run_in_executor(
+                            None, batcher.engine.tokenize_batch, texts
+                        )
+                        n_tokens = int(sum(len(ids) for ids in id_lists))
+                    else:
+                        n_tokens = 0
                     out = _json_response(200, {
                         "object": "list",
                         "data": data,
@@ -245,9 +264,18 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
             except Exception as e:  # engine failures -> 500, connection lives
                 batcher.stats.errors += 1
                 out = _error_response(500, f"{type(e).__name__}: {e}")
-            writer.write(out)
-            await writer.drain()
-            if headers.get("connection", "").lower() == "close":
+            client_done = headers.get("connection", "").lower() == "close"
+            if client_done:
+                # first occurrence is always the Connection header (it
+                # precedes the body), so replace-first is safe
+                out = out.replace(b"keep-alive", b"close", 1)
+            batcher.stats.record_latency(time.perf_counter() - t_req)
+            try:
+                writer.write(out)
+                await writer.drain()
+            except (ConnectionResetError, BrokenPipeError):
+                break  # client left mid-response
+            if client_done:
                 break
     finally:
         writer.close()

@@ -214,3 +214,27 @@ def test_http_hostile_headers(http_server):
     assert raw_request(
         b"POST /v1/embeddings HTTP/1.1\r\nContent-Length: 999999999999\r\n\r\n"
     ) == 413
+
+
+def test_http_search_k_validation_and_item_cap(http_server):
+    port, _, _ = http_server
+    status, body = _post(port, "/v1/search", {"input": ["q"], "k": "ten"})
+    assert status == 400 and "k must be" in body["error"]["message"]
+    status, body = _post(port, "/v1/search", {"input": ["q"], "k": 99999})
+    assert status == 400
+
+
+def test_http_connection_close_honored(http_server):
+    """A request with Connection: close gets a close-advertising response
+    and the server actually closes."""
+    port, _, _ = http_server
+    s = socket.create_connection(("127.0.0.1", port), 10)
+    s.sendall(b"GET /healthz HTTP/1.1\r\nConnection: close\r\n\r\n")
+    data = b""
+    while True:
+        chunk = s.recv(4096)
+        if not chunk:
+            break
+        data += chunk
+    assert b"Connection: close" in data and data.endswith(b"ok")
+    s.close()

@@ -149,10 +149,26 @@ def _parse_k(payload, corpus_cap: int = 4096) -> int:
     return k
 
 
-async def handle_http(reader, writer, batcher, model_name: str) -> None:
+async def handle_http(reader, writer, batcher, model_name: str,
+                      registry: dict | None = None) -> None:
+    """`registry` maps model name -> ContinuousBatcher for multi-model
+    serving; the `model` field of a request routes to its batcher (absent or
+    unknown-with-single-model falls back to the default `batcher`)."""
     import time
 
     from .server import OverloadedError
+
+    registry = registry or {}
+
+    def pick(payload) -> tuple:
+        """-> (batcher, model_name) for this request's `model` field."""
+        want = payload.get("model")
+        if want is None or want == model_name or not registry:
+            return batcher, model_name
+        if want in registry:
+            return registry[want], want
+        known = ", ".join(sorted({model_name, *registry}))
+        raise HttpError(404, f"unknown model {want!r} (serving: {known})")
 
     batcher.stats.connections += 1
     try:
@@ -181,17 +197,20 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                     snap["server"] = batcher.stats.as_dict()
                     out = _json_response(200, snap)
                 elif path == "/v1/models":
+                    names = sorted({model_name, *registry})
                     out = _json_response(200, {
                         "object": "list",
-                        "data": [{"id": model_name, "object": "model"}],
+                        "data": [{"id": n, "object": "model"}
+                                 for n in names],
                     })
                 elif path == "/v1/index":
                     if method != "POST":
                         raise HttpError(405, "POST required")
-                    texts, _, _ = _parse_embed_request(body)
+                    texts, _, payload = _parse_embed_request(body)
+                    b, _name = pick(payload)
                     loop = asyncio.get_running_loop()
                     total = await loop.run_in_executor(
-                        None, batcher.index_texts, texts
+                        None, b.index_texts, texts
                     )
                     out = _json_response(200, {"object": "index",
                                                "total": total})
@@ -201,9 +220,10 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                         raise HttpError(405, "POST required")
                     texts, _, payload = _parse_embed_request(body)
                     k = _parse_k(payload)
+                    b, _name = pick(payload)
                     loop = asyncio.get_running_loop()
                     idx, scores = await loop.run_in_executor(
-                        None, batcher.search_texts, texts, k
+                        None, b.search_texts, texts, k
                     )
                     out = _json_response(200, {
                         "object": "search",
@@ -217,9 +237,10 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                 elif path == "/v1/embeddings":
                     if method != "POST":
                         raise HttpError(405, "POST required")
-                    texts, fmt, _ = _parse_embed_request(body)
+                    texts, fmt, payload = _parse_embed_request(body)
+                    b, req_model = pick(payload)
                     try:
-                        vecs = await batcher.encode(texts)
+                        vecs = await b.encode(texts)
                     except OverloadedError as e:
                         raise HttpError(429, str(e))
                     vecs = np.ascontiguousarray(vecs, np.float32)
@@ -239,10 +260,10 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                     # usage re-tokenizes (~90k sentences/s native) rather
                     # than plumbing counts out of the batched encode path;
                     # in the executor so the event loop never blocks
-                    if batcher.engine.tokenizer is not None:
+                    if b.engine.tokenizer is not None:
                         loop = asyncio.get_running_loop()
                         id_lists = await loop.run_in_executor(
-                            None, batcher.engine.tokenize_batch, texts
+                            None, b.engine.tokenize_batch, texts
                         )
                         n_tokens = int(sum(len(ids) for ids in id_lists))
                     else:
@@ -250,7 +271,7 @@ async def handle_http(reader, writer, batcher, model_name: str) -> None:
                     out = _json_response(200, {
                         "object": "list",
                         "data": data,
-                        "model": model_name,
+                        "model": req_model,
                         "usage": {"prompt_tokens": n_tokens,
                                   "total_tokens": n_tokens},
                     })

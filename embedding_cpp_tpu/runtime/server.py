@@ -472,10 +472,19 @@ async def handle_client(
 async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
                 max_batch: int = 256, window_ms: float = 2.0,
                 ready_event: asyncio.Event | None = None,
-                max_pending: int = 16384, http_port: int | None = None):
+                max_pending: int = 16384, http_port: int | None = None,
+                extra_engines: dict | None = None):
+    """`extra_engines` ({name: Engine}) serves additional models over the
+    HTTP surface (requests route by their `model` field); the TCP protocol
+    always speaks to the default `engine`."""
     batcher = ContinuousBatcher(engine, max_batch, window_ms,
                                 max_pending=max_pending)
     await batcher.start()
+    registry: dict = {}
+    for name, eng in (extra_engines or {}).items():
+        registry[name] = ContinuousBatcher(eng, max_batch, window_ms,
+                                           max_pending=max_pending)
+        await registry[name].start()
     server = await asyncio.start_server(
         lambda r, w: handle_client(r, w, batcher, engine.n_embd), host, port
     )
@@ -486,7 +495,8 @@ async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
         from .http_server import _model_name, handle_http
 
         http_server = await asyncio.start_server(
-            lambda r, w: handle_http(r, w, batcher, _model_name(engine)),
+            lambda r, w: handle_http(r, w, batcher, _model_name(engine),
+                                     registry=registry),
             host, http_port,
         )
         print(f"http server listening on {host}:{http_port} "
@@ -505,11 +515,17 @@ async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
                 await server.serve_forever()
     finally:
         await batcher.stop()
+        for b in registry.values():
+            await b.stop()
 
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("-m", "--model", required=True)
+    p.add_argument("-m", "--model", required=True, action="append",
+                   help="GGUF path, or NAME=PATH; repeat to serve several "
+                        "models (the first is the default and the only one "
+                        "on the TCP protocol; HTTP requests route by their "
+                        "'model' field)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
@@ -561,13 +577,29 @@ def main() -> None:
                     f"devices, have {n_dev}")
         mesh = make_mesh(dp=dp, tp=args.tp,
                          devices=jax.devices()[: dp * args.tp])
+    # -m may repeat (NAME=PATH); the first is the default/TCP model, the
+    # rest serve over HTTP only (single-process: the leader-follower plane
+    # only replays the default engine's dispatches)
+    specs = []
+    for i, item in enumerate(args.model):
+        name, sep, path = item.partition("=")
+        specs.append((name if sep else None, path if sep else item))
+    if multihost and len(specs) > 1:
+        p.error("multi-model serving is single-process only")
+    if len(specs) > 1 and args.http_port is None:
+        p.error("serving several models requires --http-port "
+                "(extra models are HTTP-routed by their 'model' field)")
+    opts = ComputeOptions(dtype=args.dtype, output_dtype=args.output_dtype)
     engine = Engine.from_gguf(
-        args.model,
-        opts=ComputeOptions(dtype=args.dtype, output_dtype=args.output_dtype),
-        packing=args.packing,
-        mesh=mesh,
+        specs[0][1], opts=opts, packing=args.packing, mesh=mesh,
     )
     engine.warmup()  # all processes warm identically (SPMD lockstep)
+    extra_engines = {}
+    for name, path in specs[1:]:
+        eng = Engine.from_gguf(path, opts=opts, packing=args.packing)
+        eng.warmup()
+        key = name or getattr(eng.config, "name", "") or path
+        extra_engines[key] = eng
     if multihost:
         import jax
 
@@ -597,7 +629,8 @@ def main() -> None:
         return
     asyncio.run(serve(engine, args.host, args.port, args.max_batch,
                       args.window_ms, max_pending=args.max_pending,
-                      http_port=args.http_port))
+                      http_port=args.http_port,
+                      extra_engines=extra_engines))
 
 
 if __name__ == "__main__":

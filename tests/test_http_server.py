@@ -238,3 +238,64 @@ def test_http_connection_close_honored(http_server):
         data += chunk
     assert b"Connection: close" in data and data.endswith(b"ok")
     s.close()
+
+
+def test_multi_model_routing(tmp_path):
+    """Two engines behind one HTTP port: requests route by their 'model'
+    field, /v1/models lists both, unknown models get 404."""
+    pytest.importorskip("tokenizers")
+    import dataclasses
+
+    cfg_b = dataclasses.replace(CFG, n_embd=32, n_head=2, name="tiny-b")
+    engine_a = Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
+    engine_b = Engine.synthetic(cfg_b, opts=ComputeOptions(dtype="float32"))
+    port = _free_port()
+    http_port = _free_port()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(
+            serve(engine_a, "127.0.0.1", port, window_ms=1.0,
+                  http_port=http_port,
+                  extra_engines={"tiny-b": engine_b})
+        )
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", http_port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+
+    status, body = _get(http_port, "/v1/models")
+    ids = {m["id"] for m in json.loads(body)["data"]}
+    assert "tiny-b" in ids and "http-test-model" in ids
+
+    # default model (64-dim)
+    status, body = _post(http_port, "/v1/embeddings", {"input": "hello"})
+    assert status == 200 and len(body["data"][0]["embedding"]) == 64
+    # routed model (32-dim)
+    status, body = _post(http_port, "/v1/embeddings",
+                         {"input": "hello", "model": "tiny-b"})
+    assert status == 200 and len(body["data"][0]["embedding"]) == 32
+    assert body["model"] == "tiny-b"
+    # unknown model
+    status, body = _post(http_port, "/v1/embeddings",
+                         {"input": "hello", "model": "nope"})
+    assert status == 404 and "serving" in body["error"]["message"]
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)

@@ -203,6 +203,8 @@ def make_leader_index(engine):
     assert jax.process_index() == 0
 
     class LeaderIndex(VectorIndex):
+        _host_ingest_only = True  # every commit must broadcast to followers
+
         def _commit_vectors(self, vecs):
             with _LEADER_LOCK:
                 _broadcast(np.array(

@@ -332,11 +332,10 @@ class Engine:
             return unpack_output_i8(host)
         return host
 
-    def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
-        """Token-id lists -> [n, n_embd] f32 (the reference's
-        bert_eval_batch, but actually batched)."""
+    def _dispatch(self, token_lists: Sequence[Sequence[int]]):
+        """Plan + dispatch every batch (async); returns the pending list of
+        (batch, device_result) pairs.  Caller must hold self._lock."""
         n = len(token_lists)
-        out = np.empty((n, self.n_embd), dtype=np.float32)
         pack_idx = self._pack_plan(token_lists)  # sorted
         pack_set = set(pack_idx)
         rest = [i for i in range(n) if i not in pack_set]
@@ -361,64 +360,108 @@ class Engine:
         )
         for batch in batches:
             batch.positions = [rest[i] for i in batch.positions]
+
+        padded_slots = 0
+        # dispatch everything first (jax dispatch is async), then fetch —
+        # the device pipeline stays fed while the host packs/copies
+        pending = []
+        for pb in packed_batches:
+            fwd = self._packed_forward(pb.ids.shape, pb.n_seg)
+            gidx = self._gather_idx(pb.slots)
+            if self.mesh is not None:
+                args = (self.params, pb.ids, pb.seg, pb.pos, gidx, pb.n_seg)
+            else:
+                # windowed-attention bound: next power of two >= the
+                # longest packed sentence (bounds compiled shapes).  Only
+                # passed for long rows — the windowed kernel pays off at
+                # S >= 1024 (ops/attention.py routing); below that it
+                # would just fragment the jit cache.
+                w = None
+                if pb.ids.shape[1] >= 1024:
+                    w = 1 << max(5, (max(pb.max_len, 1) - 1).bit_length())
+                args = (self.params, pb.ids, pb.seg, pb.pos, gidx,
+                        pb.n_seg, w)
+            pending.append((pb, fwd(*args)))
+            padded_slots += pb.ids.size
+        for batch in batches:
+            n_real = len(batch.positions)
+            pad_rows = batch.ids.shape[0] - n_real
+            if pad_rows > 64 or self._multiprocess:
+                # compact gather: padded rows cost FLOPs, not transfer
+                gidx = self._gather_idx(np.arange(n_real, dtype=np.int32))
+                fwd = self._forward(batch.ids.shape, gather=True)
+                pending.append(
+                    (batch, fwd(self.params, batch.ids, batch.mask, gidx))
+                )
+            else:
+                fwd = self._forward(batch.ids.shape)
+                pending.append(
+                    (batch, fwd(self.params, batch.ids, batch.mask))
+                )
+            padded_slots += batch.ids.size
         from ..utils.metrics import GLOBAL as metrics
 
+        metrics.inc("padded_slots", padded_slots)
+        return pending
+
+    def _count_stats(self, token_lists, n_batches: int, t0: float) -> None:
+        from ..utils.metrics import GLOBAL as metrics
+
+        n = len(token_lists)
+        n_tokens = int(sum(len(t) for t in token_lists))
+        with self._lock:
+            self.stats["eval_time"] += time.perf_counter() - t0
+            self.stats["sentences"] += n
+            self.stats["tokens"] += n_tokens
+            self.stats["batches"] += n_batches
+        metrics.inc("sentences", n)
+        metrics.inc("tokens", n_tokens)
+        metrics.inc("batches", n_batches)
+
+    def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
+        """Token-id lists -> [n, n_embd] f32 (the reference's
+        bert_eval_batch, but actually batched)."""
+        from ..utils.metrics import GLOBAL as metrics
+
+        out = np.empty((len(token_lists), self.n_embd), dtype=np.float32)
         t0 = time.perf_counter()
-        padded_slots = 0
         with self._lock, metrics.timer("eval"):
-            # dispatch everything first (jax dispatch is async), then fetch —
-            # the device pipeline stays fed while the host packs/copies
-            pending = []
-            for pb in packed_batches:
-                fwd = self._packed_forward(pb.ids.shape, pb.n_seg)
-                gidx = self._gather_idx(pb.slots)
-                if self.mesh is not None:
-                    args = (self.params, pb.ids, pb.seg, pb.pos, gidx, pb.n_seg)
-                else:
-                    # windowed-attention bound: next power of two >= the
-                    # longest packed sentence (bounds compiled shapes).  Only
-                    # passed for long rows — the windowed kernel pays off at
-                    # S >= 1024 (ops/attention.py routing); below that it
-                    # would just fragment the jit cache.
-                    w = None
-                    if pb.ids.shape[1] >= 1024:
-                        w = 1 << max(5, (max(pb.max_len, 1) - 1).bit_length())
-                    args = (self.params, pb.ids, pb.seg, pb.pos, gidx,
-                            pb.n_seg, w)
-                pending.append((pb, fwd(*args)))
-                padded_slots += pb.ids.size
-            for batch in batches:
-                n_real = len(batch.positions)
-                pad_rows = batch.ids.shape[0] - n_real
-                if pad_rows > 64 or self._multiprocess:
-                    # compact gather: padded rows cost FLOPs, not transfer
-                    gidx = self._gather_idx(np.arange(n_real, dtype=np.int32))
-                    fwd = self._forward(batch.ids.shape, gather=True)
-                    pending.append(
-                        (batch, fwd(self.params, batch.ids, batch.mask, gidx))
-                    )
-                else:
-                    fwd = self._forward(batch.ids.shape)
-                    pending.append(
-                        (batch, fwd(self.params, batch.ids, batch.mask))
-                    )
-                padded_slots += batch.ids.size
+            pending = self._dispatch(token_lists)
             for batch, vecs in pending:
                 vecs = self._fetch(vecs)
                 if isinstance(batch, PackedSegBatch):
                     out[batch.orig] = vecs[: len(batch.orig)]
                 else:
                     out[batch.positions] = vecs[: len(batch.positions)]
-        n_tokens = int(sum(len(t) for t in token_lists))
-        with self._lock:
-            self.stats["eval_time"] += time.perf_counter() - t0
-            self.stats["sentences"] += n
-            self.stats["tokens"] += n_tokens
-            self.stats["batches"] += len(batches) + len(packed_batches)
-        metrics.inc("sentences", n)
-        metrics.inc("tokens", n_tokens)
-        metrics.inc("batches", len(batches) + len(packed_batches))
-        metrics.inc("padded_slots", padded_slots)
+        self._count_stats(token_lists, len(pending), t0)
+        return out
+
+    def embed_tokens_device(self, token_lists: Sequence[Sequence[int]]):
+        """Like embed_tokens, but the embeddings never leave the device:
+        returns a list of (original_positions, device_vecs) pairs (device
+        rows sliced to the real sentences).  For consumers that keep
+        vectors in HBM — the on-device VectorIndex ingests through this,
+        skipping the device->host->device round trip entirely.  Not
+        available in int8 output mode (results would be transfer-packed)."""
+        if self.opts.output_dtype == "int8":
+            raise ValueError(
+                "embed_tokens_device needs a float output_dtype "
+                "(int8 results are packed for host transfer)"
+            )
+        from ..utils.metrics import GLOBAL as metrics
+
+        t0 = time.perf_counter()
+        out = []
+        with self._lock, metrics.timer("eval"):
+            pending = self._dispatch(token_lists)
+            for batch, vecs in pending:
+                if isinstance(batch, PackedSegBatch):
+                    out.append((batch.orig, vecs[: len(batch.orig)]))
+                else:
+                    out.append(
+                        (batch.positions, vecs[: len(batch.positions)])
+                    )
+        self._count_stats(token_lists, len(pending), t0)
         return out
 
     def encode(self, texts: str | Sequence[str]) -> np.ndarray:

@@ -172,11 +172,50 @@ class VectorIndex:
     def __len__(self) -> int:
         return self._n
 
+    # device-path ingest is disabled for subclasses that must observe every
+    # commit on the host side (the multi-host LeaderIndex broadcasts them)
+    _host_ingest_only = False
+
+    def _device_ingest_ok(self) -> bool:
+        return (
+            not self._host_ingest_only
+            and type(self) is VectorIndex
+            and self.mesh is None
+            and self.engine.mesh is None
+            and self.engine.opts.output_dtype != "int8"
+        )
+
     # --- building -----------------------------------------------------------
     def add(self, texts: Sequence[str]) -> int:
-        """Embed and append texts; returns the total indexed count."""
-        vecs = self.engine.encode(list(texts))
-        return self.add_vectors(vecs)
+        """Embed and append texts; returns the total indexed count.
+
+        On a single-device engine the embeddings go straight from the
+        forward pass into the corpus (device scatter) — they never cross
+        the device->host link, which is the measured pipeline bottleneck.
+        Mesh/multi-host/int8 configurations fall back to the host path.
+        """
+        texts = list(texts)
+        if not self._device_ingest_ok():
+            return self.add_vectors(self.engine.encode(texts))
+        token_lists = self.engine.tokenize_batch(texts)
+        with self._lock:
+            base = self._n
+            self._ensure_capacity(base + len(texts))
+            for positions, dev in self.engine.embed_tokens_device(token_lists):
+                vecs = dev.astype(jnp.float32)
+                if not getattr(self.engine.config, "normalize", True):
+                    norm = jnp.sqrt(
+                        jnp.sum(jnp.square(vecs), axis=-1, keepdims=True)
+                    )
+                    vecs = vecs / jnp.maximum(norm, 1e-12)
+                rows = jnp.asarray(
+                    base + np.asarray(positions, dtype=np.int32)
+                )
+                self._corpus = self._corpus.at[rows].set(
+                    vecs.astype(self.dtype)
+                )
+            self._n = base + len(texts)
+            return self._n
 
     @staticmethod
     def _unit(vecs: np.ndarray) -> np.ndarray:
@@ -201,28 +240,29 @@ class VectorIndex:
         with self._lock:
             return self._commit_vectors(vecs)
 
+    def _ensure_capacity(self, need: int) -> None:
+        """Grow the corpus array to hold `need` rows (caller holds _lock)."""
+        cap = 0 if self._corpus is None else self._corpus.shape[0]
+        if need <= cap:
+            return
+        # capacity steps divide evenly over dp shards
+        step = _CAPACITY_STEP * self._dp
+        new_cap = -(-need // step) * step
+        grown = jnp.zeros((new_cap, self.engine.n_embd), dtype=self.dtype)
+        if self._sharding is not None:
+            grown = jax.device_put(grown, self._sharding)
+        if self._corpus is not None:
+            grown = jax.lax.dynamic_update_slice(grown, self._corpus, (0, 0))
+            if self._sharding is not None:
+                grown = jax.device_put(grown, self._sharding)
+        self._corpus = grown
+
     def _commit_vectors(self, vecs: np.ndarray) -> int:
         """Device-side append of normalized vectors (caller holds _lock).
         The multi-host leader overrides this to broadcast first — followers
         replay it with bitwise-identical inputs (parallel/distributed.py)."""
         need = self._n + len(vecs)
-        cap = 0 if self._corpus is None else self._corpus.shape[0]
-        if need > cap:
-            # capacity steps divide evenly over dp shards
-            step = _CAPACITY_STEP * self._dp
-            new_cap = -(-need // step) * step
-            grown = jnp.zeros(
-                (new_cap, self.engine.n_embd), dtype=self.dtype
-            )
-            if self._sharding is not None:
-                grown = jax.device_put(grown, self._sharding)
-            if self._corpus is not None:
-                grown = jax.lax.dynamic_update_slice(
-                    grown, self._corpus, (0, 0)
-                )
-                if self._sharding is not None:
-                    grown = jax.device_put(grown, self._sharding)
-            self._corpus = grown
+        self._ensure_capacity(need)
         self._corpus = jax.lax.dynamic_update_slice(
             self._corpus, jnp.asarray(vecs, dtype=self.dtype), (self._n, 0)
         )

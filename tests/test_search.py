@@ -181,3 +181,20 @@ def test_approx_search_recall(engine):
     idx.add(corpus)
     got, _ = idx.search([corpus[11]], k=3)
     assert got[0, 0] == 11
+
+
+def test_device_ingest_matches_host_path(engine):
+    """Single-device add() ingests embeddings without a host round trip
+    (device scatter) — results identical to the host add_vectors path."""
+    corpus = [f"zero fetch ingest doc {i}" for i in range(30)]
+    dev = VectorIndex(engine, dtype="float32")
+    assert dev._device_ingest_ok()
+    dev.add(corpus[:17])
+    dev.add(corpus[17:])  # across two adds + a growth-free append
+    host = VectorIndex(engine, dtype="float32")
+    host.add_vectors(engine.encode(corpus))
+    q = [corpus[5], corpus[23]]
+    i1, s1 = dev.search(q, k=4)
+    i2, s2 = host.search(q, k=4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)

@@ -297,5 +297,16 @@ def test_multi_model_routing(tmp_path):
     status, body = _post(http_port, "/v1/embeddings",
                          {"input": "hello", "model": "nope"})
     assert status == 404 and "serving" in body["error"]["message"]
+    # index/search route to the selected model's own index
+    status, body = _post(http_port, "/v1/index",
+                         {"input": ["b doc one", "b doc two"],
+                          "model": "tiny-b"})
+    assert status == 200 and body["total"] == 2
+    status, body = _post(http_port, "/v1/search",
+                         {"input": ["b doc two"], "k": 1, "model": "tiny-b"})
+    assert status == 200 and body["results"][0][0]["index"] == 1
+    # the default model has no index yet -> per-request error
+    status, body = _post(http_port, "/v1/search", {"input": ["q"], "k": 1})
+    assert status == 500 and "no index" in body["error"]["message"]
     loop.call_soon_threadsafe(holder["task"].cancel)
     t.join(timeout=5)

@@ -185,12 +185,14 @@ def test_approx_search_recall(engine):
 
 def test_device_ingest_matches_host_path(engine):
     """Single-device add() ingests embeddings without a host round trip
-    (device scatter) — results identical to the host add_vectors path."""
-    corpus = [f"zero fetch ingest doc {i}" for i in range(30)]
+    (device scatter) — results identical to the host add_vectors path.
+    40 short docs crosses the sequence-packing threshold, so the device
+    path's PackedSegBatch position mapping is exercised too."""
+    corpus = [f"zero fetch ingest doc {i}" for i in range(40)]
     dev = VectorIndex(engine, dtype="float32")
     assert dev._device_ingest_ok()
-    dev.add(corpus[:17])
-    dev.add(corpus[17:])  # across two adds + a growth-free append
+    dev.add(corpus[:5])
+    dev.add(corpus[5:])  # second add is 35 short docs -> packed path
     host = VectorIndex(engine, dtype="float32")
     host.add_vectors(engine.encode(corpus))
     q = [corpus[5], corpus[23]]

@@ -222,9 +222,13 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     k = _parse_k(payload)
                     b, _name = pick(payload)
                     loop = asyncio.get_running_loop()
-                    idx, scores = await loop.run_in_executor(
-                        None, b.search_texts, texts, k
-                    )
+                    try:
+                        idx, scores = await loop.run_in_executor(
+                            None, b.search_texts, texts, k
+                        )
+                    except (RuntimeError, ValueError) as e:
+                        # client-state errors (no index yet / empty index)
+                        raise HttpError(400, str(e))
                     out = _json_response(200, {
                         "object": "search",
                         "results": [

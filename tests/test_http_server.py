@@ -305,8 +305,8 @@ def test_multi_model_routing(tmp_path):
     status, body = _post(http_port, "/v1/search",
                          {"input": ["b doc two"], "k": 1, "model": "tiny-b"})
     assert status == 200 and body["results"][0][0]["index"] == 1
-    # the default model has no index yet -> per-request error
+    # the default model has no index yet -> client-state 400
     status, body = _post(http_port, "/v1/search", {"input": ["q"], "k": 1})
-    assert status == 500 and "no index" in body["error"]["message"]
+    assert status == 400 and "no index" in body["error"]["message"]
     loop.call_soon_threadsafe(holder["task"].cancel)
     t.join(timeout=5)

@@ -31,9 +31,15 @@ import sys
 
 import numpy as np
 
-MAX_BODY = 64 << 20  # request-body cap (matches the TCP MAX_REQUEST_BYTES)
 MAX_HEADER = 64 << 10
-MAX_ITEMS = 1 << 16  # texts per request (matches the TCP frame cap)
+
+
+def _caps():
+    """The TCP protocol's request caps, shared so the two surfaces can
+    never drift apart (imported lazily to avoid a circular import)."""
+    from . import server as _srv
+
+    return _srv.MAX_REQUEST_BYTES, _srv.MAX_ITEMS, _srv.MAX_TOPK
 
 
 def _model_name(engine) -> str:
@@ -110,7 +116,8 @@ async def _read_request(reader: asyncio.StreamReader):
         raise HttpError(400, "malformed content-length")
     if length < 0:
         raise HttpError(400, "malformed content-length")
-    if length > MAX_BODY:
+    max_body = _caps()[0]
+    if length > max_body:
         raise HttpError(413, f"body too large ({length} bytes)")
     body = await reader.readexactly(length) if length else b""
     return method, path, headers, body
@@ -134,18 +141,20 @@ def _parse_embed_request(body: bytes):
         or not all(isinstance(t, str) for t in texts)
     ):
         raise HttpError(400, "'input' must be a string or list of strings")
-    if len(texts) > MAX_ITEMS:
-        raise HttpError(413, f"too many inputs ({len(texts)} > {MAX_ITEMS})")
+    max_items = _caps()[1]
+    if len(texts) > max_items:
+        raise HttpError(413, f"too many inputs ({len(texts)} > {max_items})")
     fmt = payload.get("encoding_format", "float")
     if fmt not in ("float", "base64"):
         raise HttpError(400, "encoding_format must be 'float' or 'base64'")
     return texts, fmt, payload
 
 
-def _parse_k(payload, corpus_cap: int = 4096) -> int:
+def _parse_k(payload) -> int:
+    cap = _caps()[2]
     k = payload.get("k", 10)
-    if not isinstance(k, int) or isinstance(k, bool) or not 0 < k <= corpus_cap:
-        raise HttpError(400, f"k must be an integer in 1..{corpus_cap}")
+    if not isinstance(k, int) or isinstance(k, bool) or not 0 < k <= cap:
+        raise HttpError(400, f"k must be an integer in 1..{cap}")
     return k
 
 
@@ -187,6 +196,7 @@ async def handle_http(reader, writer, batcher, model_name: str,
                 break
             method, path, headers, body = req
             t_req = time.perf_counter()
+            req_batcher = batcher  # model routes reassign to their batcher
             try:
                 if path == "/healthz":
                     out = _response(200, b"ok", "text/plain")
@@ -195,6 +205,11 @@ async def handle_http(reader, writer, batcher, model_name: str,
 
                     snap = metrics.snapshot()
                     snap["server"] = batcher.stats.as_dict()
+                    if registry:
+                        snap["models"] = {
+                            name: b.stats.as_dict()
+                            for name, b in registry.items()
+                        }
                     out = _json_response(200, snap)
                 elif path == "/v1/models":
                     names = sorted({model_name, *registry})
@@ -208,27 +223,31 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         raise HttpError(405, "POST required")
                     texts, _, payload = _parse_embed_request(body)
                     b, _name = pick(payload)
+                    req_batcher = b
                     loop = asyncio.get_running_loop()
                     total = await loop.run_in_executor(
                         None, b.index_texts, texts
                     )
                     out = _json_response(200, {"object": "index",
                                                "total": total})
-                    batcher.stats.requests += 1
+                    b.stats.requests += 1
                 elif path == "/v1/search":
                     if method != "POST":
                         raise HttpError(405, "POST required")
                     texts, _, payload = _parse_embed_request(body)
                     k = _parse_k(payload)
                     b, _name = pick(payload)
-                    loop = asyncio.get_running_loop()
-                    try:
-                        idx, scores = await loop.run_in_executor(
-                            None, b.search_texts, texts, k
+                    req_batcher = b
+                    if b.index is None or len(b.index) == 0:
+                        # client-state error, checked explicitly so genuine
+                        # engine failures still surface as 500s
+                        raise HttpError(
+                            400, "no index built (POST /v1/index first)"
                         )
-                    except (RuntimeError, ValueError) as e:
-                        # client-state errors (no index yet / empty index)
-                        raise HttpError(400, str(e))
+                    loop = asyncio.get_running_loop()
+                    idx, scores = await loop.run_in_executor(
+                        None, b.search_texts, texts, k
+                    )
                     out = _json_response(200, {
                         "object": "search",
                         "results": [
@@ -237,12 +256,13 @@ async def handle_http(reader, writer, batcher, model_name: str,
                             for row_i, row_s in zip(idx, scores)
                         ],
                     })
-                    batcher.stats.requests += 1
+                    b.stats.requests += 1
                 elif path == "/v1/embeddings":
                     if method != "POST":
                         raise HttpError(405, "POST required")
                     texts, fmt, payload = _parse_embed_request(body)
                     b, req_model = pick(payload)
+                    req_batcher = b
                     try:
                         vecs = await b.encode(texts)
                     except OverloadedError as e:
@@ -279,22 +299,22 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         "usage": {"prompt_tokens": n_tokens,
                                   "total_tokens": n_tokens},
                     })
-                    batcher.stats.requests += 1
+                    b.stats.requests += 1
                 else:
                     raise HttpError(404, f"no route for {path}")
             except HttpError as e:
                 out = _error_response(e.status, str(e))
                 if e.status >= 500:
-                    batcher.stats.errors += 1
+                    req_batcher.stats.errors += 1
             except Exception as e:  # engine failures -> 500, connection lives
-                batcher.stats.errors += 1
+                req_batcher.stats.errors += 1
                 out = _error_response(500, f"{type(e).__name__}: {e}")
             client_done = headers.get("connection", "").lower() == "close"
             if client_done:
                 # first occurrence is always the Connection header (it
                 # precedes the body), so replace-first is safe
                 out = out.replace(b"keep-alive", b"close", 1)
-            batcher.stats.record_latency(time.perf_counter() - t_req)
+            req_batcher.stats.record_latency(time.perf_counter() - t_req)
             try:
                 writer.write(out)
                 await writer.drain()

@@ -179,7 +179,6 @@ class VectorIndex:
     def _device_ingest_ok(self) -> bool:
         return (
             not self._host_ingest_only
-            and type(self) is VectorIndex
             and self.mesh is None
             and self.engine.mesh is None
             and self.engine.opts.output_dtype != "int8"

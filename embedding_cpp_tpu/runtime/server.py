@@ -63,6 +63,7 @@ MAX_TEXT_BYTES = 16 << 20  # per text
 MAX_REQUEST_BYTES = 64 << 20  # aggregate text payload per request
 MAX_IDS = 1 << 20  # per id list
 MAX_REQUEST_IDS = 1 << 22  # aggregate ids per request
+MAX_TOPK = 1 << 12  # search k cap
 
 
 class ProtocolError(Exception):
@@ -404,7 +405,7 @@ async def handle_client(
                 writer.write(struct.pack("<I", total))
             elif head == MAGIC_SEARCH:
                 (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
-                _check(0 < k <= (1 << 12), f"top-k {k}")
+                _check(0 < k <= MAX_TOPK, f"top-k {k}")
                 texts = await _read_texts(reader)
                 loop = asyncio.get_running_loop()
                 try:
@@ -473,10 +474,12 @@ async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
                 max_batch: int = 256, window_ms: float = 2.0,
                 ready_event: asyncio.Event | None = None,
                 max_pending: int = 16384, http_port: int | None = None,
-                extra_engines: dict | None = None):
+                extra_engines: dict | None = None,
+                model_name: str | None = None):
     """`extra_engines` ({name: Engine}) serves additional models over the
     HTTP surface (requests route by their `model` field); the TCP protocol
-    always speaks to the default `engine`."""
+    always speaks to the default `engine`.  `model_name` overrides the
+    default model's advertised name (else the GGUF config name)."""
     batcher = ContinuousBatcher(engine, max_batch, window_ms,
                                 max_pending=max_pending)
     await batcher.start()
@@ -494,8 +497,9 @@ async def serve(engine, host: str = "0.0.0.0", port: int = 8080,
         # merge into shared device batches (runtime/http_server.py)
         from .http_server import _model_name, handle_http
 
+        served_name = model_name or _model_name(engine)
         http_server = await asyncio.start_server(
-            lambda r, w: handle_http(r, w, batcher, _model_name(engine),
+            lambda r, w: handle_http(r, w, batcher, served_name,
                                      registry=registry),
             host, http_port,
         )
@@ -581,7 +585,7 @@ def main() -> None:
     # rest serve over HTTP only (single-process: the leader-follower plane
     # only replays the default engine's dispatches)
     specs = []
-    for i, item in enumerate(args.model):
+    for item in args.model:
         name, sep, path = item.partition("=")
         specs.append((name if sep else None, path if sep else item))
     if multihost and len(specs) > 1:
@@ -630,7 +634,8 @@ def main() -> None:
     asyncio.run(serve(engine, args.host, args.port, args.max_batch,
                       args.window_ms, max_pending=args.max_pending,
                       http_port=args.http_port,
-                      extra_engines=extra_engines))
+                      extra_engines=extra_engines,
+                      model_name=specs[0][0]))
 
 
 if __name__ == "__main__":

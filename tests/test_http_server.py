@@ -259,7 +259,8 @@ def test_multi_model_routing(tmp_path):
         task = loop.create_task(
             serve(engine_a, "127.0.0.1", port, window_ms=1.0,
                   http_port=http_port,
-                  extra_engines={"tiny-b": engine_b})
+                  extra_engines={"tiny-b": engine_b},
+                  model_name="named-default")
         )
         holder["task"] = task
         try:
@@ -283,7 +284,8 @@ def test_multi_model_routing(tmp_path):
 
     status, body = _get(http_port, "/v1/models")
     ids = {m["id"] for m in json.loads(body)["data"]}
-    assert "tiny-b" in ids and "http-test-model" in ids
+    # the -m NAME=PATH default name is honored (not the GGUF config name)
+    assert ids == {"tiny-b", "named-default"}
 
     # default model (64-dim)
     status, body = _post(http_port, "/v1/embeddings", {"input": "hello"})
@@ -293,6 +295,14 @@ def test_multi_model_routing(tmp_path):
                          {"input": "hello", "model": "tiny-b"})
     assert status == 200 and len(body["data"][0]["embedding"]) == 32
     assert body["model"] == "tiny-b"
+    # explicit default-name routing works too
+    status, body = _post(http_port, "/v1/embeddings",
+                         {"input": "hello", "model": "named-default"})
+    assert status == 200 and len(body["data"][0]["embedding"]) == 64
+    # per-model stats: tiny-b's requests counted on ITS batcher
+    status, raw = _get(http_port, "/metrics")
+    snap = json.loads(raw)
+    assert snap["models"]["tiny-b"]["requests"] >= 1
     # unknown model
     status, body = _post(http_port, "/v1/embeddings",
                          {"input": "hello", "model": "nope"})

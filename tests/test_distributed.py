@@ -217,3 +217,20 @@ def test_multiprocess_server_end_to_end(tmp_path):
                 p.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 p.kill()
+
+
+def test_token_list_broadcast_codec():
+    """The leader-follower batch codec roundtrips ragged id lists exactly
+    (pure host logic, no processes needed)."""
+    from embedding_cpp_tpu.parallel.distributed import (
+        _decode_token_lists, _encode_token_lists,
+    )
+
+    cases = [
+        [[1, 2, 3], [], [7]],
+        [[5] * 100],
+        [[]],
+    ]
+    for lists in cases:
+        assert _decode_token_lists(_encode_token_lists(lists)) == lists
+    assert _encode_token_lists([]).shape == (0, 1)

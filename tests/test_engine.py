@@ -200,3 +200,24 @@ def test_int8_output_packed(gguf_path):
     b = i8.encode(texts)
     amax = np.abs(a).max(axis=1, keepdims=True)
     assert np.all(np.abs(a - b) <= amax / 254 + 1e-5)
+
+
+def test_pack_output_i8_roundtrip():
+    """Device-side int8 pack -> host unpack roundtrip: error bounded by half
+    a quantization step per element, any leading shape."""
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.models.bert import pack_output_i8, unpack_output_i8
+
+    rng = np.random.default_rng(0)
+    for shape in [(5, 64), (2, 3, 32)]:
+        x = rng.normal(size=shape).astype(np.float32)
+        packed = np.asarray(pack_output_i8(jnp.asarray(x)))
+        assert packed.dtype == np.uint8 and packed.shape[-1] == shape[-1] + 4
+        back = unpack_output_i8(packed)
+        amax = np.abs(x).max(axis=-1, keepdims=True)
+        assert np.all(np.abs(back - x) <= amax / 254 + 1e-7)
+    # zero vectors survive (scale guard)
+    z = np.zeros((3, 16), np.float32)
+    np.testing.assert_array_equal(unpack_output_i8(np.asarray(
+        pack_output_i8(jnp.asarray(z)))), z)

@@ -64,10 +64,14 @@ def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
             tiles = 2 * hb * (3 * s + tq) * d * itemsize  # dbl-buffered qkv+o
             if tiles + tq * s * score_bytes <= 10 * 1024 * 1024:
                 return tq, hb
-    # nothing fits the budget model (very long s): smallest safe tile — a
-    # whole-sequence fallback would be an [S, S] score tile that cannot
-    # compile
-    return (128 if s % 128 == 0 else s), 1
+    # nothing fits the budget model (very long s): smallest safe tile — the
+    # largest divisor of s that is a multiple of 8 and <= 128.  Falling back
+    # to tq=s here would be exactly the whole-sequence [S, S] score tile the
+    # loop above exists to avoid (VMEM blowup for large unaligned s).
+    for tq in range(128, 0, -8):
+        if s % tq == 0:
+            return tq, 1
+    return s, 1  # unreachable for s % 8 == 0 (callers guarantee it)
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "hb"))

@@ -107,7 +107,13 @@ async def _read_request(reader: asyncio.StreamReader):
             break
         if b":" in line:
             k, _, v = line.decode("latin-1").partition(":")
-            headers[k.strip().lower()] = v.strip()
+            k = k.strip().lower()
+            if k == "content-length" and k in headers:
+                # RFC 7230 §3.3.2: conflicting Content-Length values must be
+                # rejected — last-wins parsing behind a first-wins proxy is a
+                # request-smuggling vector
+                raise HttpError(400, "duplicate content-length header")
+            headers[k] = v.strip()
     if "chunked" in headers.get("transfer-encoding", "").lower():
         raise HttpError(400, "chunked transfer encoding not supported")
     try:
@@ -170,9 +176,12 @@ async def handle_http(reader, writer, batcher, model_name: str,
     registry = registry or {}
 
     def pick(payload) -> tuple:
-        """-> (batcher, model_name) for this request's `model` field."""
+        """-> (batcher, model_name) for this request's `model` field.
+        Any non-matching name is a 404 even with a single model configured —
+        silently serving the default would hand a client embeddings from the
+        wrong model."""
         want = payload.get("model")
-        if want is None or want == model_name or not registry:
+        if want is None or want == model_name:
             return batcher, model_name
         if want in registry:
             return registry[want], want
@@ -225,9 +234,19 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     b, _name = pick(payload)
                     req_batcher = b
                     loop = asyncio.get_running_loop()
-                    total = await loop.run_in_executor(
-                        None, b.index_texts, texts
-                    )
+                    # index embedding runs on an executor thread, bypassing
+                    # ContinuousBatcher.encode — reserve against the same
+                    # --max-pending budget (OverloadedError -> 429)
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        total = await loop.run_in_executor(
+                            None, b.index_texts, texts
+                        )
+                    finally:
+                        b.release(len(texts))
                     out = _json_response(200, {"object": "index",
                                                "total": total})
                     b.stats.requests += 1
@@ -245,14 +264,25 @@ async def handle_http(reader, writer, batcher, model_name: str,
                             400, "no index built (POST /v1/index first)"
                         )
                     loop = asyncio.get_running_loop()
-                    idx, scores = await loop.run_in_executor(
-                        None, b.search_texts, texts, k
-                    )
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        idx, scores = await loop.run_in_executor(
+                            None, b.search_texts, texts, k
+                        )
+                    finally:
+                        b.release(len(texts))
+                    # id -1 slots are explicit "no result here" markers (k
+                    # clamped past the corpus size, or unfilled approx-mode
+                    # bins); their -inf scores are also invalid JSON, so the
+                    # row simply carries fewer than k entries
                     out = _json_response(200, {
                         "object": "search",
                         "results": [
                             [{"index": int(i), "score": float(sc)}
-                             for i, sc in zip(row_i, row_s)]
+                             for i, sc in zip(row_i, row_s) if i >= 0]
                             for row_i, row_s in zip(idx, scores)
                         ],
                     })
@@ -387,4 +417,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # run the canonical module, not the `__main__` copy (same dual-class
+    # trap as runtime/server.py: exception types must be shared)
+    from embedding_cpp_tpu.runtime.http_server import main as _canonical_main
+
+    _canonical_main()

@@ -53,6 +53,8 @@ MAGIC_ENCODE_I8 = b"\x01TP8"
 # index:  u32 n | n*(u32 len | utf8)          -> u32 total_indexed
 # search: u32 k | u32 n | n*(u32 len | utf8)  -> u32 n | u32 k |
 #                                                n*k i32 idx | n*k f32 score
+#   (reply k == requested k; no-result slots carry idx -1 / score -inf —
+#    e.g. k beyond the corpus size, or unfilled approximate-mode bins)
 MAGIC_INDEX = b"\x01TPB"
 MAGIC_SEARCH = b"\x01TPS"
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
@@ -133,6 +135,31 @@ class ContinuousBatcher:
         self.index = None  # lazy on-device VectorIndex (shared, thread-safe)
         self._index_init_lock = threading.Lock()
 
+    def try_reserve(self, n: int) -> None:
+        """Admission control for index/search work, which runs on executor
+        threads via index_texts/search_texts and therefore bypasses
+        encode()'s queue: reserve `n` sentences against the same
+        --max-pending budget so a flood of index frames degrades into
+        error frames instead of unbounded executor queueing.  Call from the
+        event loop only (single-threaded counter updates), release() in a
+        finally."""
+        if n > self.max_pending:
+            self.stats.rejected += 1
+            raise OverloadedError(
+                f"request too large: {n} sentences exceed the "
+                f"--max-pending cap {self.max_pending}; split the request"
+            )
+        if self._pending + n > self.max_pending:
+            self.stats.rejected += 1
+            raise OverloadedError(
+                f"server overloaded: {self._pending} sentences pending "
+                f"(cap {self.max_pending})"
+            )
+        self._pending += n
+
+    def release(self, n: int) -> None:
+        self._pending -= n
+
     def index_texts(self, texts: list[str]) -> int:
         if self.index is None:
             # double-checked under a lock: two concurrent first index frames
@@ -174,26 +201,13 @@ class ContinuousBatcher:
                 pass
 
     async def encode(self, texts: list[str]) -> np.ndarray:
-        if len(texts) > self.max_pending:
-            # distinct permanent error: retrying can never clear this one
-            self.stats.rejected += 1
-            raise OverloadedError(
-                f"request too large: {len(texts)} sentences exceed the "
-                f"--max-pending cap {self.max_pending}; split the request"
-            )
-        if self._pending + len(texts) > self.max_pending:
-            self.stats.rejected += 1
-            raise OverloadedError(
-                f"server overloaded: {self._pending} sentences pending "
-                f"(cap {self.max_pending})"
-            )
-        self._pending += len(texts)
+        self.try_reserve(len(texts))
         try:
             fut = asyncio.get_running_loop().create_future()
             await self.queue.put((texts, fut))
             return await fut
         finally:
-            self._pending -= len(texts)
+            self.release(len(texts))
 
     async def _run(self) -> None:
         while True:
@@ -396,9 +410,15 @@ async def handle_client(
                 texts = await _read_texts(reader)
                 loop = asyncio.get_running_loop()
                 try:
-                    total = await loop.run_in_executor(
-                        None, batcher.index_texts, texts
-                    )
+                    # index embedding runs on an executor thread, bypassing
+                    # encode()'s queue — apply the same admission control
+                    batcher.try_reserve(len(texts))
+                    try:
+                        total = await loop.run_in_executor(
+                            None, batcher.index_texts, texts
+                        )
+                    finally:
+                        batcher.release(len(texts))
                 except Exception as e:
                     await _request_failed(e)
                     continue
@@ -409,9 +429,13 @@ async def handle_client(
                 texts = await _read_texts(reader)
                 loop = asyncio.get_running_loop()
                 try:
-                    idx, scores = await loop.run_in_executor(
-                        None, batcher.search_texts, texts, int(k)
-                    )
+                    batcher.try_reserve(len(texts))
+                    try:
+                        idx, scores = await loop.run_in_executor(
+                            None, batcher.search_texts, texts, int(k)
+                        )
+                    finally:
+                        batcher.release(len(texts))
                 except Exception as e:
                     await _request_failed(e)
                     continue
@@ -639,4 +663,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # `python -m ...runtime.server` executes this file as `__main__`, which
+    # would otherwise define a SECOND OverloadedError/ContinuousBatcher class
+    # distinct from the ones http_server imports via `.server` — isinstance
+    # checks across the two copies silently fail (observed: overload 429s
+    # surfacing as 500s).  Run the canonical module's main instead.
+    from embedding_cpp_tpu.runtime.server import main as _canonical_main
+
+    _canonical_main()

@@ -64,9 +64,10 @@ int32_t tpe_vocab_id_to_token(tpe_ctx* ctx, int32_t token_id, char* buf,
 int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts);
 
 // Top-k search over the on-device index.  out_idx and out_scores must each
-// hold n_queries * k entries; only ids + scores cross the wire.  Returns
-// the k actually used (clamped to the corpus size), or -1.  Slots an
-// approximate-mode server could not fill carry index -1 and score -inf.
+// hold n_queries * k entries; only ids + scores cross the wire.  The server
+// replies with the REQUESTED k columns; slots without a result (k beyond
+// the corpus size, or unfilled approximate-mode bins) carry index -1 and
+// score -inf.  Returns the reply's k, or -1 on error.
 int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
                    int32_t k, int32_t* out_idx, float* out_scores);
 

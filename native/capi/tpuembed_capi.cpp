@@ -438,8 +438,10 @@ int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts) {
 
 // Top-k search over the on-device index (the \x01TPS frame): out_idx and
 // out_scores must each hold n_queries * k entries.  Only ids + scores cross
-// the wire.  Returns the k actually used (clamped to the corpus size
-// server-side), or -1.
+// the wire.  The server always replies with the REQUESTED k columns; slots
+// without a result (k beyond the corpus size) carry id -1 / score -inf.
+// Returns the reply's k (== the requested k against current servers; older
+// servers clamped, hence kr <= ku is still accepted), or -1.
 int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
                    int32_t k, int32_t* out_idx, float* out_scores) {
     if (!ctx || ctx->fd < 0 || n_queries <= 0 || k <= 0 || !out_idx ||

@@ -149,3 +149,9 @@ def test_attn_tiles_never_whole_sequence_over_budget():
     # normal encoder shapes still pick whole-sequence tiles with all heads
     tq, hb = _attn_tiles(12, 512, 32, 2)
     assert tq == 512 and hb == 12
+    # long UNALIGNED s (s % 128 != 0, s % 8 == 0): the fallback must pick a
+    # small divisor tile, never tq == s (ADVICE r2: that is exactly the
+    # whole-sequence [S, S] tile the budget loop exists to avoid)
+    s = 8 * 5003  # 40024: divisors are {1,2,4,8} x {1,5003,...}; tq -> 8
+    tq, hb = _attn_tiles(12, s, 32, 2)
+    assert tq < s and s % tq == 0 and tq % 8 == 0 and tq <= 128

@@ -177,6 +177,7 @@ def test_http_index_and_search(http_server):
     corpus = [f"http document about topic {i}" for i in range(8)]
     status, body = _post(port, "/v1/index", {"input": corpus})
     assert status == 200 and body["total"] >= 8
+    total = body["total"]
     status, body = _post(port, "/v1/search",
                          {"input": [corpus[3]], "k": 2})
     assert status == 200
@@ -186,6 +187,13 @@ def test_http_index_and_search(http_server):
     # here assert bad k is rejected
     status, body = _post(port, "/v1/search", {"input": ["q"], "k": 0})
     assert status == 400
+    # k beyond the corpus: rows explicitly carry only the real results
+    # (no-result slots are filtered, never phantom ids or -Infinity JSON)
+    status, body = _post(port, "/v1/search", {"input": [corpus[0]], "k": 100})
+    assert status == 200
+    hits = body["results"][0]
+    assert len(hits) == total
+    assert all(h["index"] >= 0 and np.isfinite(h["score"]) for h in hits)
 
 
 def test_http_hostile_headers(http_server):
@@ -214,6 +222,12 @@ def test_http_hostile_headers(http_server):
     assert raw_request(
         b"POST /v1/embeddings HTTP/1.1\r\nContent-Length: 999999999999\r\n\r\n"
     ) == 413
+    # conflicting Content-Length values: reject (request-smuggling hygiene,
+    # RFC 7230 §3.3.2) instead of silently taking the last one
+    assert raw_request(
+        b"POST /v1/embeddings HTTP/1.1\r\n"
+        b"Content-Length: 2\r\nContent-Length: 4\r\n\r\n{}"
+    ) == 400
 
 
 def test_http_search_k_validation_and_item_cap(http_server):
@@ -222,6 +236,38 @@ def test_http_search_k_validation_and_item_cap(http_server):
     assert status == 400 and "k must be" in body["error"]["message"]
     status, body = _post(port, "/v1/search", {"input": ["q"], "k": 99999})
     assert status == 400
+
+
+def test_http_unknown_model_404_single_model(http_server):
+    """A wrong 'model' value is a 404 even with one model configured —
+    never silently served by the default model (ADVICE r2)."""
+    port, _, _ = http_server
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": "hello", "model": "not-this-model"})
+    assert status == 404 and "serving" in body["error"]["message"]
+    # the configured name still routes
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": "hello", "model": "http-test-model"})
+    assert status == 200
+
+
+def test_batcher_reserve_admission():
+    """try_reserve/release: the index/search admission path shares the
+    encode() backpressure budget."""
+    from embedding_cpp_tpu.runtime.server import (
+        ContinuousBatcher, OverloadedError,
+    )
+
+    b = ContinuousBatcher(engine=None, max_pending=4)
+    b.try_reserve(3)
+    with pytest.raises(OverloadedError):
+        b.try_reserve(2)  # 3 + 2 > 4
+    b.release(3)
+    b.try_reserve(4)
+    b.release(4)
+    with pytest.raises(OverloadedError):
+        b.try_reserve(5)  # > cap outright
+    assert b.stats.rejected == 2
 
 
 def test_http_connection_close_honored(http_server):

@@ -76,10 +76,18 @@ def test_add_vectors_shape_check(engine):
 
 
 def test_k_clamped_to_corpus(engine):
+    """k beyond the corpus size returns the REQUESTED width, the overflow
+    slots explicitly marked (id -1, score -inf) — callers never infer the
+    clamp from a shrunken shape."""
     idx = VectorIndex(engine, dtype="float32")
     idx.add(["only one", "and two"])
     got, scores = idx.search(["only one"], k=10)
-    assert got.shape == (1, 2)
+    assert got.shape == (1, 10)
+    assert scores.shape == (1, 10)
+    assert set(got[0, :2]) == {0, 1}  # the two real docs rank first
+    assert np.all(got[0, 2:] == -1)
+    assert np.all(np.isneginf(scores[0, 2:]))
+    assert np.all(np.isfinite(scores[0, :2]))
 
 
 def test_save_load_roundtrip(engine, tmp_path):

@@ -210,41 +210,63 @@ class ContinuousBatcher:
             self.release(len(texts))
 
     async def _run(self) -> None:
-        while True:
-            texts, fut = await self.queue.get()
-            jobs = [(texts, fut)]
-            total = len(texts)
-            # micro-batching window: gather more work while the device is free
-            deadline = asyncio.get_running_loop().time() + self.window
-            while total < self.max_batch:
-                timeout = deadline - asyncio.get_running_loop().time()
-                if timeout <= 0:
-                    break
-                try:
-                    t, f = await asyncio.wait_for(self.queue.get(), timeout)
-                    jobs.append((t, f))
-                    total += len(t)
-                except asyncio.TimeoutError:
-                    break
-            flat: list[str] = []
-            for t, _ in jobs:
-                flat.extend(t)
-            try:
-                vecs = await asyncio.get_running_loop().run_in_executor(
-                    None, self.engine.encode, flat
-                )
-                off = 0
-                for t, f in jobs:
-                    if not f.cancelled():
-                        f.set_result(vecs[off : off + len(t)])
-                    off += len(t)
-                self.stats.batches += 1
-                self.stats.sentences += total
-            except Exception as e:  # propagate to all waiters
-                self.stats.errors += 1
-                for _, f in jobs:
-                    if not f.cancelled():
-                        f.set_exception(e)
+        # pipeline depth 2: the engine holds its lock only through
+        # planning/dispatch (fetches drain outside it — engine.embed_tokens),
+        # so batch N+1's dispatch overlaps batch N's device->host fetch.
+        # Depth beyond 2 only adds queueing: the device serializes compute
+        # and the link serializes fetches.
+        sem = asyncio.Semaphore(2)
+        inflight: set[asyncio.Task] = set()
+        try:
+            while True:
+                texts, fut = await self.queue.get()
+                jobs = [(texts, fut)]
+                total = len(texts)
+                # micro-batching window: gather more work while waiting on
+                # the pipeline slot (the device is busy anyway)
+                deadline = asyncio.get_running_loop().time() + self.window
+                while total < self.max_batch:
+                    timeout = deadline - asyncio.get_running_loop().time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        t, f = await asyncio.wait_for(
+                            self.queue.get(), timeout
+                        )
+                        jobs.append((t, f))
+                        total += len(t)
+                    except asyncio.TimeoutError:
+                        break
+                await sem.acquire()
+                task = asyncio.create_task(self._run_batch(jobs, total, sem))
+                inflight.add(task)
+                task.add_done_callback(inflight.discard)
+        finally:
+            for task in inflight:
+                task.cancel()
+
+    async def _run_batch(self, jobs, total: int, sem: asyncio.Semaphore):
+        flat: list[str] = []
+        for t, _ in jobs:
+            flat.extend(t)
+        try:
+            vecs = await asyncio.get_running_loop().run_in_executor(
+                None, self.engine.encode, flat
+            )
+            off = 0
+            for t, f in jobs:
+                if not f.cancelled():
+                    f.set_result(vecs[off : off + len(t)])
+                off += len(t)
+            self.stats.batches += 1
+            self.stats.sentences += total
+        except Exception as e:  # propagate to all waiters
+            self.stats.errors += 1
+            for _, f in jobs:
+                if not f.cancelled():
+                    f.set_exception(e)
+        finally:
+            sem.release()
 
 
 async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:

@@ -298,37 +298,45 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     except OverloadedError as e:
                         raise HttpError(429, str(e))
                     vecs = np.ascontiguousarray(vecs, np.float32)
+                    loop = asyncio.get_running_loop()
                     if fmt == "base64":
-                        data = [
+                        data_json = json.dumps([
                             {"object": "embedding", "index": i,
                              "embedding": base64.b64encode(
                                  v.tobytes()).decode("ascii")}
                             for i, v in enumerate(vecs)
-                        ]
+                        ], separators=(",", ":")).encode("utf-8")
                     else:
-                        data = [
-                            {"object": "embedding", "index": i,
-                             "embedding": v.tolist()}
-                            for i, v in enumerate(vecs)
-                        ]
+                        # float mode (the OpenAI default): the native
+                        # std::to_chars renderer — Python float repr was the
+                        # measured 5x bottleneck (utils/jsonfmt.py); big
+                        # batches render in the executor off the event loop
+                        from ..utils import jsonfmt
+
+                        if len(vecs) >= 64:
+                            data_json = await loop.run_in_executor(
+                                None, jsonfmt.embedding_data_json, vecs
+                            )
+                        else:
+                            data_json = jsonfmt.embedding_data_json(vecs)
                     # usage re-tokenizes (~90k sentences/s native) rather
                     # than plumbing counts out of the batched encode path;
                     # in the executor so the event loop never blocks
                     if b.engine.tokenizer is not None:
-                        loop = asyncio.get_running_loop()
                         id_lists = await loop.run_in_executor(
                             None, b.engine.tokenize_batch, texts
                         )
                         n_tokens = int(sum(len(ids) for ids in id_lists))
                     else:
                         n_tokens = 0
-                    out = _json_response(200, {
-                        "object": "list",
-                        "data": data,
-                        "model": req_model,
-                        "usage": {"prompt_tokens": n_tokens,
-                                  "total_tokens": n_tokens},
-                    })
+                    # splice the pre-rendered data array into the envelope
+                    body_out = (
+                        b'{"object":"list","data":' + data_json
+                        + b',"model":' + json.dumps(req_model).encode("utf-8")
+                        + b',"usage":{"prompt_tokens":%d,"total_tokens":%d}}'
+                        % (n_tokens, n_tokens)
+                    )
+                    out = _response(200, body_out)
                     b.stats.requests += 1
                 else:
                     raise HttpError(404, f"no route for {path}")

@@ -40,6 +40,7 @@ OP_STOP = 0
 OP_EMBED = 1
 OP_INDEX = 2  # vector-index append (payload: f32 [n, E] normalized vectors)
 OP_SEARCH = 3  # index search (payload: f32 padded queries; header[3] = k)
+OP_SAVE = 4  # index persistence: followers join the corpus all-gather
 _HEADER_SHAPE = (4,)  # [op, n_rows, payload_width, k]
 
 
@@ -221,6 +222,15 @@ def make_leader_index(engine):
                 _broadcast(np.ascontiguousarray(q, np.float32))
                 return super()._run_search(q, k)
 
+        def _snapshot_rows(self):
+            # save(): the corpus rows all-gather across hosts, so the
+            # followers must join the collective — announce it first.
+            # Lock order matches the other ops: VectorIndex._lock (held by
+            # save) -> _LEADER_LOCK.
+            with _LEADER_LOCK:
+                _broadcast(np.array([OP_SAVE, 0, 0, 0], np.int32))
+                return super()._snapshot_rows()
+
     return LeaderIndex(engine, mesh=engine.mesh)
 
 
@@ -252,11 +262,17 @@ def follower_loop(engine) -> None:
             payload = _broadcast(np.zeros((n, width), np.int32))
             engine.embed_tokens(_decode_token_lists(payload))
             continue
-        payload = _broadcast(np.zeros((n, width), np.float32))
         if fidx is None:
             from ..runtime.search import VectorIndex
 
             fidx = VectorIndex(engine, mesh=engine.mesh)
+        if op == OP_SAVE:
+            # join the leader's corpus all-gather; the leader's process
+            # writes the file, this copy is discarded
+            with fidx._lock:
+                fidx._snapshot_rows()
+            continue
+        payload = _broadcast(np.zeros((n, width), np.float32))
         if op == OP_INDEX:
             with fidx._lock:
                 fidx._commit_vectors(payload)

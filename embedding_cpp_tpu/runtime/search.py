@@ -273,25 +273,30 @@ class VectorIndex:
     # --- persistence ----------------------------------------------------------
     def save(self, path: str) -> None:
         """Persist the indexed vectors (.npz).  GGUF is the model checkpoint
-        format; the index is derived state, stored separately."""
+        format; the index is derived state, stored separately.
+
+        Multi-host sharded corpus: the rows all-gather over DCN and every
+        process writes `path` on its local filesystem (the file is the
+        standard single-host format — portable across mesh shapes and host
+        counts).  SPMD contract: every process must reach save() in
+        lockstep; the serving plane honors it by broadcasting OP_SAVE so
+        followers join the gather (parallel/distributed.py)."""
         with self._lock:
-            if (
-                self._corpus is not None
-                and not self._corpus.sharding.is_fully_addressable
-            ):
-                # multi-host sharded corpus: a leader-only fetch would need
-                # collectives the followers never replay (no OP_* exists for
-                # save) — persist the source vectors instead
-                raise NotImplementedError(
-                    "save() on a multi-host sharded index is not supported; "
-                    "persist the source vectors and re-add them"
-                )
-            vecs = (
-                np.zeros((0, self.engine.n_embd), np.float32)
-                if self._n == 0
-                else np.asarray(self._corpus[: self._n], dtype=np.float32)
-            )
+            vecs = self._snapshot_rows()
         np.savez_compressed(path, vectors=vecs)
+
+    def _snapshot_rows(self) -> np.ndarray:
+        """The real corpus rows as host f32 (caller holds _lock).  On a
+        multi-host sharding this is a collective (process_allgather) —
+        every process must call it in the same order."""
+        if self._n == 0:
+            return np.zeros((0, self.engine.n_embd), np.float32)
+        corpus = self._corpus
+        if not corpus.sharding.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            corpus = multihost_utils.process_allgather(corpus, tiled=True)
+        return np.asarray(corpus[: self._n], dtype=np.float32)
 
     def load(self, path: str) -> int:
         """Append vectors previously saved with save(); returns the total."""

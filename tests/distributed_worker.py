@@ -85,6 +85,28 @@ def main() -> None:
 
     # --- Engine under the leader-follower serving plane ----------------------
     engine = Engine.synthetic(CFG, ftype="q4_0", opts=OPTS, mesh=mesh)
+
+    # --- multi-host sharded index: save/load roundtrip (SPMD lockstep) ------
+    # Both processes run the identical op sequence; save() all-gathers the
+    # dp-sharded corpus over DCN and every process writes its local file.
+    from embedding_cpp_tpu.runtime.search import VectorIndex
+
+    vecs = np.random.default_rng(7).standard_normal(
+        (37, engine.n_embd)
+    ).astype(np.float32)
+    queries = vecs[:5].copy()
+    sidx = VectorIndex(engine, mesh=mesh)
+    sidx.add_vectors(vecs)
+    i1, s1 = sidx.search_vectors(queries, k=3)
+    idx_path = f"{outdir}/dist_index_{pid}.npz"
+    sidx.save(idx_path)
+    sidx2 = VectorIndex(engine, mesh=mesh)
+    assert sidx2.load(idx_path) == 37
+    i2, s2 = sidx2.search_vectors(queries, k=3)
+    if pid == 0:
+        np.savez(f"{outdir}/index_roundtrip.npz", i1=i1, s1=s1, i2=i2, s2=s2,
+                 vecs=vecs)
+
     token_lists = [
         [2] + rng2.tolist() + [3]
         for rng2 in np.random.default_rng(1).integers(
@@ -95,6 +117,13 @@ def main() -> None:
         dist.make_leader(engine)
         out = engine.embed_tokens(token_lists)
         np.save(f"{outdir}/engine_out.npy", out)
+        # serving-plane index persistence: save() broadcasts OP_SAVE so the
+        # follower joins the corpus all-gather from inside follower_loop
+        lidx = dist.make_leader_index(engine)
+        lidx.add_vectors(vecs)
+        lidx.save(f"{outdir}/leader_index.npz")
+        li, ls = lidx.search_vectors(queries, k=3)
+        np.savez(f"{outdir}/leader_index_results.npz", li=li, ls=ls)
         dist.broadcast_stop()
     else:
         dist.follower_loop(engine)

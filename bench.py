@@ -111,6 +111,80 @@ def run_bench(
     }
 
 
+def run_headline(
+    preset: str = "minilm-l6",
+    ftype: str = "q4_0",
+    dtype: str = "bfloat16",
+    n_sentences: int = 2758,
+    repeats: int = 8,
+    length_profile: str = "stsb",
+    packing: str = "auto",
+):
+    """The scoreboard run: ONE interleaved measurement of the best shipping
+    transfer mode (packed int8 — the serving default) AND the reference-
+    compatible f32 mode, plus the measured int8-vs-f32 cosine agreement, all
+    in one JSON line.  Interleaving within a single run is mandatory: relay
+    throughput drifts ~2x minute-to-minute (CLAUDE.md), so two sequential
+    runs cannot be compared honestly.
+
+    The headline `value` is the int8 figure because that is what the server
+    ships by default; f32 (the reference's wire dtype, bert.h:46) rides
+    alongside with its own vs_baseline."""
+    import jax
+
+    from embedding_cpp_tpu.cli.make_test_model import PRESETS
+    from embedding_cpp_tpu.models.bert import ComputeOptions
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    config = PRESETS[preset]
+    engines = {
+        od: Engine.synthetic(
+            config, ftype=ftype,
+            opts=ComputeOptions(dtype=dtype, q4_impl="xla", output_dtype=od),
+            packing=packing,
+        )
+        for od in ("float32", "int8")
+    }
+    texts = synthetic_sentences(n_sentences, profile=length_profile)
+    token_lists = engines["float32"].tokenize_batch(texts)
+    n_tokens = sum(len(t) for t in token_lists)
+
+    outs = {}
+    for od, eng in engines.items():  # compile + cosine inputs
+        outs[od] = eng.embed_tokens(token_lists)
+    # int8 transfer fidelity: embeddings are unit vectors, so the dot IS the
+    # cosine; report the worst and mean agreement over the whole corpus
+    cos = np.sum(outs["float32"] * outs["int8"], axis=-1)
+    best = {od: float("inf") for od in engines}
+    for _ in range(repeats):
+        for od, eng in engines.items():  # interleave
+            t0 = time.perf_counter()
+            eng.embed_tokens(token_lists)
+            best[od] = min(best[od], time.perf_counter() - t0)
+    sps = {od: n_sentences / t for od, t in best.items()}
+    baseline = BASELINES.get(preset, BASELINE_SENTENCES_PER_SEC)
+    print(
+        f"# {preset} {ftype} {dtype}: {n_sentences} sentences "
+        f"({n_tokens} tokens) interleaved on "
+        f"{jax.devices()[0].platform}: int8 {sps['int8']:.0f}/s, "
+        f"f32 {sps['float32']:.0f}/s; int8 cosine vs f32 "
+        f"mean {float(cos.mean()):.6f} min {float(cos.min()):.6f}",
+        file=sys.stderr,
+    )
+    suffix = "" if length_profile == "stsb" else f"_{length_profile}"
+    return {
+        "metric": f"sentences_per_sec_chip_{preset.replace('-', '_')}_{ftype}{suffix}",
+        "value": round(sps["int8"], 1),
+        "unit": "sentences/s",
+        "vs_baseline": round(sps["int8"] / baseline, 2),
+        "transfer": "int8_packed (serving default)",
+        "f32_sentences_per_sec": round(sps["float32"], 1),
+        "f32_vs_baseline": round(sps["float32"] / baseline, 2),
+        "int8_cosine_vs_f32_mean": round(float(cos.mean()), 6),
+        "int8_cosine_vs_f32_min": round(float(cos.min()), 6),
+    }
+
+
 def run_ab_transfer(
     preset: str = "minilm-l6",
     ftype: str = "q4_0",
@@ -179,16 +253,30 @@ def main() -> None:
     p.add_argument("--repeats", type=int, default=8)
     p.add_argument("--length-profile", default="stsb", choices=sorted(LENGTH_PROFILES))
     p.add_argument("--packing", default="auto", choices=["auto", "always", "never"])
-    p.add_argument("--output-dtype", default="float32",
+    p.add_argument("--output-dtype", default=None,
                    choices=["float32", "float16", "bfloat16", "int8"],
-                   help="embedding transfer dtype (headline metric is f32, "
-                        "matching the reference's float* outputs)")
+                   help="force ONE embedding transfer dtype (default: the "
+                        "headline run measures packed int8 — the serving "
+                        "default — and f32 interleaved, with the cosine "
+                        "agreement, in one JSON line)")
     p.add_argument("--ab-transfer", action="store_true",
                    help="interleaved A/B of f32/f16/int8 embedding transfer "
                         "within one run (immune to relay drift)")
     args = p.parse_args()
+    print(
+        "# NOTE: synthetic random weights (zero-egress env) — throughput is "
+        "real, MTEB score parity is pinned but unverified here; run "
+        "`make validate-real` on a networked host (README)",
+        file=sys.stderr,
+    )
     if args.ab_transfer:
         result = run_ab_transfer(
+            args.preset, args.ftype, args.dtype,
+            args.sentences, args.repeats, length_profile=args.length_profile,
+            packing=args.packing,
+        )
+    elif args.output_dtype is None and args.q4_impl == "auto":
+        result = run_headline(
             args.preset, args.ftype, args.dtype,
             args.sentences, args.repeats, length_profile=args.length_profile,
             packing=args.packing,
@@ -197,7 +285,7 @@ def main() -> None:
         result = run_bench(
             args.preset, args.ftype, args.dtype, args.q4_impl,
             args.sentences, args.repeats, length_profile=args.length_profile,
-            packing=args.packing, output_dtype=args.output_dtype,
+            packing=args.packing, output_dtype=args.output_dtype or "float32",
         )
     print(json.dumps(result))
 

@@ -211,6 +211,13 @@ def main() -> None:
     failures: list[str] = []
 
     if args.synthetic:
+        print(
+            "# NOTE: synthetic random weights + synthetic datasets — this "
+            "exercises the full pipeline but proves NO score parity; the "
+            "pinned reference baselines are unverified in a zero-egress "
+            "environment.  Run `make validate-real` on a networked host.",
+            file=sys.stderr,
+        )
         from embedding_cpp_tpu.cli.make_test_model import make_test_model
 
         model_name = args.model_name or "synthetic-minilm-l6"

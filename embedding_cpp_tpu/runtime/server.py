@@ -581,10 +581,15 @@ def main() -> None:
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--output-dtype",
                    choices=["float32", "float16", "bfloat16", "int8"],
-                   default="float32",
-                   help="embedding transfer dtype off the device (the f32 "
-                        "wire replies are unchanged; clients opt into int8 "
-                        "wire compression per-request via \\x01TP8)")
+                   default="int8",
+                   help="embedding transfer dtype off the device; int8 "
+                        "(packed codes+scale, default) measured 1.47x f32 "
+                        "throughput at cosine-vs-f32 ~0.9999 "
+                        "(benchmarks/results/transfer_ab_v5e.json).  Wire "
+                        "replies stay f32 regardless (unpacked host-side; "
+                        "clients opt into int8 WIRE compression via "
+                        "\\x01TP8); --output-dtype float32 restores "
+                        "bit-exact f32 transfer")
     p.add_argument("--packing", choices=["auto", "always", "never"],
                    default="auto", help="sequence packing policy")
     p.add_argument("--max-batch", type=int, default=256)

@@ -111,7 +111,9 @@ def test_spawn_load_from_file(model_path):
         vecs = model.encode(["spawned server roundtrip", "second"])
         assert vecs.shape == (2, model.n_embd)
         norms = np.linalg.norm(vecs, axis=1)
-        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+        # the spawned server's default transfer is packed int8 (unpacked to
+        # f32 on the wire): unit norm within quantization error (~1e-3)
+        np.testing.assert_allclose(norms, 1.0, atol=5e-3)
     finally:
         model.close()
 

@@ -188,9 +188,12 @@ def test_multiprocess_server_end_to_end(tmp_path):
 
     coord = _free_port()
     sport = _free_port()
+    # --output-dtype float32: this test asserts bit-level numeric parity of
+    # the distributed plane; the int8 transfer default would add ~1e-3
+    # quantization noise (int8-on-mesh is covered by dryrun_multichip)
     cmd = [sys.executable, "-m", "embedding_cpp_tpu.runtime.server",
            "-m", str(model), "--host", "127.0.0.1", "--port", str(sport),
-           "--dtype", "float32",
+           "--dtype", "float32", "--output-dtype", "float32",
            "--coordinator", f"127.0.0.1:{coord}", "--num-processes", "2"]
     procs = [
         subprocess.Popen(cmd + ["--process-id", str(pid)], env=_worker_env(),

@@ -67,12 +67,9 @@ def run_bench(
     from embedding_cpp_tpu.models.bert import ComputeOptions
     from embedding_cpp_tpu.runtime.engine import Engine
 
-    if q4_impl == "auto":
-        # XLA's fused dequant+matmul measures at ~94% of bf16 roofline on
-        # v5e (184/197 TF/s at M=32k) and is the default; the Pallas kernel
-        # (--q4-impl pallas) is within 85-96% of it at production shapes.
-        q4_impl = "xla"
-
+    # q4_impl "auto" resolves in the model layer (models/bert.resolve_impls):
+    # fused Pallas dequant+bias+GELU kernels on a local TPU (r3: forward A/B
+    # 6.93 vs 8.26 ms), XLA dequant under GSPMD meshes / CPU.
     config = PRESETS[preset]
     opts = ComputeOptions(dtype=dtype, q4_impl=q4_impl, output_dtype=output_dtype)
     engine = Engine.synthetic(config, ftype=ftype, opts=opts, packing=packing)
@@ -140,7 +137,7 @@ def run_headline(
     engines = {
         od: Engine.synthetic(
             config, ftype=ftype,
-            opts=ComputeOptions(dtype=dtype, q4_impl="xla", output_dtype=od),
+            opts=ComputeOptions(dtype=dtype, q4_impl="auto", output_dtype=od),
             packing=packing,
         )
         for od in ("float32", "int8")
@@ -208,7 +205,7 @@ def run_ab_transfer(
     engines = {
         od: Engine.synthetic(
             config, ftype=ftype,
-            opts=ComputeOptions(dtype=dtype, q4_impl="xla", output_dtype=od),
+            opts=ComputeOptions(dtype=dtype, q4_impl="auto", output_dtype=od),
             packing=packing,
         )
         for od in output_dtypes

@@ -123,6 +123,183 @@ def bench_q4_epilogue(m: int, e: int = 384, f: int = 1536,
     return out
 
 
+def bench_q4_fused_epilogue(m: int, e: int = 384, f: int = 1536,
+                            iters: int = 100) -> dict:
+    """The production FFN pattern with its real epilogues:
+    y = (gelu(x @ W_up + b_up)) @ W_dn + b_dn.  XLA fuses bias+GELU into its
+    matmuls; the Pallas kernel now computes them in its own epilogue
+    (ops/q4_matmul.py _epilogue) — this measures whether the r2 fusion
+    asymmetry (q4_kernel_analysis.md) is closed."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.ops.q4_matmul import q4_matmul
+    from embedding_cpp_tpu.ops.qtensor import Q4Tensor, dequantize
+
+    q_up, q_dn, x0 = _make_ffn_pair(m, e, f, weight_scale=2e-2)
+    rng = np.random.default_rng(7)
+    b_up = jnp.asarray(rng.normal(size=(f,)) * 1e-2, dtype=jnp.float32)
+    b_dn = jnp.asarray(rng.normal(size=(e,)) * 1e-2, dtype=jnp.float32)
+    flops = 2 * m * e * f * 2
+
+    def make_loop(impl):
+        @jax.jit
+        def loop(x, a_qs, a_s, b_qs, b_s):
+            ta = Q4Tensor(qs=a_qs, scales=a_s, mins=None, shape=q_up.shape,
+                          qtype=q_up.qtype)
+            tb = Q4Tensor(qs=b_qs, scales=b_s, mins=None, shape=q_dn.shape,
+                          qtype=q_dn.qtype)
+
+            def body(i, x):
+                if impl == "pallas":
+                    h = q4_matmul(x, ta, bias=b_up, activation="gelu_erf")
+                    y = q4_matmul(h, tb, bias=b_dn)
+                else:
+                    h = jax.nn.gelu(
+                        jnp.matmul(x, dequantize(ta, dtype=x.dtype),
+                                   preferred_element_type=jnp.float32)
+                        + b_up, approximate=False).astype(x.dtype)
+                    y = (jnp.matmul(h, dequantize(tb, dtype=x.dtype),
+                                    preferred_element_type=jnp.float32)
+                         + b_dn).astype(x.dtype)
+                return y
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, iters, body, x).astype(jnp.float32)
+            )
+        return loop
+
+    args = (x0, q_up.qs, q_up.scales, q_dn.qs, q_dn.scales)
+    out = {}
+    for impl in ("pallas", "xla"):
+        loop = make_loop(impl)
+        _sync(loop(*args))
+        best = min(_timed(lambda: _sync(loop(*args))) for _ in range(3))
+        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        out[impl] = {"us": round(per * 1e6, 1),
+                     "tflops": round(flops / per / 1e12, 1)}
+    return out
+
+
+def bench_attention_headpack(b: int = 32, s: int = 512, h: int = 12,
+                             d: int = 32, hb: int = 4,
+                             iters: int = 50) -> dict:
+    """MXU-occupancy experiment (VERDICT r2 weak #5): pack `hb` heads into
+    ONE dot per stage via block-diagonal K/V so the contraction runs at
+    hb*d = 128 lanes instead of d = 32.
+
+    Pass-count analysis says this CANNOT win on MXU cycles: a [TQ, 32]x
+    [32, S] dot costs ceil(32/128)=1 weight-row pass per [128-lane] output
+    tile, so 4 heads cost 4*(S/128) passes; the packed [TQ, 128]x[128, 4S]
+    dot costs 1*(4S/128) = the same — zero-padding the contraction to 128
+    is implicit either way, and the block-diagonal zeros still occupy MXU
+    rows.  The experiment exists to confirm that empirically (plus the
+    scratch-construction overhead it adds).  See
+    benchmarks/results/attention_occupancy.md.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from embedding_cpp_tpu.ops.attention import _flash_attention
+
+    scale = 1.0 / (d**0.5)
+
+    def kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, kbd, vbd):
+        bias = bias_ref[0, 0]
+        kbd[:] = jnp.zeros_like(kbd)
+        vbd[:] = jnp.zeros_like(vbd)
+        for hh in range(hb):
+            kbd[pl.ds(hh * s, s), hh * d:(hh + 1) * d] = k_ref[0, hh]
+            vbd[pl.ds(hh * s, s), hh * d:(hh + 1) * d] = v_ref[0, hh]
+        qcat = jnp.concatenate(
+            [q_ref[0, hh] for hh in range(hb)], axis=1
+        )  # [TQ, hb*d]
+        scores = jax.lax.dot_general(  # ONE dot, contraction hb*d = 128
+            qcat, kbd[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, hb*S]
+        parts = []
+        for hh in range(hb):  # per-head softmax (VPU work, unchanged)
+            sc = scores[:, hh * s:(hh + 1) * s] * scale + bias[None, :]
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp(sc - m)
+            parts.append(e / jnp.sum(e, axis=-1, keepdims=True))
+        pcat = jnp.concatenate(parts, axis=1).astype(v_ref.dtype)  # [TQ,hb*S]
+        out = jnp.dot(  # ONE PV dot, contraction hb*S, lanes hb*d = 128
+            pcat, vbd[:], preferred_element_type=jnp.float32
+        )  # [TQ, hb*d]
+        for hh in range(hb):
+            o_ref[0, hh] = out[:, hh * d:(hh + 1) * d].astype(o_ref.dtype)
+
+    @jax.jit
+    def packed(q, k, v, bias):
+        grid = (b, h // hb)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, hb, s, d), lambda bi, hi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, s, d), lambda bi, hi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, s, d), lambda bi, hi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, s), lambda bi, hi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, hb, s, d), lambda bi, hi: (bi, hi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            scratch_shapes=[pltpu.VMEM((hb * s, hb * d), q.dtype),
+                            pltpu.VMEM((hb * s, hb * d), q.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=jax.devices()[0].platform != "tpu",
+        )(q, k, v, bias[:, None, :])
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), dtype=jnp.bfloat16)
+    bias = jnp.zeros((b, s), jnp.float32)
+    flops = 4 * b * h * s * s * d
+
+    # correctness vs the production kernel first
+    ref = np.asarray(_flash_attention(q, k, v, bias, tq=s, hb=h)
+                     ).astype(np.float32)
+    got = np.asarray(packed(q, k, v, bias)).astype(np.float32)
+    max_err = float(np.max(np.abs(got - ref)))
+
+    def chain(fn):
+        @jax.jit
+        def loop(q, k, v, bias):
+            def body(i, qq):
+                return fn(qq, k, v, bias).astype(qq.dtype)
+            return jnp.sum(
+                jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32)
+            )
+        _sync(loop(q, k, v, bias))
+        best = min(_timed(lambda: _sync(loop(q, k, v, bias)))
+                   for _ in range(3))
+        return max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+
+    out = {}
+    per = chain(packed)
+    out["headpack"] = {"us": round(per * 1e6, 1),
+                       "tflops": round(flops / per / 1e12, 1)}
+    per = chain(functools.partial(_flash_attention, tq=s, hb=h))
+    out["per_head"] = {"us": round(per * 1e6, 1),
+                       "tflops": round(flops / per / 1e12, 1)}
+    out["max_err_vs_per_head"] = round(max_err, 5)
+    return out
+
+
 def bench_attention(b: int = 32, s: int = 512, h: int = 12, d: int = 32,
                     iters: int = 50) -> dict:
     import jax
@@ -248,6 +425,60 @@ def bench_windowed_attention(b: int = 8, s: int = 2048, h: int = 12,
     return out
 
 
+def bench_forward_q4_impl(b: int = 32, s: int = 512, iters: int = 20,
+                          preset: str = "minilm-l6") -> dict:
+    """FULL encoder forward chained in-device: q4_impl='pallas' (fused
+    dequant+bias+GELU kernels) vs 'xla' (compiler-fused dequant path).
+
+    The engine-level A/B cannot resolve this — under the relay the
+    device->host fetch is ~10-30x the compute per batch (CLAUDE.md), so
+    kernel differences vanish in transfer noise.  This is the decisive
+    number for the q4_impl production default."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.cli.make_test_model import PRESETS
+    from embedding_cpp_tpu.gguf import GGUFFileType
+    from embedding_cpp_tpu.models import (
+        ComputeOptions, bert_embed_batch, random_params,
+    )
+
+    config = PRESETS[preset]
+    params = random_params(
+        config, GGUFFileType.MOSTLY_Q4_0, seed=0,
+        dense_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(
+        rng.integers(0, config.n_vocab, size=(b, s)), dtype=jnp.int32
+    )
+    mask = jnp.ones((b, s), jnp.int32)
+    n_tokens = b * s
+
+    out = {}
+    for impl in ("pallas", "xla"):
+        opts = ComputeOptions(dtype="bfloat16", q4_impl=impl)
+
+        @jax.jit
+        def loop(params, ids, mask):
+            def body(i, carry):
+                # fake data dependency so XLA cannot hoist the
+                # loop-invariant forward out of the fori_loop
+                ids_i = ids + (carry > 1e30).astype(jnp.int32)
+                y = bert_embed_batch(params, ids_i, mask, config, opts)
+                return carry + jnp.sum(y.astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        args = (params, ids, mask)
+        _sync(loop(*args))
+        best = min(_timed(lambda: _sync(loop(*args))) for _ in range(3))
+        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        out[impl] = {"ms": round(per * 1e3, 3),
+                     "tokens_per_sec": round(n_tokens / per)}
+    return out
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -260,9 +491,21 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--m", type=int, nargs="+", default=[512, 4096, 32768])
     p.add_argument("--attn", action="store_true", default=True)
+    p.add_argument("--forward-only", action="store_true",
+                   help="only the full-forward q4_impl A/B")
     args = p.parse_args()
 
     platform = jax.devices()[0].platform
+    if args.forward_only:
+        results = {"platform": platform}
+        for b, s in ((32, 512), (128, 128)):
+            r = bench_forward_q4_impl(b, s)
+            results[f"forward_b{b}_s{s}"] = r
+            print(f"forward q4 A/B b={b} s={s}: "
+                  f"pallas {r['pallas']['ms']}ms | xla {r['xla']['ms']}ms",
+                  file=sys.stderr)
+        print(json.dumps(results))
+        return
     results = {"platform": platform, "q4_ffn": {}, "attention": {}}
     for m in args.m:
         r = bench_q4_ffn(m)
@@ -276,10 +519,25 @@ def main() -> None:
           f"{max(args.m)}: " + "  ".join(
               f"{k}={v['us']}us/{v['tflops']}TF" for k, v in r.items()),
           file=sys.stderr)
+    results["q4_fused_epilogue"] = {}
+    for m in args.m:
+        r = bench_q4_fused_epilogue(m)
+        results["q4_fused_epilogue"][m] = r
+        print(f"q4 fused bias+gelu M={m:6d}: "
+              f"pallas {r['pallas']['us']:8.1f}us "
+              f"{r['pallas']['tflops']:6.1f} TF/s | "
+              f"xla {r['xla']['us']:8.1f}us "
+              f"{r['xla']['tflops']:6.1f} TF/s", file=sys.stderr)
     r = bench_attention()
     results["attention"]["b32_s512"] = r
     print(f"attention B=32 S=512: pallas {r['pallas']['us']:8.1f}us | "
           f"xla {r['xla']['us']:8.1f}us", file=sys.stderr)
+    r = bench_attention_headpack()
+    results["attention_headpack"] = {"b32_s512_hb4": r}
+    print(f"attention head-pack B=32 S=512 hb=4: "
+          f"headpack {r['headpack']['us']:8.1f}us | "
+          f"per-head {r['per_head']['us']:8.1f}us | "
+          f"max_err {r['max_err_vs_per_head']}", file=sys.stderr)
     r = bench_packed_attention()
     results["packed_attention"] = {"b64_s512_w16": r}
     print(f"packed attention B=64 S=512: pallas {r['pallas']['us']:8.1f}us | "

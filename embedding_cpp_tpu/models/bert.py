@@ -45,7 +45,15 @@ class ComputeOptions:
     # (CLAUDE.md), so transfer compression is throughput, not just memory.
     # Pooling/normalization still run in f32.
     output_dtype: str = "float32"
-    q4_impl: str = "xla"  # "xla" (fused by compiler) | "pallas" (our kernel)
+    # Q4 matmul implementation.  "auto" resolves to the fused Pallas
+    # dequant+bias+GELU kernel on a local TPU (single-device jit or inside
+    # shard_map) and to the XLA dequant path otherwise (GSPMD cannot
+    # partition a pallas_call; CPU runs the kernel only in slow interpret
+    # mode).  Decisive r3 measurement (in-device full-forward A/B,
+    # benchmarks/kernels.py --forward-only): pallas 6.93 ms vs xla 8.26 ms
+    # at [32, 512] — the fused epilogue closed the r2 fusion asymmetry
+    # (q4 FFN pattern 137 vs 73 TF/s; benchmarks/results/q4_kernel_analysis.md).
+    q4_impl: str = "auto"  # "auto" | "xla" | "pallas"
     # "auto": fused Pallas kernel on TPU for S >= 128 (1.7x XLA at S=512,
     # scores never hit HBM), XLA einsum otherwise
     attn_impl: str = "auto"  # "auto" | "xla" | "pallas"
@@ -58,6 +66,21 @@ class ComputeOptions:
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
+
+
+def resolve_impls(opts: ComputeOptions) -> ComputeOptions:
+    """Resolve q4_impl="auto" against the runtime (trace-time: ComputeOptions
+    is static under jit).  Mirrors the attention impl dispatch: Pallas needs
+    per-device local arrays and a real TPU."""
+    if opts.q4_impl != "auto":
+        return opts
+    import dataclasses
+
+    local = jax.device_count() == 1 or opts.inside_shard_map
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return dataclasses.replace(
+        opts, q4_impl="pallas" if (on_tpu and local) else "xla"
+    )
 
 
 def layer_norm(x: Array, scale: Array, bias: Array, eps: float, out_dtype) -> Array:
@@ -159,9 +182,11 @@ def encoder_layer(
         att_out + x, lp["ln_att_scale"], lp["ln_att_bias"],
         config.layer_norm_eps, x.dtype,
     )
-    h = gelu(
-        linear(x, lp["ffn_up_w"], lp["ffn_up_b"], q4_impl=opts.q4_impl),
-        config.gelu,
+    # GELU fuses into the up-projection: XLA does it in its matmul epilogue;
+    # the Pallas Q4 kernel now does the same in-kernel (ops/q4_matmul.py)
+    h = linear(
+        x, lp["ffn_up_w"], lp["ffn_up_b"], q4_impl=opts.q4_impl,
+        activation="gelu_tanh" if config.gelu == "tanh" else "gelu_erf",
     )
     ffn_out = linear(h, lp["ffn_down_w"], lp["ffn_down_b"], q4_impl=opts.q4_impl,
                      reduce_axis=opts.tp_axis)
@@ -363,6 +388,7 @@ def bert_embed_batch(
     `gather_idx` ([M] int32 row indices) compacts the output to [M, n_embd]
     on device so padded batch rows never cross the device->host link.
     """
+    opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts)
     mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
 
@@ -402,6 +428,7 @@ def bert_embed_packed(
     [M, n_embd] on device — only real sentences cross the device->host link,
     not empty segment slots (the fetch is bandwidth-bound on thin hosts).
     """
+    opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts, positions=pos)
     mask_bias = jnp.where(seg >= 0, 0.0, _MASK_BIAS).astype(jnp.float32)
 

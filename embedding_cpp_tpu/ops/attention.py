@@ -42,10 +42,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hb):
         scores = scores * scale + bias[None, :]
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o_ref[0, hh] = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        # softmax division deferred past the PV dot: divide the [TQ, d]
+        # output instead of the [TQ, S] probabilities — d/S of the VPU
+        # divide work.  The sum is taken BEFORE the dot so the f32 scores
+        # tile dies at the bf16 cast instead of staying live across the
+        # dot (VMEM stack pressure; see attention_occupancy.md).
+        se = jnp.sum(e, axis=-1, keepdims=True)
+        acc = jnp.dot(
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, hh] = (acc / se).astype(o_ref.dtype)
 
 
 def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
@@ -116,6 +122,10 @@ def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # the deferred-division softmax peaks ~19M scoped VMEM at
+            # (hb=12, tq=512); the 16M default limit is conservative
+            # (v5e has 128M physical) — raise it rather than shrink tiles
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(q, k, v, mask_bias[:, None, :])
@@ -141,10 +151,11 @@ def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
         scores = jnp.where(allowed, scores * scale, -1e9)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o_ref[0, hh] = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
+        acc = jnp.dot(  # softmax divide deferred to the [TQ, d] output
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, hh] = (acc / se).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "hb"))
@@ -193,6 +204,10 @@ def _flash_attention_packed(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # the deferred-division softmax peaks ~19M scoped VMEM at
+            # (hb=12, tq=512); the 16M default limit is conservative
+            # (v5e has 128M physical) — raise it rather than shrink tiles
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(q, k, v, seg3, seg3)
@@ -231,10 +246,11 @@ def _attn_seg_window_kernel(
         scores = jnp.where(allowed, scores * scale, -1e9)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o_ref[0, hh] = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
+        acc = jnp.dot(  # softmax divide deferred to the [TQ, d] output
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, hh] = (acc / se).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "wmax", "hb"))
@@ -285,6 +301,10 @@ def _flash_attention_packed_window(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # the deferred-division softmax peaks ~19M scoped VMEM at
+            # (hb=12, tq=512); the 16M default limit is conservative
+            # (v5e has 128M physical) — raise it rather than shrink tiles
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(q, k, v, seg3, seg3)

@@ -56,31 +56,50 @@ def _dequant_tile(qs, scales, mins, compute_dtype):
     return w.reshape(kt, tn).astype(compute_dtype)
 
 
-def _kernel_q4_0(x_ref, qs_ref, s_ref, o_ref, w_scratch, *, compute_dtype):
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        w_scratch[:] = _dequant_tile(qs_ref[:], s_ref[:], None, compute_dtype)
+def _erf_poly(x: Array) -> Array:
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7).
 
-    o_ref[:] = jnp.dot(
-        x_ref[:], w_scratch[:], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
-
-
-def _kernel_q4_1(x_ref, qs_ref, s_ref, m_ref, o_ref, w_scratch, *, compute_dtype):
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        w_scratch[:] = _dequant_tile(
-            qs_ref[:], s_ref[:], m_ref[:], compute_dtype
-        )
-
-    o_ref[:] = jnp.dot(
-        x_ref[:], w_scratch[:], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    Mosaic has no erf lowering (NotImplementedError on real TPU — invisible
+    under interpret=True, which is exactly the CLAUDE.md tiling-landmine
+    class), so the in-kernel exact-GELU path builds erf from exp, which
+    Mosaic does support."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0.0, -y, y)
 
 
-@functools.partial(jax.jit, static_argnames=("tm",))
+def _epilogue(y: Array, bias, activation: str | None,
+              in_kernel: bool = True) -> Array:
+    """Fused matmul epilogue, computed in f32 (y: [TM, TN] f32).
+
+    This is the piece XLA fuses into its matmul for free and a pallas_call
+    otherwise forfeits (the r2 adjudication's stated bar for flipping the
+    production default — benchmarks/results/q4_kernel_analysis.md): bias add
+    and GELU ride the dot's VMEM tile instead of a separate HBM pass."""
+    if bias is not None:
+        y = y + bias
+    if activation == "gelu_erf":
+        # jax.nn.gelu(approximate=False): 0.5 x (1 + erf(x/sqrt(2)))
+        erf = _erf_poly if in_kernel else jax.lax.erf
+        y = 0.5 * y * (1.0 + erf(y * (2.0**-0.5)))
+    elif activation == "gelu_tanh":
+        # ggml_gelu's tanh approximation
+        c = (2.0 / 3.141592653589793) ** 0.5
+        y = 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "activation"))
 def _q4_matmul_1d(
-    x: Array, qs: Array, scales: Array, mins: Array | None, *, tm: int
+    x: Array, qs: Array, scales: Array, mins: Array | None,
+    bias: Array | None = None, *, tm: int, activation: str | None = None
 ) -> Array:
     """1-D grid over M; full weight dequantized into VMEM scratch once."""
     m, k = x.shape
@@ -99,13 +118,25 @@ def _q4_matmul_1d(
             pl.BlockSpec((k // QK4, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(mins)
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(bias.astype(jnp.float32).reshape(1, n))
 
     def kernel(*refs):
+        refs = list(refs)
+        x_ref, qs_ref, s_ref = refs[:3]
+        pos = 3
+        m_ref = None
         if mins is not None:
-            x_ref, qs_ref, s_ref, m_ref, o_ref, w_scratch = refs
-        else:
-            x_ref, qs_ref, s_ref, o_ref, w_scratch = refs
-            m_ref = None
+            m_ref = refs[pos]
+            pos += 1
+        bias_ref = None
+        if bias is not None:
+            bias_ref = refs[pos]
+            pos += 1
+        o_ref, w_scratch = refs[pos], refs[pos + 1]
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -114,9 +145,11 @@ def _q4_matmul_1d(
                 compute_dtype,
             )
 
-        o_ref[:] = jnp.dot(
+        y = jnp.dot(
             x_ref[:], w_scratch[:], preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        )
+        b = None if bias_ref is None else bias_ref[0][None, :]
+        o_ref[:] = _epilogue(y, b, activation).astype(o_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -131,7 +164,7 @@ def _q4_matmul_1d(
             + (k // 2) * n
             + (k // QK4) * n * 4
             + m * n * x.dtype.itemsize,
-            transcendentals=0,
+            transcendentals=m * n if activation else 0,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -140,9 +173,11 @@ def _q4_matmul_1d(
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "activation"))
 def _q4_matmul_2d(
-    x: Array, qs: Array, scales: Array, mins: Array | None, *, tm: int, tn: int
+    x: Array, qs: Array, scales: Array, mins: Array | None,
+    bias: Array | None = None, *, tm: int, tn: int,
+    activation: str | None = None
 ) -> Array:
     m, k = x.shape
     n = qs.shape[-1]
@@ -160,9 +195,38 @@ def _q4_matmul_2d(
             pl.BlockSpec((k // QK4, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(mins)
-        kernel = functools.partial(_kernel_q4_1, compute_dtype=compute_dtype)
-    else:
-        kernel = functools.partial(_kernel_q4_0, compute_dtype=compute_dtype)
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(bias.astype(jnp.float32).reshape(1, n))
+
+    def kernel(*refs):
+        refs = list(refs)
+        x_ref, qs_ref, s_ref = refs[:3]
+        pos = 3
+        m_ref = None
+        if mins is not None:
+            m_ref = refs[pos]
+            pos += 1
+        bias_ref = None
+        if bias is not None:
+            bias_ref = refs[pos]
+            pos += 1
+        o_ref, w_scratch = refs[pos], refs[pos + 1]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            w_scratch[:] = _dequant_tile(
+                qs_ref[:], s_ref[:], None if m_ref is None else m_ref[:],
+                compute_dtype,
+            )
+
+        y = jnp.dot(
+            x_ref[:], w_scratch[:], preferred_element_type=jnp.float32
+        )
+        b = None if bias_ref is None else bias_ref[0][None, :]
+        o_ref[:] = _epilogue(y, b, activation).astype(o_ref.dtype)
 
     flops = 2 * m * n * k
     bytes_accessed = (
@@ -179,7 +243,8 @@ def _q4_matmul_2d(
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((k, tn), compute_dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+            flops=flops, bytes_accessed=bytes_accessed,
+            transcendentals=m * n if activation else 0,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -188,11 +253,20 @@ def _q4_matmul_2d(
     )(*operands)
 
 
-def q4_matmul(x: Array, w: Q4Tensor) -> Array:
-    """x [M, K] @ packed-Q4 w [K, N] -> f32 [M, N].
+def q4_matmul(
+    x: Array, w: Q4Tensor, bias: Array | None = None,
+    activation: str | None = None,
+) -> Array:
+    """x [M, K] @ packed-Q4 w [K, N] (+ bias, + GELU) -> [M, N] in x.dtype.
 
     Fused: 4-bit weights are dequantized in VMEM, never materialized in HBM.
-    Falls back to the XLA dequant path for shapes the kernel does not tile.
+    `bias` ([N], added in f32) and `activation` (None | "gelu_erf" |
+    "gelu_tanh", applied in f32) run in the matmul epilogue on the VMEM
+    output tile — the fusion XLA's matmul gets for free, which the r2
+    adjudication identified as the bar for the Pallas path
+    (benchmarks/results/q4_kernel_analysis.md).  Falls back to the
+    XLA dequant path (same math, XLA-fused) for shapes the kernel does
+    not tile.
     """
     if w.qtype not in (GGMLType.Q4_0, GGMLType.Q4_1):
         raise ValueError(f"not a Q4 tensor: {w.qtype}")
@@ -202,6 +276,16 @@ def q4_matmul(x: Array, w: Q4Tensor) -> Array:
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     itemsize = x.dtype.itemsize
+
+    def xla_fallback() -> Array:
+        from .qtensor import dequantize
+
+        wd = dequantize(w, dtype=x.dtype)
+        y = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+        return _epilogue(
+            y, None if bias is None else bias.astype(jnp.float32)[None, :],
+            activation, in_kernel=False,
+        ).astype(x.dtype)
 
     def vmem_est(tm: int) -> int:
         # VMEM for the 1-D (full-weight-resident) kernel, x2 buffered
@@ -217,22 +301,18 @@ def q4_matmul(x: Array, w: Q4Tensor) -> Array:
         if c <= m and m % c == 0 and c % sublane == 0
     )
     if not candidates or k % QK4 or n % 128:
-        from .qtensor import dequantize
-
-        wd = dequantize(w, dtype=x.dtype)
-        return jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+        return xla_fallback()
 
     # largest M tile that fits VMEM: fewer grid steps amortize the per-tile
     # pipeline overhead (tm=1024 measured 181 TF/s for the FFN pair at M=32k
     # vs 512's ~176; benchmarks/results/q4_kernel_analysis.md)
     tm = next((c for c in candidates if vmem_est(c) <= 12 * 1024 * 1024), 0)
     if tm:
-        return _q4_matmul_1d(x, w.qs, w.scales, w.mins, tm=tm)
+        return _q4_matmul_1d(x, w.qs, w.scales, w.mins, bias, tm=tm,
+                             activation=activation)
     tn = _pick_tile(n, (512, 384, 256, 128))
     if n % tn:
-        from .qtensor import dequantize
-
-        wd = dequantize(w, dtype=x.dtype)
-        return jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+        return xla_fallback()
     tm2 = _pick_tile(m, (256, 128, 64, 32, 16, 8))
-    return _q4_matmul_2d(x, w.qs, w.scales, w.mins, tm=tm2, tn=tn)
+    return _q4_matmul_2d(x, w.qs, w.scales, w.mins, bias, tm=tm2, tn=tn,
+                         activation=activation)

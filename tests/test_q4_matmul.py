@@ -43,6 +43,56 @@ def test_bf16_activation():
     np.testing.assert_allclose(got, expected, atol=0.5, rtol=2e-2)
 
 
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1])
+@pytest.mark.parametrize("activation", [None, "gelu_erf", "gelu_tanh"])
+def test_fused_bias_activation_epilogue(qtype, activation):
+    """bias + GELU computed in the kernel epilogue == the composed XLA ops
+    (the r2 adjudication's bar for the Pallas path: q4_kernel_analysis.md)."""
+    import jax
+
+    qt = _make(qtype, 384, 384)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(64, 384)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(384,)).astype(np.float32))
+    ref = x @ dequantize(qt, dtype=jnp.float32) + bias
+    if activation == "gelu_erf":
+        ref = jax.nn.gelu(ref, approximate=False)
+    elif activation == "gelu_tanh":
+        ref = jax.nn.gelu(ref, approximate=True)
+    got = np.asarray(q4_matmul(x, qt, bias=bias, activation=activation))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-3, rtol=1e-4)
+
+
+def test_fused_epilogue_2d_grid_path():
+    """Epilogue on the 2-D (N-tiled) kernel: a weight too large for the
+    full-resident VMEM budget tiles over N, and the per-tile bias slices
+    must line up."""
+    qt = _make(GGMLType.Q4_0, 4096, 1024)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(64, 1024)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(4096,)).astype(np.float32))
+    import jax
+
+    ref = jax.nn.gelu(x @ dequantize(qt, dtype=jnp.float32) + bias,
+                      approximate=False)
+    got = np.asarray(q4_matmul(x, qt, bias=bias, activation="gelu_erf"))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-3, rtol=1e-4)
+
+
+def test_linear_fuses_activation_parity():
+    """ops.linear with activation= on the pallas path == xla path."""
+    from embedding_cpp_tpu.ops.linear import linear
+
+    qt = _make(GGMLType.Q4_0, 1536, 384)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(32, 384)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1536,)).astype(np.float32))
+    y_xla = np.asarray(linear(x, qt, b, q4_impl="xla", activation="gelu_erf"))
+    y_pal = np.asarray(linear(x, qt, b, q4_impl="pallas",
+                              activation="gelu_erf"))
+    np.testing.assert_allclose(y_pal, y_xla, atol=2e-3, rtol=1e-4)
+
+
 def test_odd_m_falls_back():
     qt = _make(GGMLType.Q4_0, 384, 384)
     rng = np.random.default_rng(3)

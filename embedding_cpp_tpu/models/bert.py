@@ -94,7 +94,9 @@ def layer_norm(x: Array, scale: Array, bias: Array, eps: float, out_dtype) -> Ar
 
 
 def gelu(x: Array, kind: str) -> Array:
-    """"erf" matches HF; "tanh" matches ggml's approximation (ggml_gelu)."""
+    """"erf" matches HF; "tanh" matches ggml's approximation (ggml_gelu).
+    The forward pass fuses GELU through ops.linear(activation=...) — this
+    standalone form remains for direct use/testing."""
     return jax.nn.gelu(x, approximate=(kind == "tanh"))
 
 

@@ -177,24 +177,25 @@ def encoder_layer(
     (bert.cpp:900-994)."""
     att = _attention(x, lp, mask_bias, config, opts, seg=seg,
                      max_seg_len=max_seg_len)
-    # row-parallel matmuls psum over tp in manual mode (Megatron pattern)
-    att_out = linear(att, lp["o_w"], lp["o_b"], q4_impl=opts.q4_impl,
-                     reduce_axis=opts.tp_axis)
-    x = layer_norm(
-        att_out + x, lp["ln_att_scale"], lp["ln_att_bias"],
-        config.layer_norm_eps, x.dtype,
+    # row-parallel matmuls psum over tp in manual mode (Megatron pattern).
+    # The residual add + LayerNorm tails ride the projection's epilogue:
+    # fused in-kernel on the Pallas Q4 path, XLA-fused otherwise — the
+    # add&norm never round-trips HBM either way (ops/linear.py).
+    x = linear(
+        att, lp["o_w"], lp["o_b"], q4_impl=opts.q4_impl,
+        reduce_axis=opts.tp_axis, residual=x,
+        ln=(lp["ln_att_scale"], lp["ln_att_bias"], config.layer_norm_eps),
     )
     # GELU fuses into the up-projection: XLA does it in its matmul epilogue;
-    # the Pallas Q4 kernel now does the same in-kernel (ops/q4_matmul.py)
+    # the Pallas Q4 kernel does the same in-kernel (ops/q4_matmul.py)
     h = linear(
         x, lp["ffn_up_w"], lp["ffn_up_b"], q4_impl=opts.q4_impl,
         activation="gelu_tanh" if config.gelu == "tanh" else "gelu_erf",
     )
-    ffn_out = linear(h, lp["ffn_down_w"], lp["ffn_down_b"], q4_impl=opts.q4_impl,
-                     reduce_axis=opts.tp_axis)
-    return layer_norm(
-        ffn_out + x, lp["ln_out_scale"], lp["ln_out_bias"],
-        config.layer_norm_eps, x.dtype,
+    return linear(
+        h, lp["ffn_down_w"], lp["ffn_down_b"], q4_impl=opts.q4_impl,
+        reduce_axis=opts.tp_axis, residual=x,
+        ln=(lp["ln_out_scale"], lp["ln_out_bias"], config.layer_norm_eps),
     )
 
 

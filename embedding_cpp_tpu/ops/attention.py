@@ -125,7 +125,7 @@ def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *,
             # the deferred-division softmax peaks ~19M scoped VMEM at
             # (hb=12, tq=512); the 16M default limit is conservative
             # (v5e has 128M physical) — raise it rather than shrink tiles
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(q, k, v, mask_bias[:, None, :])
@@ -207,7 +207,7 @@ def _flash_attention_packed(
             # the deferred-division softmax peaks ~19M scoped VMEM at
             # (hb=12, tq=512); the 16M default limit is conservative
             # (v5e has 128M physical) — raise it rather than shrink tiles
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(q, k, v, seg3, seg3)
@@ -304,7 +304,7 @@ def _flash_attention_packed_window(
             # the deferred-division softmax peaks ~19M scoped VMEM at
             # (hb=12, tq=512); the 16M default limit is conservative
             # (v5e has 128M physical) — raise it rather than shrink tiles
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(q, k, v, seg3, seg3)

@@ -26,6 +26,17 @@ def _apply_activation(y: Array, activation: str | None) -> Array:
     raise ValueError(f"unknown activation {activation!r}")
 
 
+def _layer_norm(x: Array, scale: Array, bias: Array, eps: float,
+                out_dtype) -> Array:
+    """f32 LayerNorm tail — same math as models.bert.layer_norm (kept local
+    to avoid a circular import)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(out_dtype)
+
+
 def linear(
     x: Array,
     w,
@@ -34,17 +45,25 @@ def linear(
     q4_impl: str = "xla",
     reduce_axis: str | None = None,
     activation: str | None = None,
+    residual: Array | None = None,
+    ln: tuple | None = None,
 ) -> Array:
-    """y = act(x @ w (+ b)).  x: [..., K]; w: [K, N] dense or Q4Tensor;
-    b: [N]; activation: None | "gelu_erf" | "gelu_tanh".
+    """y = act(x @ w (+ b)) [+ residual] [-> LayerNorm].
+    x: [..., K]; w: [K, N] dense or Q4Tensor; b: [N]; activation: None |
+    "gelu_erf" | "gelu_tanh"; residual: [..., N] added after activation;
+    ln: (scale [N], bias [N], eps) LayerNorm applied last.
 
     reduce_axis: mesh axis name for manual (shard_map) row-parallelism —
     the partial product is psum'd over it BEFORE the bias is added (so the
     bias is applied exactly once).  None under GSPMD/single-device.
 
     On the Pallas Q4 path (no reduce_axis) bias and activation fuse into
-    the matmul kernel's epilogue (ops/q4_matmul.py) — the elementwise never
-    round-trips HBM.  On the XLA path they are separate ops here and XLA
+    the matmul kernel's epilogue (ops/q4_matmul.py).  The residual/LN tail
+    deliberately composes OUTSIDE the kernel even there: fusing it in-kernel
+    measured a ~5% full-forward regression on v5e (7.33 vs 6.93 ms at
+    [32, 512] — the in-kernel lane-reduction LayerNorm loses to XLA's own
+    add&norm fusion; q4_matmul keeps the capability for callers that want
+    one dispatch).  On the XLA path everything is separate ops here and XLA
     fuses them into its matmul anyway.
     """
     dtype = x.dtype
@@ -54,15 +73,19 @@ def linear(
 
             lead = x.shape[:-1]
             fuse = reduce_axis is None
-            y = q4_matmul(
-                x.reshape(-1, x.shape[-1]), w,
-                bias=b if fuse else None,
-                activation=activation if fuse else None,
-            )
-            y = y.reshape(*lead, -1)
             if fuse:
-                return y.astype(dtype)
-            y = y.astype(jnp.float32)
+                y = q4_matmul(
+                    x.reshape(-1, x.shape[-1]), w,
+                    bias=b, activation=activation,
+                )
+                y = y.reshape(*lead, -1).astype(dtype)
+                if residual is not None:
+                    y = y + residual
+                if ln is not None:
+                    y = _layer_norm(y, ln[0], ln[1], ln[2], dtype)
+                return y
+            y = q4_matmul(x.reshape(-1, x.shape[-1]), w)
+            y = y.reshape(*lead, -1).astype(jnp.float32)
         else:
             wd = dequantize(w, dtype=dtype)
             y = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
@@ -72,4 +95,12 @@ def linear(
         y = jax.lax.psum(y, reduce_axis)
     if b is not None:
         y = y + b.astype(jnp.float32)
-    return _apply_activation(y.astype(dtype), activation)
+    y = _apply_activation(y.astype(dtype), activation)
+    # composed tail mirrors the historical bert.py order exactly (residual
+    # added in the activation dtype, LN in f32) so the XLA path's numerics
+    # are unchanged
+    if residual is not None:
+        y = y + residual
+    if ln is not None:
+        y = _layer_norm(y, ln[0], ln[1], ln[2], dtype)
+    return y

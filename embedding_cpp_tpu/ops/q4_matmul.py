@@ -74,13 +74,17 @@ def _erf_poly(x: Array) -> Array:
 
 
 def _epilogue(y: Array, bias, activation: str | None,
-              in_kernel: bool = True) -> Array:
+              in_kernel: bool = True, residual=None,
+              ln_scale=None, ln_bias=None, ln_eps: float = 0.0) -> Array:
     """Fused matmul epilogue, computed in f32 (y: [TM, TN] f32).
 
     This is the piece XLA fuses into its matmul for free and a pallas_call
     otherwise forfeits (the r2 adjudication's stated bar for flipping the
-    production default — benchmarks/results/q4_kernel_analysis.md): bias add
-    and GELU ride the dot's VMEM tile instead of a separate HBM pass."""
+    production default — benchmarks/results/q4_kernel_analysis.md): bias
+    add, GELU, residual add, and the LayerNorm tail ride the dot's VMEM
+    tile instead of separate HBM passes.  LayerNorm requires the FULL row
+    in the tile (the 1-D kernel's layout); the math matches
+    models.bert.layer_norm (f32 mean/var/rsqrt)."""
     if bias is not None:
         y = y + bias
     if activation == "gelu_erf":
@@ -93,15 +97,29 @@ def _epilogue(y: Array, bias, activation: str | None,
         y = 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
     elif activation is not None:
         raise ValueError(f"unknown activation {activation!r}")
+    if residual is not None:
+        y = y + residual
+    if ln_scale is not None:
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + ln_eps)
+        y = y * ln_scale + ln_bias
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "activation"))
+@functools.partial(jax.jit, static_argnames=("tm", "activation", "ln_eps"))
 def _q4_matmul_1d(
     x: Array, qs: Array, scales: Array, mins: Array | None,
-    bias: Array | None = None, *, tm: int, activation: str | None = None
+    bias: Array | None = None, residual: Array | None = None,
+    ln_sb: Array | None = None, *, tm: int, activation: str | None = None,
+    ln_eps: float = 0.0
 ) -> Array:
-    """1-D grid over M; full weight dequantized into VMEM scratch once."""
+    """1-D grid over M; full weight dequantized into VMEM scratch once.
+
+    `residual` ([M, N], added in f32 after bias/activation) and `ln_sb`
+    (LayerNorm scale+bias stacked [2, N] f32, applied last with `ln_eps`)
+    extend the fused epilogue — valid here because each tile holds FULL
+    rows, so the LN row statistics are complete."""
     m, k = x.shape
     n = qs.shape[-1]
     grid = (m // tm,)
@@ -123,6 +141,16 @@ def _q4_matmul_1d(
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(bias.astype(jnp.float32).reshape(1, n))
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(residual)
+    if ln_sb is not None:
+        in_specs.append(
+            pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(ln_sb)
 
     def kernel(*refs):
         refs = list(refs)
@@ -135,6 +163,14 @@ def _q4_matmul_1d(
         bias_ref = None
         if bias is not None:
             bias_ref = refs[pos]
+            pos += 1
+        res_ref = None
+        if residual is not None:
+            res_ref = refs[pos]
+            pos += 1
+        ln_ref = None
+        if ln_sb is not None:
+            ln_ref = refs[pos]
             pos += 1
         o_ref, w_scratch = refs[pos], refs[pos + 1]
 
@@ -149,7 +185,15 @@ def _q4_matmul_1d(
             x_ref[:], w_scratch[:], preferred_element_type=jnp.float32
         )
         b = None if bias_ref is None else bias_ref[0][None, :]
-        o_ref[:] = _epilogue(y, b, activation).astype(o_ref.dtype)
+        res = None if res_ref is None else res_ref[:].astype(jnp.float32)
+        ls = lb = None
+        if ln_ref is not None:
+            ls = ln_ref[0][None, :]
+            lb = ln_ref[1][None, :]
+        o_ref[:] = _epilogue(
+            y, b, activation, residual=res,
+            ln_scale=ls, ln_bias=lb, ln_eps=ln_eps,
+        ).astype(o_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -168,6 +212,9 @@ def _q4_matmul_1d(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # epilogue f32 temporaries (GELU chain) can push the stack past
+            # Mosaic's conservative 16M default; v5e has 128M physical
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(*operands)
@@ -248,6 +295,7 @@ def _q4_matmul_2d(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)
@@ -255,18 +303,20 @@ def _q4_matmul_2d(
 
 def q4_matmul(
     x: Array, w: Q4Tensor, bias: Array | None = None,
-    activation: str | None = None,
+    activation: str | None = None, residual: Array | None = None,
+    ln: tuple | None = None,
 ) -> Array:
-    """x [M, K] @ packed-Q4 w [K, N] (+ bias, + GELU) -> [M, N] in x.dtype.
+    """x [M, K] @ packed-Q4 w [K, N] (+ epilogue) -> [M, N] in x.dtype.
 
     Fused: 4-bit weights are dequantized in VMEM, never materialized in HBM.
-    `bias` ([N], added in f32) and `activation` (None | "gelu_erf" |
-    "gelu_tanh", applied in f32) run in the matmul epilogue on the VMEM
-    output tile — the fusion XLA's matmul gets for free, which the r2
-    adjudication identified as the bar for the Pallas path
-    (benchmarks/results/q4_kernel_analysis.md).  Falls back to the
-    XLA dequant path (same math, XLA-fused) for shapes the kernel does
-    not tile.
+    The epilogue runs in f32 on the VMEM output tile, in order: `bias`
+    ([N]), `activation` (None | "gelu_erf" | "gelu_tanh"), `residual`
+    ([M, N] add), `ln` ((scale [N], bias [N], eps) LayerNorm tail) — the
+    fusion XLA's matmul gets for free, which the r2 adjudication identified
+    as the bar for the Pallas path (benchmarks/results/q4_kernel_analysis.md).
+    The epilogue semantics are guaranteed on every path: shapes the 1-D
+    kernel does not tile compose the same f32 math via XLA (the LN tail
+    needs full rows, which only the 1-D kernel's tiles have).
     """
     if w.qtype not in (GGMLType.Q4_0, GGMLType.Q4_1):
         raise ValueError(f"not a Q4 tensor: {w.qtype}")
@@ -277,21 +327,35 @@ def q4_matmul(
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     itemsize = x.dtype.itemsize
 
+    def _tail(y32: Array) -> Array:
+        """Residual+LN composed via XLA (f32), for paths that could not
+        fuse them in-kernel."""
+        return _epilogue(
+            y32, None, None, in_kernel=False,
+            residual=None if residual is None
+            else residual.astype(jnp.float32),
+            ln_scale=None if ln is None else ln[0].astype(jnp.float32),
+            ln_bias=None if ln is None else ln[1].astype(jnp.float32),
+            ln_eps=0.0 if ln is None else float(ln[2]),
+        ).astype(x.dtype)
+
     def xla_fallback() -> Array:
         from .qtensor import dequantize
 
         wd = dequantize(w, dtype=x.dtype)
         y = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
-        return _epilogue(
+        y = _epilogue(
             y, None if bias is None else bias.astype(jnp.float32)[None, :],
             activation, in_kernel=False,
-        ).astype(x.dtype)
+        )
+        return _tail(y)
 
     def vmem_est(tm: int) -> int:
         # VMEM for the 1-D (full-weight-resident) kernel, x2 buffered
         return (
             k * n * itemsize  # dequantized weight scratch
             + 2 * tm * (k + n) * itemsize  # double-buffered x and out tiles
+            + (2 * tm * n * itemsize if residual is not None else 0)
             + (k // 2) * n  # packed nibbles
             + (k // QK4) * n * 4 * (2 if w.mins is not None else 1)
         )
@@ -308,11 +372,21 @@ def q4_matmul(
     # vs 512's ~176; benchmarks/results/q4_kernel_analysis.md)
     tm = next((c for c in candidates if vmem_est(c) <= 12 * 1024 * 1024), 0)
     if tm:
-        return _q4_matmul_1d(x, w.qs, w.scales, w.mins, bias, tm=tm,
-                             activation=activation)
+        ln_sb = None
+        if ln is not None:
+            ln_sb = jnp.stack(
+                [ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)]
+            )
+        return _q4_matmul_1d(
+            x, w.qs, w.scales, w.mins, bias, residual, ln_sb, tm=tm,
+            activation=activation, ln_eps=0.0 if ln is None else float(ln[2]),
+        )
     tn = _pick_tile(n, (512, 384, 256, 128))
     if n % tn:
         return xla_fallback()
     tm2 = _pick_tile(m, (256, 128, 64, 32, 16, 8))
-    return _q4_matmul_2d(x, w.qs, w.scales, w.mins, bias, tm=tm2, tn=tn,
-                         activation=activation)
+    y = _q4_matmul_2d(x, w.qs, w.scales, w.mins, bias, tm=tm2, tn=tn,
+                      activation=activation)
+    if residual is None and ln is None:
+        return y
+    return _tail(y.astype(jnp.float32))

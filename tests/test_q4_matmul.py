@@ -93,6 +93,44 @@ def test_linear_fuses_activation_parity():
     np.testing.assert_allclose(y_pal, y_xla, atol=2e-3, rtol=1e-4)
 
 
+def test_fused_residual_layernorm_epilogue():
+    """residual add + LayerNorm tail in the kernel epilogue == composed
+    reference ops (the transformer add&norm pattern, fused in r3)."""
+    qt = _make(GGMLType.Q4_0, 384, 384)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(64, 384)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(384,)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(64, 384)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(384,)).astype(np.float32))
+    lbias = jnp.asarray(rng.normal(size=(384,)).astype(np.float32))
+    eps = 1e-12
+    y = x @ dequantize(qt, dtype=jnp.float32) + bias + res
+    mean = y.mean(-1, keepdims=True)
+    var = ((y - mean) ** 2).mean(-1, keepdims=True)
+    ref = (y - mean) / np.sqrt(np.asarray(var) + eps) * scale + lbias
+    got = q4_matmul(x, qt, bias=bias, residual=res, ln=(scale, lbias, eps))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_linear_residual_ln_pallas_matches_xla():
+    """ops.linear with residual+ln: pallas fused path == xla composed path
+    (the encoder block uses exactly this form)."""
+    from embedding_cpp_tpu.ops.linear import linear
+
+    qt = _make(GGMLType.Q4_0, 384, 1536, seed=8)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 16, 1536)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(384,)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(2, 16, 384)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(384,)).astype(np.float32))
+    lbias = jnp.asarray(rng.normal(size=(384,)).astype(np.float32))
+    ln = (scale, lbias, 1e-12)
+    y_xla = np.asarray(linear(x, qt, b, q4_impl="xla", residual=res, ln=ln))
+    y_pal = np.asarray(linear(x, qt, b, q4_impl="pallas", residual=res, ln=ln))
+    np.testing.assert_allclose(y_pal, y_xla, atol=2e-3, rtol=1e-3)
+
+
 def test_odd_m_falls_back():
     qt = _make(GGMLType.Q4_0, 384, 384)
     rng = np.random.default_rng(3)

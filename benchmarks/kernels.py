@@ -19,7 +19,28 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-DISPATCH_FLOOR_S = 0.023  # measured axon relay round trip; 0 on local TPU
+# Per-call dispatch+fetch floor, MEASURED at import of the first bench (a
+# trivial jit round trip): ~23 ms under the axon relay, ~100 us on a
+# locally-attached TPU.  A hardcoded relay constant would inflate every
+# local-TPU number by the full RTT.
+DISPATCH_FLOOR_S: float | None = None
+
+
+def _dispatch_floor() -> float:
+    global DISPATCH_FLOOR_S
+    if DISPATCH_FLOOR_S is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1.0)
+        float(np.asarray(f(jnp.float32(0.0))))  # compile
+        DISPATCH_FLOOR_S = min(
+            _timed(lambda: float(np.asarray(f(jnp.float32(i)))))
+            for i in range(5)
+        )
+        print(f"# dispatch floor: {DISPATCH_FLOOR_S * 1e3:.1f} ms",
+              file=sys.stderr)
+    return DISPATCH_FLOOR_S
 
 
 def _sync(y) -> float:
@@ -87,7 +108,7 @@ def _bench_pair(q_up, q_dn, x0, up_impl: str, dn_impl: str, iters: int,
     args = (x0, q_up.qs, q_up.scales, q_dn.qs, q_dn.scales)
     _sync(loop(*args))
     best = min(_timed(lambda: _sync(loop(*args))) for _ in range(3))
-    return max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+    return max((best - _dispatch_floor()) / iters, 1e-9)
 
 
 def bench_q4_ffn(m: int, e: int = 384, f: int = 1536, iters: int = 300) -> dict:
@@ -175,7 +196,7 @@ def bench_q4_fused_epilogue(m: int, e: int = 384, f: int = 1536,
         loop = make_loop(impl)
         _sync(loop(*args))
         best = min(_timed(lambda: _sync(loop(*args))) for _ in range(3))
-        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        per = max((best - _dispatch_floor()) / iters, 1e-9)
         out[impl] = {"us": round(per * 1e6, 1),
                      "tflops": round(flops / per / 1e12, 1)}
     return out
@@ -287,7 +308,7 @@ def bench_attention_headpack(b: int = 32, s: int = 512, h: int = 12,
         _sync(loop(q, k, v, bias))
         best = min(_timed(lambda: _sync(loop(q, k, v, bias)))
                    for _ in range(3))
-        return max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        return max((best - _dispatch_floor()) / iters, 1e-9)
 
     out = {}
     per = chain(packed)
@@ -335,7 +356,7 @@ def bench_attention(b: int = 32, s: int = 512, h: int = 12, d: int = 32,
 
         _sync(loop(q, k, v, bias))
         best = min(_timed(lambda: _sync(loop(q, k, v, bias))) for _ in range(2))
-        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        per = max((best - _dispatch_floor()) / iters, 1e-9)
         out[name] = {"us": round(per * 1e6, 1), "tflops": round(flops / per / 1e12, 2)}
     return out
 
@@ -380,7 +401,7 @@ def bench_packed_attention(b: int = 64, s: int = 512, h: int = 12, d: int = 32,
 
         _sync(loop(q, k, v, seg))
         best = min(_timed(lambda: _sync(loop(q, k, v, seg))) for _ in range(2))
-        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        per = max((best - _dispatch_floor()) / iters, 1e-9)
         out[name] = {"us": round(per * 1e6, 1), "tflops": round(flops / per / 1e12, 2)}
     return out
 
@@ -420,7 +441,7 @@ def bench_windowed_attention(b: int = 8, s: int = 2048, h: int = 12,
 
         _sync(loop(q, k, v, seg))
         best = min(_timed(lambda: _sync(loop(q, k, v, seg))) for _ in range(2))
-        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        per = max((best - _dispatch_floor()) / iters, 1e-9)
         out[name] = {"us": round(per * 1e6, 1)}
     return out
 
@@ -473,7 +494,7 @@ def bench_forward_q4_impl(b: int = 32, s: int = 512, iters: int = 20,
         args = (params, ids, mask)
         _sync(loop(*args))
         best = min(_timed(lambda: _sync(loop(*args))) for _ in range(3))
-        per = max((best - DISPATCH_FLOOR_S) / iters, 1e-9)
+        per = max((best - _dispatch_floor()) / iters, 1e-9)
         out[impl] = {"ms": round(per * 1e3, 3),
                      "tokens_per_sec": round(n_tokens / per)}
     return out

@@ -85,12 +85,13 @@ def resolve_impls(opts: ComputeOptions) -> ComputeOptions:
 
 def layer_norm(x: Array, scale: Array, bias: Array, eps: float, out_dtype) -> Array:
     """(x - mean)/sqrt(var + eps) * scale + bias, computed in f32
-    (ggml_norm + mul/add, bert.cpp:890-898)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale + bias).astype(out_dtype)
+    (ggml_norm + mul/add, bert.cpp:890-898).  Delegates to the ops-layer
+    helper so the composed-linear tail and this entry share one
+    implementation (the in-kernel variant in ops/q4_matmul._epilogue is the
+    same math on preloaded f32 tiles)."""
+    from ..ops.linear import _layer_norm
+
+    return _layer_norm(x, scale, bias, eps, out_dtype)
 
 
 def gelu(x: Array, kind: str) -> Array:

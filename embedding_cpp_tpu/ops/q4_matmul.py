@@ -307,6 +307,9 @@ def q4_matmul(
     ln: tuple | None = None,
 ) -> Array:
     """x [M, K] @ packed-Q4 w [K, N] (+ epilogue) -> [M, N] in x.dtype.
+    (Exception: a raw product — no bias/activation/residual/ln — on a shape
+    the kernel does not tile returns the f32 accumulator unrounded; the
+    shard_map row-parallel path psums that before any cast.)
 
     Fused: 4-bit weights are dequantized in VMEM, never materialized in HBM.
     The epilogue runs in f32 on the VMEM output tile, in order: `bias`
@@ -339,11 +342,21 @@ def q4_matmul(
             ln_eps=0.0 if ln is None else float(ln[2]),
         ).astype(x.dtype)
 
+    no_epilogue = (
+        bias is None and activation is None
+        and residual is None and ln is None
+    )
+
     def xla_fallback() -> Array:
         from .qtensor import dequantize
 
         wd = dequantize(w, dtype=x.dtype)
         y = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+        if no_epilogue:
+            # raw product: keep the f32 accumulator (pre-epilogue contract;
+            # the shard_map row-parallel path psums this BEFORE any cast —
+            # rounding to bf16 here would degrade the cross-device sum)
+            return y
         y = _epilogue(
             y, None if bias is None else bias.astype(jnp.float32)[None, :],
             activation, in_kernel=False,
@@ -381,12 +394,15 @@ def q4_matmul(
             x, w.qs, w.scales, w.mins, bias, residual, ln_sb, tm=tm,
             activation=activation, ln_eps=0.0 if ln is None else float(ln[2]),
         )
+    if residual is not None or ln is not None:
+        # the 2-D (N-tiled) kernel holds partial rows, so the LN tail would
+        # have to run on its x.dtype-rounded output — path-dependent
+        # numerics vs the 1-D kernel's f32 epilogue.  Full-f32 XLA math
+        # instead (these shapes are rare: weights too large for VMEM).
+        return xla_fallback()
     tn = _pick_tile(n, (512, 384, 256, 128))
     if n % tn:
         return xla_fallback()
     tm2 = _pick_tile(m, (256, 128, 64, 32, 16, 8))
-    y = _q4_matmul_2d(x, w.qs, w.scales, w.mins, bias, tm=tm2, tn=tn,
-                      activation=activation)
-    if residual is None and ln is None:
-        return y
-    return _tail(y.astype(jnp.float32))
+    return _q4_matmul_2d(x, w.qs, w.scales, w.mins, bias, tm=tm2, tn=tn,
+                         activation=activation)

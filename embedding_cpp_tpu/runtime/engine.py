@@ -218,8 +218,19 @@ class Engine:
         ]
 
     # --- forward ------------------------------------------------------------
-    def _forward(self, shape: tuple[int, int], gather: bool = False):
-        key = (shape, gather)
+    def _opts_for(self, float_out: bool) -> ComputeOptions:
+        """float_out=True forces a float32 result encoding — the device-
+        resident path (embed_tokens_device) must not get transfer-packed
+        int8 output, and should keep full fidelity regardless of the
+        engine's transfer dtype."""
+        if float_out and self.opts.output_dtype != "float32":
+            return dataclasses.replace(self.opts, output_dtype="float32")
+        return self.opts
+
+    def _forward(self, shape: tuple[int, int], gather: bool = False,
+                 float_out: bool = False):
+        float_out = float_out and self.opts.output_dtype != "float32"
+        key = (shape, gather, float_out)
         fwd = self._fwd_cache.get(key)
         if fwd is None:
             if self._sharded_forward is not None:
@@ -229,7 +240,7 @@ class Engine:
                     else self._sharded_forward
                 )
             else:
-                config, opts = self.config, self.opts
+                config, opts = self.config, self._opts_for(float_out)
 
                 if gather:
 
@@ -248,8 +259,10 @@ class Engine:
             self._fwd_cache[key] = fwd
         return fwd
 
-    def _packed_forward(self, shape: tuple[int, int], n_seg: int):
-        key = ("packed", shape, n_seg)
+    def _packed_forward(self, shape: tuple[int, int], n_seg: int,
+                        float_out: bool = False):
+        float_out = float_out and self.opts.output_dtype != "float32"
+        key = ("packed", shape, n_seg, float_out)
         fwd = self._fwd_cache.get(key)
         if fwd is None:
             if self.mesh is not None:
@@ -259,7 +272,7 @@ class Engine:
             else:
                 from ..models.bert import bert_embed_packed
 
-                config, opts = self.config, self.opts
+                config, opts = self.config, self._opts_for(float_out)
 
                 @partial(jax.jit, static_argnums=(5, 6))
                 def fwd(params, ids, seg, pos, gather_idx, n_seg,
@@ -332,9 +345,11 @@ class Engine:
             return unpack_output_i8(host)
         return host
 
-    def _dispatch(self, token_lists: Sequence[Sequence[int]]):
+    def _dispatch(self, token_lists: Sequence[Sequence[int]],
+                  float_out: bool = False):
         """Plan + dispatch every batch (async); returns the pending list of
-        (batch, device_result) pairs.  Caller must hold self._lock."""
+        (batch, device_result) pairs.  Caller must hold self._lock.
+        float_out: force float32 results (the device-resident path)."""
         n = len(token_lists)
         pack_idx = self._pack_plan(token_lists)  # sorted
         pack_set = set(pack_idx)
@@ -366,7 +381,8 @@ class Engine:
         # the device pipeline stays fed while the host packs/copies
         pending = []
         for pb in packed_batches:
-            fwd = self._packed_forward(pb.ids.shape, pb.n_seg)
+            fwd = self._packed_forward(pb.ids.shape, pb.n_seg,
+                                       float_out=float_out)
             gidx = self._gather_idx(pb.slots)
             if self.mesh is not None:
                 args = (self.params, pb.ids, pb.seg, pb.pos, gidx, pb.n_seg)
@@ -389,12 +405,13 @@ class Engine:
             if pad_rows > 64 or self._multiprocess:
                 # compact gather: padded rows cost FLOPs, not transfer
                 gidx = self._gather_idx(np.arange(n_real, dtype=np.int32))
-                fwd = self._forward(batch.ids.shape, gather=True)
+                fwd = self._forward(batch.ids.shape, gather=True,
+                                    float_out=float_out)
                 pending.append(
                     (batch, fwd(self.params, batch.ids, batch.mask, gidx))
                 )
             else:
-                fwd = self._forward(batch.ids.shape)
+                fwd = self._forward(batch.ids.shape, float_out=float_out)
                 pending.append(
                     (batch, fwd(self.params, batch.ids, batch.mask))
                 )
@@ -457,9 +474,12 @@ class Engine:
         vectors in HBM — the on-device VectorIndex ingests through this,
         skipping the device->host->device round trip entirely.  Not
         available in int8 output mode (results would be transfer-packed)."""
-        if self.opts.output_dtype == "int8":
+        if self.opts.output_dtype == "int8" and self.mesh is not None:
+            # single-device engines transparently use a float32-output
+            # forward variant for this path; the mesh forwards are built
+            # once with the engine opts and cannot swap encodings
             raise ValueError(
-                "embed_tokens_device needs a float output_dtype "
+                "embed_tokens_device on a mesh needs a float output_dtype "
                 "(int8 results are packed for host transfer)"
             )
         from ..utils.metrics import GLOBAL as metrics
@@ -467,7 +487,7 @@ class Engine:
         t0 = time.perf_counter()
         out = []
         with self._lock, metrics.timer("eval"):
-            pending = self._dispatch(token_lists)
+            pending = self._dispatch(token_lists, float_out=True)
             for batch, vecs in pending:
                 if isinstance(batch, PackedSegBatch):
                     out.append((batch.orig, vecs[: len(batch.orig)]))

@@ -177,11 +177,13 @@ class VectorIndex:
     _host_ingest_only = False
 
     def _device_ingest_ok(self) -> bool:
+        # int8 TRANSFER engines still ingest on-device: embed_tokens_device
+        # uses a float32-output forward variant regardless of the transfer
+        # encoding (engine._opts_for), so indexed vectors keep full fidelity
         return (
             not self._host_ingest_only
             and self.mesh is None
             and self.engine.mesh is None
-            and self.engine.opts.output_dtype != "int8"
         )
 
     # --- building -----------------------------------------------------------

@@ -19,8 +19,12 @@
 namespace {
 
 // Worst-case bytes per rendered float: shortest-roundtrip f32 is at most
-// "-1.23456789e-38" = 15 chars, plus separator.
-constexpr int64_t kPerFloat = 16;
+// "-1.17549435e-38" = 15 chars, plus separator, plus one byte of slack.
+constexpr int64_t kPerFloat = 17;
+// Per-row envelope, counted exactly then padded: 1 (row comma)
+// + 30 ('{"object":"embedding","index":') + 20 (int64 digits incl. sign)
+// + 14 (',"embedding":[') + 2 (']}') = 67; budget 80.
+constexpr int64_t kPerRow = 80;
 
 char* append(char* p, const char* s) {
     size_t n = strlen(s);
@@ -48,10 +52,7 @@ int64_t tpuembed_json_embedding_data(const float* v, int64_t n_rows,
                                      int64_t n_cols, int64_t index_base,
                                      char* out, int64_t cap) {
     if (!v || !out || n_rows < 0 || n_cols <= 0) return -1;
-    // per-row envelope: {"object":"embedding","index":HUGE,"embedding":[]},
-    // digits of index <= 20
-    const int64_t need =
-        2 + n_rows * (64 + kPerFloat * n_cols);
+    const int64_t need = 2 + n_rows * (kPerRow + kPerFloat * n_cols);
     if (cap < need) return -1;
     char* p = out;
     char* end = out + cap;
@@ -74,8 +75,11 @@ int64_t tpuembed_json_embedding_data(const float* v, int64_t n_rows,
 }
 
 // Conservative output-buffer size for tpuembed_json_embedding_data.
+// MUST over-estimate: the renderer's only bound check is this same formula
+// up front (a too-small constant here was a reproduced heap overflow with
+// 20-digit index values + worst-case float widths).
 int64_t tpuembed_json_data_cap(int64_t n_rows, int64_t n_cols) {
-    return 2 + n_rows * (64 + kPerFloat * n_cols);
+    return 2 + n_rows * (kPerRow + kPerFloat * n_cols);
 }
 
 }  // extern "C"

@@ -59,3 +59,20 @@ def test_non_finite_values_render_as_null():
 def test_rejects_non_matrix():
     with pytest.raises(ValueError):
         jsonfmt.embedding_data_json(np.zeros(3, np.float32))
+
+
+@pytest.mark.skipif(not jsonfmt.available(), reason="native lib not built")
+def test_worst_case_widths_no_overflow():
+    """Regression: 20-digit index values + maximal float widths must fit
+    the cap formula (an undersized cap was a reproduced heap overflow —
+    the C side's only bound check is the same formula up front)."""
+    v = np.full((200, 4), np.float32(-1.26542145e-11))
+    blob = jsonfmt.embedding_data_json(v, index_base=-(2**63))
+    data = json.loads(blob)
+    assert data[0]["index"] == -(2**63)
+    back = np.array([d["embedding"] for d in data], np.float32)
+    np.testing.assert_array_equal(back, v)
+    # and the densest-float corner: subnormal-adjacent negatives
+    v2 = np.full((64, 33), np.float32(-1.17549435e-38))
+    data2, _ = json.loads(jsonfmt.embedding_data_json(v2, 2**62)), None
+    assert len(data2) == 64 and len(data2[0]["embedding"]) == 33

@@ -191,6 +191,35 @@ def test_approx_search_recall(engine):
     assert got[0, 0] == 11
 
 
+def test_device_ingest_with_int8_transfer_engine():
+    """An int8-TRANSFER engine still ingests on-device at full f32 fidelity
+    (the device path uses a float32-output forward variant) — indexed
+    vectors must match an f32 engine's, not carry transfer quantization."""
+    import dataclasses
+
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.models import ComputeOptions
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    opts_i8 = ComputeOptions(dtype="float32", output_dtype="int8")
+    eng_i8 = Engine.synthetic(CFG, opts=opts_i8)
+    eng_f32 = Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
+    corpus = [f"int8 engine ingest doc {i}" for i in range(12)]
+    idx = VectorIndex(eng_i8, dtype="float32")
+    assert idx._device_ingest_ok()
+    idx.add(corpus)
+    ref = VectorIndex(eng_f32, dtype="float32")
+    ref.add(corpus)
+    # corpora bit-identical: the device path never saw int8 packing
+    np.testing.assert_array_equal(
+        np.asarray(idx._corpus[: len(corpus)]),
+        np.asarray(ref._corpus[: len(corpus)]),
+    )
+    # while encode() (the transfer path) IS int8-quantized
+    enc = eng_i8.encode([corpus[0]])
+    assert not np.array_equal(enc, eng_f32.encode([corpus[0]]))
+
+
 def test_device_ingest_matches_host_path(engine):
     """Single-device add() ingests embeddings without a host round trip
     (device scatter) — results identical to the host add_vectors path.

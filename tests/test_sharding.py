@@ -121,8 +121,9 @@ def test_engine_mesh_compact_gather(eight_devices):
     b = single.encode(texts)
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
     # the gather-variant forward was compiled and the fetched arrays were
-    # compact (gather buckets cap at 64 rows for a 3-sentence batch)
-    gather_keys = [k for k in eng._fwd_cache if k[-1] is True]
+    # compact (gather buckets cap at 64 rows for a 3-sentence batch);
+    # cache keys are (shape, gather, float_out)
+    gather_keys = [k for k in eng._fwd_cache if k[1] is True]
     assert gather_keys, f"no gather forward used: {list(eng._fwd_cache)}"
 
 

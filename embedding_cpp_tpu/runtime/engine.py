@@ -457,6 +457,27 @@ class Engine:
                 pending = self._dispatch(token_lists)
                 if self._multiprocess:
                     pending = [(b, self._fetch(v)) for b, v in pending]
+            if (
+                not self._multiprocess
+                and len(pending) > 1
+                and len({(v.shape[1:], v.dtype) for _, v in pending}) == 1
+            ):
+                # single-fetch: concatenate the batch results ON DEVICE so
+                # only one device->host transfer happens.  Every fetch pays
+                # a full round trip on relay/PCIe-attached hosts (~30 ms
+                # under the relay); the concat dispatch is async and rides
+                # the already-running pipeline.  All result paths share the
+                # trailing shape ([.., E] float or [.., E+4] packed int8),
+                # so mixed plain/packed/gather batches concat fine.
+                cat = self._fetch(
+                    jnp.concatenate([v for _, v in pending], axis=0)
+                )
+                fetched, off = [], 0
+                for b, v in pending:
+                    n = v.shape[0]
+                    fetched.append((b, cat[off : off + n]))
+                    off += n
+                pending = fetched
             for batch, vecs in pending:
                 if not isinstance(vecs, np.ndarray):
                     vecs = self._fetch(vecs)
@@ -472,8 +493,9 @@ class Engine:
         returns a list of (original_positions, device_vecs) pairs (device
         rows sliced to the real sentences).  For consumers that keep
         vectors in HBM — the on-device VectorIndex ingests through this,
-        skipping the device->host->device round trip entirely.  Not
-        available in int8 output mode (results would be transfer-packed)."""
+        skipping the device->host->device round trip entirely.  int8
+        transfer engines transparently use a float32-output forward variant
+        here (full fidelity; the packing exists only for host transfer)."""
         if self.opts.output_dtype == "int8" and self.mesh is not None:
             # single-device engines transparently use a float32-output
             # forward variant for this path; the mesh forwards are built

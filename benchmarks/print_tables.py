@@ -12,7 +12,8 @@ from pathlib import Path
 
 RESULTS = Path(__file__).parent / "results"
 TASKS = ("STSBenchmark", "EmotionClassification")
-MODE_ORDER = ("f32", "f16", "q4_0", "q4_1", "gguf", "sbert", "sbert-batchless")
+MODE_ORDER = ("f32", "f16", "q4_0", "q4_1", "q8_0", "gguf", "sbert",
+              "sbert-batchless")
 
 
 def collect():

@@ -31,7 +31,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import tasks  # noqa: E402
 
 RESULTS = Path(__file__).parent / "results"
-ENGINE_MODES = ("f32", "f16", "q4_0", "q4_1")
+# q8_0 is our extension beyond the reference's four modes (run_mteb.py:23-28)
+ENGINE_MODES = ("f32", "f16", "q4_0", "q4_1", "q8_0")
 ALL_MODES = ENGINE_MODES + ("sbert", "sbert-batchless")
 ALL_TASKS = ("STSBenchmark", "EmotionClassification")
 

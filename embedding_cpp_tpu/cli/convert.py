@@ -21,7 +21,7 @@ def main() -> None:
     p.add_argument("--ftype", choices=sorted(FTYPE_NAMES), default=None,
                    help="default: f32 (gguf), f16 (--legacy), preserve (upgrade)")
     p.add_argument("--all-ftypes", action="store_true",
-                   help="write f32+f16+q4_0+q4_1 (the reference's "
+                   help="write f32+f16+q4_0+q4_1+q8_0 (the reference's "
                         "run_conversions.sh pipeline)")
     p.add_argument("--legacy", action="store_true",
                    help="write the legacy pre-GGUF .bin format "
@@ -43,7 +43,7 @@ def main() -> None:
         import os
 
         os.makedirs(args.output, exist_ok=True)
-        for ftype in ("f32", "f16", "q4_0", "q4_1"):
+        for ftype in ("f32", "f16", "q4_0", "q4_1", "q8_0"):
             out = os.path.join(args.output, f"ggml-model-{ftype}.gguf")
             convert_hf_dir(args.model_dir, out, ftype)
             print(f"wrote {out}")

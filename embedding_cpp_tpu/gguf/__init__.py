@@ -12,9 +12,11 @@ from .quant import (
     dequantize,
     dequantize_q4_0,
     dequantize_q4_1,
+    dequantize_q8_0,
     quantize,
     quantize_q4_0,
     quantize_q4_1,
+    quantize_q8_0,
 )
 from .reader import GGUFReader, GGUFTensorInfo
 from .writer import GGUFWriter
@@ -31,8 +33,10 @@ __all__ = [
     "dequantize",
     "quantize_q4_0",
     "quantize_q4_1",
+    "quantize_q8_0",
     "dequantize_q4_0",
     "dequantize_q4_1",
+    "dequantize_q8_0",
     "GGUFReader",
     "GGUFTensorInfo",
     "GGUFWriter",

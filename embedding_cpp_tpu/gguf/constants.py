@@ -60,11 +60,13 @@ class GGMLType(enum.IntEnum):
 
 # Block geometry: (elements per block, bytes per block).
 QK4 = 32  # elements per Q4 block
+QK8 = 32  # elements per Q8 block
 GGML_TYPE_SIZES: dict[GGMLType, tuple[int, int]] = {
     GGMLType.F32: (1, 4),
     GGMLType.F16: (1, 2),
     GGMLType.Q4_0: (QK4, 2 + QK4 // 2),  # f16 scale + 16 nibble bytes = 18
     GGMLType.Q4_1: (QK4, 4 + QK4 // 2),  # f16 scale + f16 min + 16 bytes = 20
+    GGMLType.Q8_0: (QK8, 2 + QK8),  # f16 scale + 32 int8 bytes = 34
     GGMLType.I8: (1, 1),
     GGMLType.I16: (1, 2),
     GGMLType.I32: (1, 4),
@@ -91,6 +93,10 @@ class GGUFFileType(enum.IntEnum):
     MOSTLY_F16 = 1
     MOSTLY_Q4_0 = 2
     MOSTLY_Q4_1 = 3
+    # our extension beyond the reference's four ftypes (bert.cpp:209-252);
+    # value 7 matches ggml's llama_ftype LLAMA_FTYPE_MOSTLY_Q8_0 so files
+    # interop with other GGUF tooling
+    MOSTLY_Q8_0 = 7
 
 
 FTYPE_TO_GGML = {
@@ -98,6 +104,7 @@ FTYPE_TO_GGML = {
     GGUFFileType.MOSTLY_F16: GGMLType.F16,
     GGUFFileType.MOSTLY_Q4_0: GGMLType.Q4_0,
     GGUFFileType.MOSTLY_Q4_1: GGMLType.Q4_1,
+    GGUFFileType.MOSTLY_Q8_0: GGMLType.Q8_0,
 }
 
 

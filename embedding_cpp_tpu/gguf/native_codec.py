@@ -18,6 +18,7 @@ _TYPE_CODE = {
     GGMLType.F16: 1,
     GGMLType.Q4_0: 2,
     GGMLType.Q4_1: 3,
+    GGMLType.Q8_0: 8,
 }
 
 _lib = None

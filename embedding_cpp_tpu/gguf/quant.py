@@ -1,4 +1,4 @@
-"""Q4_0 / Q4_1 block codecs, vectorized with numpy.
+"""Q4_0 / Q4_1 / Q8_0 block codecs, vectorized with numpy.
 
 Reproduces the *math* of ggml's reference codecs (the deterministic block
 format consumed by the reference engine's fused dequant-dot kernels — see
@@ -11,8 +11,13 @@ Q4_0 (18 bytes / 32 elems):  f16 d;  uint8 qs[16]
 Q4_1 (20 bytes / 32 elems):  f16 d;  f16 m;  uint8 qs[16]
     m  = min(x);  d = (max(x) - min(x)) / 15
     q  = min(15, floor((x - m)/d + 0.5))    value = q * d + m
+Q8_0 (34 bytes / 32 elems):  f16 d;  int8 qs[32]
+    d  = max(|x|) / 127
+    q  = roundf(x/d)  (half away from zero) value = q * d
+    (Q8_0 is our extension beyond the reference's four ftypes — same block
+    layout ggml uses, so files interop with other GGUF tooling.)
 
-Nibble packing (both): byte j of a block holds element j in the low nibble and
+Nibble packing (Q4): byte j of a block holds element j in the low nibble and
 element j+16 in the high nibble.
 
 Scales are computed in f32 and *stored* as f16 (quantization uses the f32
@@ -22,13 +27,15 @@ from __future__ import annotations
 
 import numpy as np
 
-from .constants import GGMLType, QK4
+from .constants import GGMLType, QK4, QK8
 
 __all__ = [
     "quantize_q4_0",
     "quantize_q4_1",
+    "quantize_q8_0",
     "dequantize_q4_0",
     "dequantize_q4_1",
+    "dequantize_q8_0",
     "dequantize",
     "quantize",
     "unpack_nibbles",
@@ -91,6 +98,21 @@ def quantize_q4_1(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def quantize_q8_0(x: np.ndarray) -> np.ndarray:
+    """f32 array (size % 32 == 0) -> raw Q8_0 bytes, one 34-byte rec/block."""
+    b = _blocks(x)
+    nb = b.shape[0]
+    d = np.abs(b).max(axis=1) / 127.0
+    inv = np.where(d != 0.0, np.divide(1.0, d, where=d != 0.0), 0.0)
+    v = b * inv[:, None]
+    # C roundf: round half away from zero (numpy rounds half to even)
+    q = np.trunc(v + np.copysign(0.5, v)).astype(np.int8)
+    out = np.empty((nb, 34), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
 def dequantize_q4_0(raw: np.ndarray, n_elements: int) -> np.ndarray:
     """Raw Q4_0 bytes -> f32 array of n_elements."""
     rec = np.frombuffer(np.ascontiguousarray(raw), dtype=np.uint8)
@@ -112,6 +134,16 @@ def dequantize_q4_1(raw: np.ndarray, n_elements: int) -> np.ndarray:
     return (q * d + m).reshape(-1)[:n_elements].astype(np.float32)
 
 
+def dequantize_q8_0(raw: np.ndarray, n_elements: int) -> np.ndarray:
+    """Raw Q8_0 bytes -> f32 array of n_elements."""
+    rec = np.frombuffer(np.ascontiguousarray(raw), dtype=np.uint8)
+    nb = n_elements // QK8
+    rec = rec[: nb * 34].reshape(nb, 34)
+    d = rec[:, 0:2].copy().view(np.float16).astype(np.float32)  # [nb,1]
+    q = rec[:, 2:].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)[:n_elements].astype(np.float32)
+
+
 def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     """f32 array -> raw bytes of the requested type."""
     x = np.ascontiguousarray(x, dtype=np.float32)
@@ -123,6 +155,8 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
         return quantize_q4_0(x)
     if ggml_type == GGMLType.Q4_1:
         return quantize_q4_1(x)
+    if ggml_type == GGMLType.Q8_0:
+        return quantize_q8_0(x)
     raise NotImplementedError(f"quantize to {ggml_type.name}")
 
 
@@ -141,4 +175,6 @@ def dequantize(raw: np.ndarray, ggml_type: GGMLType, n_elements: int) -> np.ndar
         return dequantize_q4_0(raw, n_elements)
     if ggml_type == GGMLType.Q4_1:
         return dequantize_q4_1(raw, n_elements)
+    if ggml_type == GGMLType.Q8_0:
+        return dequantize_q8_0(raw, n_elements)
     raise NotImplementedError(f"dequantize from {ggml_type.name}")

@@ -187,6 +187,7 @@ class GGUFReader:
             GGMLType.F16: GGUFFileType.MOSTLY_F16,
             GGMLType.Q4_0: GGUFFileType.MOSTLY_Q4_0,
             GGMLType.Q4_1: GGUFFileType.MOSTLY_Q4_1,
+            GGMLType.Q8_0: GGUFFileType.MOSTLY_Q8_0,
         }[majority]
 
     def close(self) -> None:

@@ -7,7 +7,7 @@ convert-to-gguf.py:211-213), same tensor policy (HF state-dict names
 verbatim; `pooler.dense.*` and `embeddings.position_ids` skipped,
 convert-to-gguf.py:294-321; 2-D `.weight` tensors cast to the target type).
 
-Extension over the reference: direct one-step conversion to Q4_0/Q4_1
+Extension over the reference: direct one-step conversion to Q4_0/Q4_1/Q8_0
 (the reference requires convert-to-f32 + a separate quantize binary).
 """
 from __future__ import annotations
@@ -36,6 +36,7 @@ FTYPE_NAMES = {
     "f16": GGUFFileType.MOSTLY_F16,
     "q4_0": GGUFFileType.MOSTLY_Q4_0,
     "q4_1": GGUFFileType.MOSTLY_Q4_1,
+    "q8_0": GGUFFileType.MOSTLY_Q8_0,
 }
 
 # Standard BERT special tokens, used as fallback when no

@@ -15,17 +15,24 @@ import numpy as np
 
 from ..gguf.constants import GGMLType, GGUFFileType, FTYPE_TO_GGML
 from ..gguf.quant import dequantize as gguf_dequantize, quantize as gguf_quantize
-from ..ops.qtensor import Q4Tensor, pack_q4_matmul, pack_q4_rows
+from ..ops.qtensor import (
+    QTensor,
+    pack_q4_matmul,
+    pack_q4_rows,
+    pack_q8_matmul,
+    pack_q8_rows,
+)
 from . import schema
 from .config import BertConfig
 
-# keys whose Q4 payloads stay packed in "auto" mode
+# keys whose quantized payloads stay packed in "auto" mode
 _MATMUL_KEYS = frozenset(
     {"q_w", "k_w", "v_w", "o_w", "ffn_up_w", "ffn_down_w"}
 )
 _GATHER_KEYS = frozenset({"word"})
 
 Q4_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1)
+QUANT_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0)
 
 
 class _TensorSource:
@@ -51,6 +58,8 @@ class _TensorSource:
         self._check(name, shape, actual_shape)
         if keep_q4 and gtype in Q4_TYPES:
             return pack_q4_matmul(raw, actual_shape, gtype)
+        if keep_q4 and gtype == GGMLType.Q8_0:
+            return pack_q8_matmul(raw, actual_shape)
         n = int(np.prod(actual_shape))
         return jnp.asarray(
             gguf_dequantize(raw, gtype, n).reshape(actual_shape).T, dtype=dtype
@@ -61,6 +70,8 @@ class _TensorSource:
         self._check(name, shape, actual_shape)
         if keep_q4 and gtype in Q4_TYPES:
             return pack_q4_rows(raw, actual_shape, gtype)
+        if keep_q4 and gtype == GGMLType.Q8_0:
+            return pack_q8_rows(raw, actual_shape)
         n = int(np.prod(actual_shape))
         return jnp.asarray(
             gguf_dequantize(raw, gtype, n).reshape(actual_shape), dtype=dtype
@@ -75,10 +86,10 @@ class _TensorSource:
 
 
 def _stack_layer_values(values: list):
-    """Stack per-layer leaves (arrays or Q4Tensors) on a new leading axis."""
+    """Stack per-layer leaves (arrays or QTensors) on a new leading axis."""
     first = values[0]
-    if isinstance(first, Q4Tensor):
-        return Q4Tensor(
+    if isinstance(first, QTensor):
+        return QTensor(
             qs=jnp.stack([v.qs for v in values]),
             scales=jnp.stack([v.scales for v in values]),
             mins=None
@@ -100,7 +111,7 @@ def build_params(
     """Assemble the parameter pytree.
 
     weight_mode:
-      "auto"    — Q4 matmul weights and the word-embedding table stay packed
+      "auto"    — quantized matmul weights and the word-embedding table stay packed
                   (fused dequant on the compute path); everything else dense.
       "dequant" — everything dequantized to `dense_dtype` at load.
     """

@@ -70,10 +70,18 @@ def _copy_kv(reader: GGUFReader, writer: GGUFWriter, ftype: GGUFFileType):
 
 
 def _q_histogram(raw: np.ndarray, qtype: GGMLType) -> np.ndarray:
-    """16-bin histogram of quantized nibble values."""
+    """16-bin histogram of quantized code values.
+
+    Q4: one bin per nibble value.  Q8_0: the signed int8 range folded into
+    16 even bins ((q + 128) >> 4) so the report shape stays uniform.
+    """
+    rec = np.frombuffer(np.ascontiguousarray(raw), dtype=np.uint8)
+    if qtype == GGMLType.Q8_0:
+        q = rec.reshape(-1, 34)[:, 2:].view(np.int8)
+        bins = (q.astype(np.int32) + 128) >> 4
+        return np.bincount(bins.reshape(-1), minlength=16).astype(np.int64)
     rec_bytes = 18 if qtype == GGMLType.Q4_0 else 20
     head = 2 if qtype == GGMLType.Q4_0 else 4
-    rec = np.frombuffer(np.ascontiguousarray(raw), dtype=np.uint8)
     rec = rec.reshape(-1, rec_bytes)
     q = unpack_nibbles(rec[:, head:])
     return np.bincount(q.reshape(-1), minlength=16).astype(np.int64)
@@ -101,7 +109,10 @@ def quantize_gguf(
 
         ftype = FTYPE_NAMES[ftype]
     target = FTYPE_TO_GGML[ftype]
-    if target not in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.F16, GGMLType.F32):
+    if target not in (
+        GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0,
+        GGMLType.F16, GGMLType.F32,
+    ):
         raise ValueError(f"unsupported quantization target {target}")
 
     stats = QuantizeStats()
@@ -114,8 +125,10 @@ def quantize_gguf(
             raw = r.tensor_raw(name)
             stats.total_in_bytes += info.nbytes
             eligible = name.endswith("weight") and len(info.shape) == 2
-            # Q4 needs the contraction axis divisible by the block size
-            if eligible and target in (GGMLType.Q4_0, GGMLType.Q4_1):
+            # block quants need the contraction axis divisible by block size
+            if eligible and target in (
+                GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0
+            ):
                 eligible = info.shape[-1] % QK4 == 0
             if eligible and info.ggml_type != target:
                 out = _convert(raw, info.ggml_type, info.n_elements, target)

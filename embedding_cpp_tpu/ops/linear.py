@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .qtensor import Q4Tensor, dequantize
+from ..gguf.constants import GGMLType
+from .qtensor import QTensor, dequantize
 
 Array = jax.Array
 
@@ -67,8 +68,11 @@ def linear(
     fuses them into its matmul anyway.
     """
     dtype = x.dtype
-    if isinstance(w, Q4Tensor):
-        if q4_impl == "pallas":
+    if isinstance(w, QTensor):
+        # Q8_0 rides the XLA path: int8->f dequant is one multiply (no nibble
+        # unpack), which XLA fuses into its matmul; the Pallas kernel family
+        # is Q4-only.
+        if q4_impl == "pallas" and w.qtype != GGMLType.Q8_0:
             from .q4_matmul import q4_matmul
 
             lead = x.shape[:-1]

@@ -1,4 +1,4 @@
-// Q4_0 / Q4_1 / F16 codecs + multithreaded tensor requantization.
+// Q4_0 / Q4_1 / Q8_0 / F16 codecs + multithreaded tensor requantization.
 //
 // Native counterpart of the reference's quantizer core
 // (bert_model_quantize's dequant/quant hot loops, bert.cpp:1236-1311 and
@@ -111,6 +111,23 @@ void quantize_block_q4_1(const float *x, uint8_t *rec) {
     }
 }
 
+void quantize_block_q8_0(const float *x, uint8_t *rec) {
+    float amax = 0.0f;
+    for (int j = 0; j < QK; ++j) amax = std::fmax(amax, std::fabs(x[j]));
+    float d = amax / 127.0f;
+    float id = d != 0.0f ? 1.0f / d : 0.0f;
+    uint16_t dh = f32_to_f16(d);
+    std::memcpy(rec, &dh, 2);
+    for (int j = 0; j < QK; ++j) {
+        // round half away from zero, spelled as trunc(v + copysign(.5, v))
+        // so it is bit-exact with gguf/quant.py quantize_q8_0 (roundf would
+        // differ on pathological float32 ties)
+        float v = x[j] * id;
+        int8_t q = (int8_t)std::truncf(v + std::copysignf(0.5f, v));
+        std::memcpy(rec + 2 + j, &q, 1);
+    }
+}
+
 void dequantize_block_q4_0(const uint8_t *rec, float *out) {
     uint16_t dh;
     std::memcpy(&dh, rec, 2);
@@ -132,13 +149,25 @@ void dequantize_block_q4_1(const uint8_t *rec, float *out) {
     }
 }
 
-// type codes: 0=f32, 1=f16, 2=q4_0, 3=q4_1 (GGML enum values)
+void dequantize_block_q8_0(const uint8_t *rec, float *out) {
+    uint16_t dh;
+    std::memcpy(&dh, rec, 2);
+    float d = f16_to_f32(dh);
+    for (int j = 0; j < QK; ++j) {
+        int8_t q;
+        std::memcpy(&q, rec + 2 + j, 1);
+        out[j] = (float)q * d;
+    }
+}
+
+// type codes: 0=f32, 1=f16, 2=q4_0, 3=q4_1, 8=q8_0 (GGML enum values)
 int64_t type_rec_bytes(int t) {
     switch (t) {
     case 0: return 4 * QK;  // per QK elements
     case 1: return 2 * QK;
     case 2: return 18;
     case 3: return 20;
+    case 8: return 34;
     }
     return -1;
 }
@@ -163,6 +192,10 @@ bool dequant_span(const uint8_t *src, int t, int64_t nblocks, float *out) {
         for (int64_t i = 0; i < nblocks; ++i)
             dequantize_block_q4_1(src + 20 * i, out + QK * i);
         return true;
+    case 8:
+        for (int64_t i = 0; i < nblocks; ++i)
+            dequantize_block_q8_0(src + 34 * i, out + QK * i);
+        return true;
     }
     return false;
 }
@@ -185,6 +218,10 @@ bool quant_span(const float *src, int t, int64_t nblocks, uint8_t *out) {
     case 3:
         for (int64_t i = 0; i < nblocks; ++i)
             quantize_block_q4_1(src + QK * i, out + 20 * i);
+        return true;
+    case 8:
+        for (int64_t i = 0; i < nblocks; ++i)
+            quantize_block_q8_0(src + QK * i, out + 34 * i);
         return true;
     }
     return false;
@@ -220,11 +257,9 @@ int64_t tpuembed_requantize(const uint8_t *src, int src_type, int64_t n,
     int64_t src_rb = type_rec_bytes(src_type) ;
     int64_t dst_rb = type_rec_bytes(dst_type);
     if (src_rb < 0 || dst_rb < 0) return -1;
-    // per-QK-elements record sizes
-    int64_t src_step = src_type <= 1 ? (src_type == 0 ? 4 * QK : 2 * QK)
-                                     : (src_type == 2 ? 18 : 20);
-    int64_t dst_step = dst_type <= 1 ? (dst_type == 0 ? 4 * QK : 2 * QK)
-                                     : (dst_type == 2 ? 18 : 20);
+    // type_rec_bytes is already the per-QK-elements record size
+    int64_t src_step = src_rb;
+    int64_t dst_step = dst_rb;
 
     constexpr int64_t CHUNK = 512;  // blocks per work item
     std::atomic<int64_t> next(0);

@@ -65,7 +65,14 @@ def test_load_and_forward_from_gguf(f32_gguf):
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
 
 
-@pytest.mark.parametrize("ftype_name,qtype", [("q4_0", GGMLType.Q4_0), ("q4_1", GGMLType.Q4_1)])
+@pytest.mark.parametrize(
+    "ftype_name,qtype",
+    [
+        ("q4_0", GGMLType.Q4_0),
+        ("q4_1", GGMLType.Q4_1),
+        ("q8_0", GGMLType.Q8_0),
+    ],
+)
 def test_quantize_tool(f32_gguf, tmp_path, ftype_name, qtype):
     out = tmp_path / f"tiny-{ftype_name}.gguf"
     stats = quantize_gguf(str(f32_gguf), str(out), ftype_name, verbose=False)
@@ -101,6 +108,42 @@ def test_quantize_then_requantize(f32_gguf, tmp_path):
     quantize_gguf(str(mid), str(out), "q4_1", verbose=False)
     with GGUFReader(out) as r:
         assert r.infer_file_type() == GGUFFileType.MOSTLY_Q4_1
+
+
+def test_q8_0_forward_close_to_f32(f32_gguf, tmp_path):
+    """8-bit quantization noise is tiny: q8_0 embeddings must cosine-match
+    the f32 embeddings to ~1e-4 (vs the quantization-class tolerance q4
+    gets)."""
+    out = tmp_path / "tiny-q8.gguf"
+    quantize_gguf(str(f32_gguf), str(out), "q8_0", verbose=False)
+    with GGUFReader(f32_gguf) as r:
+        params_f32, config = load_params(r)
+    with GGUFReader(out) as r:
+        params_q8, _ = load_params(r)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, config.n_vocab, size=(4, 12)).astype(np.int32)
+    mask = np.ones_like(ids)
+    a = np.asarray(bert_embed_batch(params_f32, ids, mask, config, ComputeOptions()))
+    b = np.asarray(bert_embed_batch(params_q8, ids, mask, config, ComputeOptions()))
+    cos = np.sum(a * b, axis=-1)  # both L2-normalized
+    assert cos.min() > 0.9999
+
+
+def test_q8_0_one_step_convert(tokenizer_json, tmp_path):
+    """Direct HF -> q8_0 GGUF conversion (no intermediate f32 file)."""
+    path = tmp_path / "tiny-q8-direct.gguf"
+    sd = random_state_dict(CFG, seed=0)
+    write_bert_gguf(path, CFG, sd, tokenizer_json, GGUFFileType.MOSTLY_Q8_0)
+    with GGUFReader(path) as r:
+        assert r.infer_file_type() == GGUFFileType.MOSTLY_Q8_0
+        wq = r.tensors["encoder.layer.0.attention.self.query.weight"]
+        assert wq.ggml_type == GGMLType.Q8_0
+        params, config = load_params(r)
+    ids = np.array([[1, 2, 3, 4]], dtype=np.int32)
+    out = np.asarray(
+        bert_embed_batch(params, ids, np.ones_like(ids), config, ComputeOptions())
+    )
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
 
 
 def test_f16_roundtrip(f32_gguf, tmp_path):

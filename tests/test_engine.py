@@ -108,6 +108,22 @@ def test_synthetic_engine_q4():
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
 
 
+def test_synthetic_engine_q8():
+    from embedding_cpp_tpu.models.config import BertConfig
+
+    cfg = BertConfig(
+        n_vocab=1000, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128
+    )
+    eng = Engine.synthetic(cfg, ftype="q8_0")
+    ref = Engine.synthetic(cfg, ftype="f32")
+    out = eng.encode(["hello world", "test sentence"])
+    assert out.shape == (2, 64)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+    # 8-bit weights track f32 closely (same seed -> same base weights)
+    cos = np.sum(out * ref.encode(["hello world", "test sentence"]), axis=-1)
+    assert cos.min() > 0.999
+
+
 def test_stats_accounting(engine):
     before = dict(engine.stats)
     engine.encode(TEXTS)

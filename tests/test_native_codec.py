@@ -27,7 +27,9 @@ def nc():
     return native_codec
 
 
-@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.F16])
+@pytest.mark.parametrize(
+    "qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0, GGMLType.F16]
+)
 @pytest.mark.parametrize("scale", [1e-6, 1.0, 1e4])
 def test_encode_decode_bit_exact(nc, qtype, scale):
     rng = np.random.default_rng(0)
@@ -46,6 +48,15 @@ def test_requantize_matches_two_step(nc):
     f16 = quantize(x, GGMLType.F16)
     expected = quantize(dequantize(f16, GGMLType.F16, x.size), GGMLType.Q4_0)
     got = nc.requantize(f16, GGMLType.F16, x.size, GGMLType.Q4_0, n_threads=4)
+    np.testing.assert_array_equal(expected, got)
+
+
+def test_requantize_q4_to_q8(nc):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=1 << 12).astype(np.float32)
+    q4 = quantize(x, GGMLType.Q4_0)
+    expected = quantize(dequantize(q4, GGMLType.Q4_0, x.size), GGMLType.Q8_0)
+    got = nc.requantize(q4, GGMLType.Q4_0, x.size, GGMLType.Q8_0, n_threads=2)
     np.testing.assert_array_equal(expected, got)
 
 

@@ -1,4 +1,4 @@
-"""Q4_0/Q4_1 block codec tests.
+"""Q4_0/Q4_1/Q8_0 block codec tests.
 
 Golden values are hand-derived from the codec definition (ggml's deterministic
 block format, see embedding_cpp_tpu/gguf/quant.py docstring); round-trip
@@ -13,9 +13,11 @@ from embedding_cpp_tpu.gguf import (
     dequantize,
     dequantize_q4_0,
     dequantize_q4_1,
+    dequantize_q8_0,
     quantize,
     quantize_q4_0,
     quantize_q4_1,
+    quantize_q8_0,
 )
 from embedding_cpp_tpu.gguf.quant import pack_nibbles, unpack_nibbles
 
@@ -91,6 +93,52 @@ def test_zero_block():
     for qtype in (GGMLType.Q4_0, GGMLType.Q4_1):
         y = dequantize(quantize(x, qtype), qtype, QK4)
         np.testing.assert_array_equal(y, x)
+
+
+def test_q8_0_golden_block():
+    # Block with max|x| = 127 -> d = 1.0, every value hits its own int8 code
+    x = np.arange(-16, 16, dtype=np.float32) * 127.0 / 16.0
+    assert x.size == QK4 and np.abs(x).max() == 127.0
+    raw = quantize_q8_0(x)
+    assert raw.size == 34
+    d = raw[0:2].copy().view(np.float16)[0]
+    assert d == np.float16(1.0)
+    q = raw[2:].copy().view(np.int8)
+    # C roundf: half away from zero
+    expected_q = np.trunc(x + np.copysign(0.5, x))
+    np.testing.assert_array_equal(q.astype(np.float32), expected_q)
+    y = dequantize_q8_0(raw, QK4)
+    np.testing.assert_allclose(y, expected_q)
+
+
+def test_q8_0_round_half_away_from_zero():
+    # 2.5/d and -2.5/d must round to 3 / -3, not banker's 2 / -2
+    x = np.zeros(QK4, dtype=np.float32)
+    x[0] = 127.0  # d = 1.0 exactly
+    x[1] = 2.5
+    x[2] = -2.5
+    raw = quantize_q8_0(x)
+    q = raw[2:].copy().view(np.int8)
+    assert q[1] == 3 and q[2] == -3
+
+
+def test_q8_0_roundtrip_error_bound():
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=8 * 1024).astype(np.float32)
+    y = dequantize(quantize(x, GGMLType.Q8_0), GGMLType.Q8_0, x.size)
+    blocks = x.reshape(-1, QK4)
+    scale = np.abs(blocks).max(axis=1, keepdims=True)
+    # error bounded by d/2 = max|block|/254, plus the f16-rounded scale's
+    # relative error (<= 2^-11) amplified by |q| <= 127
+    err = np.abs(y.reshape(-1, QK4) - blocks)
+    assert np.all(err <= scale * (1 / 254.0 + 2.0**-11) + 1e-7)
+    assert np.corrcoef(x, y)[0, 1] > 0.9999
+
+
+def test_q8_0_zero_block():
+    x = np.zeros(QK4, dtype=np.float32)
+    y = dequantize(quantize(x, GGMLType.Q8_0), GGMLType.Q8_0, QK4)
+    np.testing.assert_array_equal(y, x)
 
 
 def test_f16_f32_passthrough():

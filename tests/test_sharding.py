@@ -24,7 +24,10 @@ def _data(batch=8, seq=16, seed=0):
 
 
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
-@pytest.mark.parametrize("ftype", [GGUFFileType.ALL_F32, GGUFFileType.MOSTLY_Q4_0])
+@pytest.mark.parametrize(
+    "ftype",
+    [GGUFFileType.ALL_F32, GGUFFileType.MOSTLY_Q4_0, GGUFFileType.MOSTLY_Q8_0],
+)
 def test_mesh_forward_matches_single(eight_devices, dp, tp, ftype):
     from embedding_cpp_tpu.parallel.mesh import make_mesh
     from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward

@@ -35,6 +35,21 @@ from .batching import (
 )
 
 
+def truncate_normalize(vecs: np.ndarray, dimensions: int) -> np.ndarray:
+    """Matryoshka-style reduction: keep the first `dimensions` components and
+    re-L2-normalize each row (OpenAI embeddings-API `dimensions` semantics)."""
+    n_embd = vecs.shape[-1]
+    if not isinstance(dimensions, int) or isinstance(dimensions, bool):
+        raise ValueError("dimensions must be an integer")
+    if not 1 <= dimensions <= n_embd:
+        raise ValueError(f"dimensions must be in 1..{n_embd}")
+    if dimensions == n_embd:
+        return vecs
+    v = np.ascontiguousarray(vecs[..., :dimensions], dtype=np.float32)
+    norms = np.linalg.norm(v, axis=-1, keepdims=True)
+    return v / np.maximum(norms, 1e-12)
+
+
 class Engine:
     """Text -> L2-normalized embedding vectors."""
 
@@ -520,12 +535,22 @@ class Engine:
         self._count_stats(token_lists, len(pending), t0)
         return out
 
-    def encode(self, texts: str | Sequence[str]) -> np.ndarray:
+    def encode(
+        self, texts: str | Sequence[str], *, dimensions: int | None = None
+    ) -> np.ndarray:
         """Texts -> [n, n_embd] L2-normalized f32 embeddings
-        (the reference's bert_encode_batch, bert.h:54-62)."""
+        (the reference's bert_encode_batch, bert.h:54-62).
+
+        dimensions: optional Matryoshka-style truncation — keep the first
+        `dimensions` components and re-L2-normalize (OpenAI embeddings-API
+        semantics; the reference has no equivalent, its wire is always the
+        full n_embd, bert.h:46)."""
         if isinstance(texts, str):
             texts = [texts]
-        return self.embed_tokens(self.tokenize_batch(texts))
+        out = self.embed_tokens(self.tokenize_batch(texts))
+        if dimensions is not None:
+            out = truncate_normalize(out, dimensions)
+        return out
 
     # --- introspection (bert.h:87-90 equivalents) ---------------------------
     @property

@@ -7,7 +7,10 @@ asyncio HTTP server that shares the SAME ContinuousBatcher (and therefore
 the same device batches) as the TCP protocol.
 
     POST /v1/embeddings   {"input": "text" | ["texts"...],
-                           "encoding_format": "float" (default) | "base64"}
+                           "encoding_format": "float" (default) | "base64",
+                           "dimensions": N (optional: truncate to the first
+                           N components and re-L2-normalize, OpenAI
+                           Matryoshka semantics)}
       -> {"object": "list", "data": [{"object": "embedding", "index": i,
           "embedding": [...]}], "model": ..., "usage": {...}}
     POST /v1/index        {"input": ["texts"...]} -> {"total": N}
@@ -156,6 +159,17 @@ def _parse_embed_request(body: bytes):
     return texts, fmt, payload
 
 
+def _parse_dimensions(payload, n_embd: int) -> int | None:
+    """OpenAI `dimensions`: truncate + re-L2-normalize.  None if absent."""
+    dims = payload.get("dimensions")
+    if dims is None:
+        return None
+    if not isinstance(dims, int) or isinstance(dims, bool) \
+            or not 1 <= dims <= n_embd:
+        raise HttpError(400, f"dimensions must be an integer in 1..{n_embd}")
+    return dims
+
+
 def _parse_k(payload) -> int:
     cap = _caps()[2]
     k = payload.get("k", 10)
@@ -231,6 +245,12 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     if method != "POST":
                         raise HttpError(405, "POST required")
                     texts, _, payload = _parse_embed_request(body)
+                    if "dimensions" in payload:
+                        # the index stores full-width vectors; silently
+                        # ignoring the field would skew every later search
+                        raise HttpError(
+                            400, "dimensions is not supported on /v1/index"
+                        )
                     b, _name = pick(payload)
                     req_batcher = b
                     loop = asyncio.get_running_loop()
@@ -254,6 +274,10 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     if method != "POST":
                         raise HttpError(405, "POST required")
                     texts, _, payload = _parse_embed_request(body)
+                    if "dimensions" in payload:
+                        raise HttpError(
+                            400, "dimensions is not supported on /v1/search"
+                        )
                     k = _parse_k(payload)
                     b, _name = pick(payload)
                     req_batcher = b
@@ -293,11 +317,16 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     texts, fmt, payload = _parse_embed_request(body)
                     b, req_model = pick(payload)
                     req_batcher = b
+                    dims = _parse_dimensions(payload, b.engine.n_embd)
                     try:
                         vecs = await b.encode(texts)
                     except OverloadedError as e:
                         raise HttpError(429, str(e))
                     vecs = np.ascontiguousarray(vecs, np.float32)
+                    if dims is not None:
+                        from .engine import truncate_normalize
+
+                        vecs = truncate_normalize(vecs, dims)
                     loop = asyncio.get_running_loop()
                     if fmt == "base64":
                         data_json = json.dumps([

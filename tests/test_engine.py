@@ -108,6 +108,25 @@ def test_synthetic_engine_q4():
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
 
 
+def test_encode_dimensions(engine):
+    full = engine.encode(TEXTS)
+    cut = engine.encode(TEXTS, dimensions=16)
+    assert cut.shape == (len(TEXTS), 16)
+    np.testing.assert_allclose(np.linalg.norm(cut, axis=-1), 1.0, atol=1e-5)
+    expected = full[:, :16] / np.linalg.norm(full[:, :16], axis=-1,
+                                             keepdims=True)
+    np.testing.assert_allclose(cut, expected, atol=1e-6)
+    # full-width is a no-op; invalid values raise
+    np.testing.assert_array_equal(
+        engine.encode(TEXTS, dimensions=full.shape[1]), full
+    )
+    import pytest as _pytest
+
+    for bad in (0, -1, full.shape[1] + 1):
+        with _pytest.raises(ValueError):
+            engine.encode(TEXTS, dimensions=bad)
+
+
 def test_synthetic_engine_q8():
     from embedding_cpp_tpu.models.config import BertConfig
 

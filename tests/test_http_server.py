@@ -113,6 +113,50 @@ def test_embeddings_single_string_and_base64(http_server):
                                atol=1e-5)
 
 
+def test_embeddings_dimensions(http_server):
+    """OpenAI `dimensions`: truncate + re-L2-normalize, both formats."""
+    port, _, engine = http_server
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": ["hello world"], "dimensions": 16})
+    assert status == 200
+    vec = np.array(body["data"][0]["embedding"], np.float32)
+    assert vec.shape == (16,)
+    np.testing.assert_allclose(np.linalg.norm(vec), 1.0, atol=1e-5)
+    full = engine.encode(["hello world"])[0][:16]
+    np.testing.assert_allclose(vec, full / np.linalg.norm(full), atol=1e-5)
+
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": "hello world",
+                          "encoding_format": "base64", "dimensions": 16})
+    assert status == 200
+    raw = np.frombuffer(base64.b64decode(body["data"][0]["embedding"]),
+                        np.float32)
+    assert raw.shape == (16,)
+    np.testing.assert_allclose(raw, vec, atol=1e-5)
+
+    # full-width request is a no-op
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": "hello world",
+                          "dimensions": CFG.n_embd})
+    assert status == 200
+    assert len(body["data"][0]["embedding"]) == CFG.n_embd
+
+
+def test_embeddings_dimensions_validation(http_server):
+    port, _, _ = http_server
+    for bad in (0, -3, CFG.n_embd + 1, "16", 3.5, True):
+        status, body = _post(port, "/v1/embeddings",
+                             {"input": "x", "dimensions": bad})
+        assert status == 400, bad
+    # index/search reject the field instead of silently ignoring it
+    status, body = _post(port, "/v1/index",
+                         {"input": ["x"], "dimensions": 16})
+    assert status == 400
+    status, body = _post(port, "/v1/search",
+                         {"input": ["x"], "dimensions": 16})
+    assert status == 400
+
+
 def test_health_metrics_models(http_server):
     port, _, _ = http_server
     status, raw = _get(port, "/healthz")

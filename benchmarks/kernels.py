@@ -47,22 +47,23 @@ def _sync(y) -> float:
     return float(np.asarray(y))
 
 
-def _make_ffn_pair(m: int, e: int, f: int, weight_scale: float):
+def _make_ffn_pair(m: int, e: int, f: int, weight_scale: float,
+                   qtype: str = "q4_0"):
     import jax.numpy as jnp
 
     from embedding_cpp_tpu.gguf import GGMLType
-    from embedding_cpp_tpu.gguf.quant import quantize_q4_0
-    from embedding_cpp_tpu.ops.qtensor import pack_q4_matmul
+    from embedding_cpp_tpu.gguf.quant import quantize_q4_0, quantize_q8_0
+    from embedding_cpp_tpu.ops.qtensor import pack_q4_matmul, pack_q8_matmul
 
     rng = np.random.default_rng(0)
-    q_up = pack_q4_matmul(
-        quantize_q4_0((rng.normal(size=(f, e)) * weight_scale).astype(np.float32)),
-        (f, e), GGMLType.Q4_0,
-    )
-    q_dn = pack_q4_matmul(
-        quantize_q4_0((rng.normal(size=(e, f)) * weight_scale).astype(np.float32)),
-        (e, f), GGMLType.Q4_0,
-    )
+    w_up = (rng.normal(size=(f, e)) * weight_scale).astype(np.float32)
+    w_dn = (rng.normal(size=(e, f)) * weight_scale).astype(np.float32)
+    if qtype == "q8_0":
+        q_up = pack_q8_matmul(quantize_q8_0(w_up), (f, e))
+        q_dn = pack_q8_matmul(quantize_q8_0(w_dn), (e, f))
+    else:
+        q_up = pack_q4_matmul(quantize_q4_0(w_up), (f, e), GGMLType.Q4_0)
+        q_dn = pack_q4_matmul(quantize_q4_0(w_dn), (e, f), GGMLType.Q4_0)
     x0 = jnp.asarray(rng.normal(size=(m, e)), dtype=jnp.bfloat16)
     return q_up, q_dn, x0
 
@@ -145,19 +146,20 @@ def bench_q4_epilogue(m: int, e: int = 384, f: int = 1536,
 
 
 def bench_q4_fused_epilogue(m: int, e: int = 384, f: int = 1536,
-                            iters: int = 100) -> dict:
+                            iters: int = 100, qtype: str = "q4_0") -> dict:
     """The production FFN pattern with its real epilogues:
     y = (gelu(x @ W_up + b_up)) @ W_dn + b_dn.  XLA fuses bias+GELU into its
     matmuls; the Pallas kernel now computes them in its own epilogue
     (ops/q4_matmul.py _epilogue) — this measures whether the r2 fusion
-    asymmetry (q4_kernel_analysis.md) is closed."""
+    asymmetry (q4_kernel_analysis.md) is closed.  qtype="q8_0" runs the same
+    pattern on int8 codes (the Q8 branch of the same kernel)."""
     import jax
     import jax.numpy as jnp
 
     from embedding_cpp_tpu.ops.q4_matmul import q4_matmul
     from embedding_cpp_tpu.ops.qtensor import Q4Tensor, dequantize
 
-    q_up, q_dn, x0 = _make_ffn_pair(m, e, f, weight_scale=2e-2)
+    q_up, q_dn, x0 = _make_ffn_pair(m, e, f, weight_scale=2e-2, qtype=qtype)
     rng = np.random.default_rng(7)
     b_up = jnp.asarray(rng.normal(size=(f,)) * 1e-2, dtype=jnp.float32)
     b_dn = jnp.asarray(rng.normal(size=(e,)) * 1e-2, dtype=jnp.float32)
@@ -447,14 +449,16 @@ def bench_windowed_attention(b: int = 8, s: int = 2048, h: int = 12,
 
 
 def bench_forward_q4_impl(b: int = 32, s: int = 512, iters: int = 20,
-                          preset: str = "minilm-l6") -> dict:
+                          preset: str = "minilm-l6",
+                          ftype=None) -> dict:
     """FULL encoder forward chained in-device: q4_impl='pallas' (fused
     dequant+bias+GELU kernels) vs 'xla' (compiler-fused dequant path).
 
     The engine-level A/B cannot resolve this — under the relay the
     device->host fetch is ~10-30x the compute per batch (CLAUDE.md), so
     kernel differences vanish in transfer noise.  This is the decisive
-    number for the q4_impl production default."""
+    number for the q4_impl production default.  ftype defaults to Q4_0;
+    pass GGUFFileType.MOSTLY_Q8_0 for the int8-codes variant."""
     import jax
     import jax.numpy as jnp
 
@@ -466,7 +470,7 @@ def bench_forward_q4_impl(b: int = 32, s: int = 512, iters: int = 20,
 
     config = PRESETS[preset]
     params = random_params(
-        config, GGUFFileType.MOSTLY_Q4_0, seed=0,
+        config, ftype or GGUFFileType.MOSTLY_Q4_0, seed=0,
         dense_dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
@@ -545,6 +549,15 @@ def main() -> None:
         r = bench_q4_fused_epilogue(m)
         results["q4_fused_epilogue"][m] = r
         print(f"q4 fused bias+gelu M={m:6d}: "
+              f"pallas {r['pallas']['us']:8.1f}us "
+              f"{r['pallas']['tflops']:6.1f} TF/s | "
+              f"xla {r['xla']['us']:8.1f}us "
+              f"{r['xla']['tflops']:6.1f} TF/s", file=sys.stderr)
+    results["q8_fused_epilogue"] = {}
+    for m in args.m:
+        r = bench_q4_fused_epilogue(m, qtype="q8_0")
+        results["q8_fused_epilogue"][m] = r
+        print(f"q8 fused bias+gelu M={m:6d}: "
               f"pallas {r['pallas']['us']:8.1f}us "
               f"{r['pallas']['tflops']:6.1f} TF/s | "
               f"xla {r['xla']['us']:8.1f}us "

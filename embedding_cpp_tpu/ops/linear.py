@@ -11,7 +11,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..gguf.constants import GGMLType
 from .qtensor import QTensor, dequantize
 
 Array = jax.Array
@@ -69,10 +68,7 @@ def linear(
     """
     dtype = x.dtype
     if isinstance(w, QTensor):
-        # Q8_0 rides the XLA path: int8->f dequant is one multiply (no nibble
-        # unpack), which XLA fuses into its matmul; the Pallas kernel family
-        # is Q4-only.
-        if q4_impl == "pallas" and w.qtype != GGMLType.Q8_0:
+        if q4_impl == "pallas":
             from .q4_matmul import q4_matmul
 
             lead = x.shape[:-1]

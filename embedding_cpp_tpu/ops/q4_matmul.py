@@ -1,14 +1,17 @@
-"""Fused Q4 dequant + matmul Pallas TPU kernel.
+"""Fused quantized dequant + matmul Pallas TPU kernel (Q4_0 / Q4_1 / Q8_0).
 
-The TPU analog of ggml's fused Q4 dequant-dot CPU kernels (the hot loop of
-the reference, bert.cpp:1080 via ggml's vec_dot_q4_0): weights stay packed
-4-bit in HBM; nibbles are unpacked and scaled in VMEM and fed straight to the
-MXU — HBM weight traffic is 4.5 bits/element instead of 16/32.
+The TPU analog of ggml's fused quantized dequant-dot CPU kernels (the hot
+loop of the reference, bert.cpp:1080 via ggml's vec_dot_q4_0): weights stay
+packed 4- or 8-bit in HBM; codes are unpacked and scaled in VMEM and fed
+straight to the MXU — HBM weight traffic is 4.5 or 8.5 bits/element instead
+of 16/32.
 
-Layout contract (ops/qtensor.py): qs uint8 [K/2, N] with block-local
+Layout contract (ops/qtensor.py): Q4 qs uint8 [K/2, N] with block-local
 split-half packing (within each 32-row block, byte-row j holds elements j and
-j+16), scales/mins f32 [K/32, N].  Unpacking a tile is therefore just
-bit-ops + one sublane-axis concat — no gathers, any K tile multiple of 32.
+j+16); Q8 qs int8 [K, N] plain.  scales/mins f32 [K/32, N].  Unpacking a Q4
+tile is therefore just bit-ops + one sublane-axis concat — no gathers, any K
+tile multiple of 32; a Q8 tile is one convert + scale multiply.  The kernels
+branch on the (trace-time) qs dtype, so both formats share one code path.
 
 Encoder weight matrices are small (<=768x3072 for bert-base), so the whole
 dequantized weight fits VMEM: the kernel runs a 1-D grid over M tiles,
@@ -40,7 +43,14 @@ def _pick_tile(dim: int, candidates: tuple[int, ...]) -> int:
 
 
 def _dequant_tile(qs, scales, mins, compute_dtype):
-    """qs [Kt/2, TN] uint8, scales/mins [Kt/32, TN] -> w [Kt, TN]."""
+    """Q4: qs [Kt/2, TN] uint8; Q8: qs [Kt, TN] int8 (dtype picks the path).
+    scales/mins [Kt/32, TN] -> w [Kt, TN]."""
+    if qs.dtype == jnp.int8:  # Q8_0: plain codes, one convert + scale
+        kt, tn = qs.shape
+        nb = kt // QK4
+        q = qs.reshape(nb, QK4, tn).astype(jnp.float32)
+        w = q * scales.reshape(nb, 1, tn)
+        return w.reshape(kt, tn).astype(compute_dtype)
     half_k, tn = qs.shape
     kt = half_k * 2
     nb = kt // QK4
@@ -121,13 +131,13 @@ def _q4_matmul_1d(
     extend the fused epilogue — valid here because each tile holds FULL
     rows, so the LN row statistics are complete."""
     m, k = x.shape
-    n = qs.shape[-1]
+    qk_rows, n = qs.shape  # K/2 packed (Q4) or K plain (Q8)
     grid = (m // tm,)
     compute_dtype = x.dtype
 
     in_specs = [
         pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k // 2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((qk_rows, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((k // QK4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [x, qs, scales]
@@ -205,7 +215,7 @@ def _q4_matmul_1d(
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
             bytes_accessed=m * k * x.dtype.itemsize
-            + (k // 2) * n
+            + qk_rows * n
             + (k // QK4) * n * 4
             + m * n * x.dtype.itemsize,
             transcendentals=m * n if activation else 0,
@@ -227,13 +237,13 @@ def _q4_matmul_2d(
     activation: str | None = None
 ) -> Array:
     m, k = x.shape
-    n = qs.shape[-1]
+    qk_rows, n = qs.shape  # K/2 packed (Q4) or K plain (Q8)
     grid = (n // tn, m // tm)
     compute_dtype = x.dtype
 
     in_specs = [
         pl.BlockSpec((tm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k // 2, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((qk_rows, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((k // QK4, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
     ]
     operands = [x, qs, scales]
@@ -277,7 +287,7 @@ def _q4_matmul_2d(
 
     flops = 2 * m * n * k
     bytes_accessed = (
-        m * k * x.dtype.itemsize + (k // 2) * n + (k // QK4) * n * 4 + m * n * 4
+        m * k * x.dtype.itemsize + qk_rows * n + (k // QK4) * n * 4 + m * n * 4
     )
     interpret = jax.devices()[0].platform != "tpu"
     return pl.pallas_call(
@@ -306,7 +316,7 @@ def q4_matmul(
     activation: str | None = None, residual: Array | None = None,
     ln: tuple | None = None,
 ) -> Array:
-    """x [M, K] @ packed-Q4 w [K, N] (+ epilogue) -> [M, N] in x.dtype.
+    """x [M, K] @ packed-quantized w [K, N] (+ epilogue) -> [M, N] in x.dtype.
     (Exception: a raw product — no bias/activation/residual/ln — on a shape
     the kernel does not tile returns the f32 accumulator unrounded; the
     shard_map row-parallel path psums that before any cast.)
@@ -321,11 +331,12 @@ def q4_matmul(
     kernel does not tile compose the same f32 math via XLA (the LN tail
     needs full rows, which only the 1-D kernel's tiles have).
     """
-    if w.qtype not in (GGMLType.Q4_0, GGMLType.Q4_1):
-        raise ValueError(f"not a Q4 tensor: {w.qtype}")
+    if w.qtype not in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0):
+        raise ValueError(f"not a quantized tensor: {w.qtype}")
     m, k = x.shape
-    k2, n = w.qs.shape
-    assert k == k2 * 2, (x.shape, w.qs.shape)
+    qk_rows, n = w.qs.shape
+    is_q8 = w.qtype == GGMLType.Q8_0
+    assert k == (qk_rows if is_q8 else qk_rows * 2), (x.shape, w.qs.shape)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     itemsize = x.dtype.itemsize
@@ -369,7 +380,7 @@ def q4_matmul(
             k * n * itemsize  # dequantized weight scratch
             + 2 * tm * (k + n) * itemsize  # double-buffered x and out tiles
             + (2 * tm * n * itemsize if residual is not None else 0)
-            + (k // 2) * n  # packed nibbles
+            + qk_rows * n  # packed codes (nibbles or int8)
             + (k // QK4) * n * 4 * (2 if w.mins is not None else 1)
         )
 

@@ -7,7 +7,12 @@ import pytest
 
 import jax.numpy as jnp
 
-from embedding_cpp_tpu.gguf import GGMLType, quantize_q4_0, quantize_q4_1
+from embedding_cpp_tpu.gguf import (
+    GGMLType,
+    quantize_q4_0,
+    quantize_q4_1,
+    quantize_q8_0,
+)
 from embedding_cpp_tpu.ops.q4_matmul import q4_matmul
 from embedding_cpp_tpu.ops.qtensor import dequantize, pack_q4_matmul
 
@@ -15,11 +20,17 @@ from embedding_cpp_tpu.ops.qtensor import dequantize, pack_q4_matmul
 def _make(qtype, out, inner, seed=0):
     rng = np.random.default_rng(seed)
     w = rng.normal(size=(out, inner)).astype(np.float32)
+    if qtype == GGMLType.Q8_0:
+        from embedding_cpp_tpu.ops.qtensor import pack_q8_matmul
+
+        return pack_q8_matmul(quantize_q8_0(w), (out, inner))
     raw = quantize_q4_0(w) if qtype == GGMLType.Q4_0 else quantize_q4_1(w)
     return pack_q4_matmul(raw, (out, inner), qtype)
 
 
-@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1])
+@pytest.mark.parametrize(
+    "qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0]
+)
 @pytest.mark.parametrize("m,k,n", [(64, 384, 384), (128, 384, 1536), (32, 1536, 384)])
 def test_matches_dequant_path(qtype, m, k, n):
     qt = _make(qtype, n, k)
@@ -43,7 +54,9 @@ def test_bf16_activation():
     np.testing.assert_allclose(got, expected, atol=0.5, rtol=2e-2)
 
 
-@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_1])
+@pytest.mark.parametrize(
+    "qtype", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0]
+)
 @pytest.mark.parametrize("activation", [None, "gelu_erf", "gelu_tanh"])
 def test_fused_bias_activation_epilogue(qtype, activation):
     """bias + GELU computed in the kernel epilogue == the composed XLA ops

@@ -9,6 +9,7 @@ are masked, and results are scattered back to input order.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from itertools import chain
 from typing import Sequence
 
 import numpy as np
@@ -61,49 +62,46 @@ class PackedSegBatch:
     max_len: int = 0  # longest packed sentence (windowed-attention bound)
 
 
-def pack_segments(
-    token_lists: Sequence[Sequence[int]],
-    indices: Sequence[int],
-    pad_id: int,
-    *,
-    seq_len: int = DEFAULT_PACK_SEQ,
-    n_seg: int = DEFAULT_PACK_SEGS,
-    batch_buckets: Sequence[int] = DEFAULT_PACK_ROW_BUCKETS,
-    row_multiple: int = 1,
-    max_pad_rows: int = 64,
-) -> list[PackedSegBatch]:
-    """First-fit-decreasing bin packing of sentences into [B, seq_len] rows.
+def _nfd_place(lens: np.ndarray, seq_len: int, n_seg: int) -> list[list[int]]:
+    """Consecutive next-fit-decreasing placement: sort descending, each row
+    takes the longest prefix of the remainder that fits (token capacity and
+    the n_seg cap).  O(rows) searchsorteds — see pack_segments for when this
+    is within ~1% of FFD."""
+    order = np.argsort(-lens, kind="stable")
+    sl = lens[order]
+    csum = np.concatenate([[0], np.cumsum(sl)])
+    rows: list[list[int]] = []
+    start, n = 0, len(sl)
+    while start < n:
+        j = int(np.searchsorted(csum, csum[start] + seq_len, side="right")) - 1
+        j = max(min(j, start + n_seg), start + 1)
+        rows.append(order[start:j].tolist())
+        start = j
+    return rows
 
-    `indices[i]` is the original position of `token_lists[i]` (the caller may
-    pack a subset).  Every sentence must have len <= seq_len; each row holds
-    at most n_seg sentences.  `row_multiple` rounds each batch's row count up
-    (e.g. to the dp mesh size, so batches shard evenly over devices).
 
-    `max_pad_rows` trades padded compute for dispatch count: a chunk pads to
-    its power-of-two bucket when that wastes <= max_pad_rows rows, otherwise
-    it splits base-2 (64+8 instead of a half-empty 128).  With the compact
-    output gather padded rows cost FLOPs only (~0.1 us/slot on v5e);
-    measured on the relay, split dispatches pipeline well enough that lean
-    padding (64) matches or beats one big padded dispatch.
-    """
-    order = sorted(range(len(token_lists)), key=lambda i: -len(token_lists[i]))
+def _ffd_place(
+    token_lists: Sequence[Sequence[int]], lens: np.ndarray, seq_len: int,
+    n_seg: int,
+) -> list[list[int]]:
+    """First-fit-decreasing placement over OPEN rows only.
+
+    Lengths arrive descending, so once a row can't fit the current
+    (smallest-so-far) sentence it can only close later via the seg cap — but
+    scanning it again every sentence is Theta(n * rows).  Rows too full for
+    the current sentence move to `closed` and are never rescanned; since
+    `need` only shrinks, a row skipped for capacity at need=k can be
+    reopened only if a later sentence is shorter — handled by re-checking
+    closed rows whenever `need` drops below the capacity they were closed
+    at."""
+    order = np.argsort(-lens, kind="stable").tolist()
     rows: list[list[int]] = []  # local indices per row
     space: list[int] = []  # remaining token capacity per row
-    # first-fit-decreasing over OPEN rows only: lengths arrive descending,
-    # so once a row can't fit the current (smallest-so-far) sentence it can
-    # only close later via the seg cap — but scanning it again every sentence
-    # is Theta(n * rows).  Rows too full for the current sentence move to
-    # `closed` and are never rescanned; since `need` only shrinks, a row
-    # skipped for capacity at need=k can be reopened only if a later
-    # sentence is shorter — handled by re-checking closed rows whenever
-    # `need` drops below the capacity they were closed at.
     open_rows: list[int] = []  # row indices with free space, capacity-usable
     closed_at: dict[int, int] = {}  # row -> need value it was closed at
     prev_need = None
     for i in order:
         need = len(token_lists[i])
-        if need > seq_len:
-            raise ValueError(f"sentence of {need} tokens exceeds pack row {seq_len}")
         if prev_need is not None and need < prev_need:
             # shorter sentences may fit rows closed for capacity earlier
             reopen = [r for r, at in closed_at.items()
@@ -135,6 +133,53 @@ def pack_segments(
                 open_rows.append(r)
             else:
                 closed_at[r] = need
+    return rows
+
+
+def pack_segments(
+    token_lists: Sequence[Sequence[int]],
+    indices: Sequence[int],
+    pad_id: int,
+    *,
+    seq_len: int = DEFAULT_PACK_SEQ,
+    n_seg: int = DEFAULT_PACK_SEGS,
+    batch_buckets: Sequence[int] = DEFAULT_PACK_ROW_BUCKETS,
+    row_multiple: int = 1,
+    max_pad_rows: int = 64,
+) -> list[PackedSegBatch]:
+    """First-fit-decreasing bin packing of sentences into [B, seq_len] rows.
+
+    `indices[i]` is the original position of `token_lists[i]` (the caller may
+    pack a subset).  Every sentence must have len <= seq_len; each row holds
+    at most n_seg sentences.  `row_multiple` rounds each batch's row count up
+    (e.g. to the dp mesh size, so batches shard evenly over devices).
+
+    `max_pad_rows` trades padded compute for dispatch count: a chunk pads to
+    its power-of-two bucket when that wastes <= max_pad_rows rows, otherwise
+    it splits base-2 (64+8 instead of a half-empty 128).  With the compact
+    output gather padded rows cost FLOPs only (~0.1 us/slot on v5e);
+    measured on the relay, split dispatches pipeline well enough that lean
+    padding (64) matches or beats one big padded dispatch.
+    """
+    lens = np.fromiter(
+        (len(t) for t in token_lists), dtype=np.int64, count=len(token_lists)
+    )
+    if lens.size and int(lens.max()) > seq_len:
+        raise ValueError(
+            f"sentence of {int(lens.max())} tokens exceeds pack row {seq_len}"
+        )
+    if lens.size and int(lens.max()) * 8 <= seq_len:
+        # uniformly-short workload (every sentence <= seq_len/8): consecutive
+        # next-fit-decreasing packs within ~1% of FFD row counts (85 vs 84
+        # rows on the STSB-profile headline) and runs in O(rows) numpy
+        # searchsorteds instead of a per-sentence Python loop — the FFD loop
+        # below was 22 ms of the ~120 ms headline dispatch wall.  Long
+        # sentences break the equivalence (a 300-token head leaves space only
+        # backfill can use: 2012 vs 1437 rows on the doc-profile workload),
+        # so they keep FFD.
+        rows = _nfd_place(lens, seq_len, n_seg)
+    else:
+        rows = _ffd_place(token_lists, lens, seq_len, n_seg)
 
     # dispatch planning: power-of-two row buckets (bounded compile cache);
     # pad a chunk up to its bucket when the waste fits max_pad_rows, else
@@ -165,16 +210,21 @@ def pack_segments(
         pos = np.zeros((b, seq_len), dtype=np.int32)
         positions: list[list[int]] = []
         for r, row in enumerate(chunk):
-            cursor = 0
-            row_positions = []
-            for g, i in enumerate(row):
-                toks = token_lists[i]
-                ids[r, cursor : cursor + len(toks)] = toks
-                seg[r, cursor : cursor + len(toks)] = g
-                pos[r, cursor : cursor + len(toks)] = np.arange(len(toks))
-                cursor += len(toks)
-                row_positions.append(indices[i])
-            positions.append(row_positions)
+            row_lens = [len(token_lists[i]) for i in row]
+            total = sum(row_lens)
+            ids[r, :total] = np.fromiter(
+                chain.from_iterable(token_lists[i] for i in row),
+                dtype=np.int32, count=total,
+            )
+            seg[r, :total] = np.repeat(
+                np.arange(len(row), dtype=np.int32), row_lens
+            )
+            starts = np.cumsum([0] + row_lens[:-1])
+            pos[r, :total] = (
+                np.arange(total, dtype=np.int32)
+                - np.repeat(starts, row_lens).astype(np.int32)
+            )
+            positions.append([indices[i] for i in row])
         orig = np.array(
             [o for row in positions for o in row], dtype=np.int64
         )

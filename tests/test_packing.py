@@ -71,6 +71,40 @@ def test_pack_segments_respects_capacity():
         assert np.all(b.pos[b.seg < 0] == 0)
 
 
+def test_pack_segments_nfd_path_caps_and_places():
+    """The short-sentence NFD placement (every len <= seq_len/8) must honor
+    the n_seg cap and place every sentence exactly once."""
+    rng = np.random.default_rng(3)
+    # all tiny -> a 512-token row could hold >100, so n_seg=16 must bind
+    toks = [list(rng.integers(1, 50, size=rng.integers(2, 6)))
+            for _ in range(300)]
+    batches = pack_segments(toks, list(range(len(toks))), pad_id=0,
+                            seq_len=512, n_seg=16)
+    seen = set()
+    for b in batches:
+        for r, row in enumerate(b.positions):
+            assert len(row) <= 16
+            for g, orig in enumerate(row):
+                assert orig not in seen
+                seen.add(orig)
+                sel = b.seg[r] == g
+                np.testing.assert_array_equal(b.ids[r][sel], toks[orig])
+    assert len(seen) == len(toks)
+
+
+def test_pack_segments_nfd_matches_ffd_quality():
+    """On a uniformly-short workload the NFD row count stays within 5% of
+    what FFD would produce (the stated bar for taking the fast path)."""
+    from embedding_cpp_tpu.runtime.batching import _ffd_place, _nfd_place
+
+    rng = np.random.default_rng(4)
+    lens = rng.integers(4, 30, size=2000)
+    toks = [list(range(n)) for n in lens]
+    nfd_rows = len(_nfd_place(np.asarray(lens), 512, 64))
+    ffd_rows = len(_ffd_place(toks, np.asarray(lens), 512, 64))
+    assert nfd_rows <= ffd_rows * 1.05 + 1
+
+
 def test_pack_segments_rejects_oversized():
     with pytest.raises(ValueError):
         pack_segments([list(range(100))], [0], pad_id=0, seq_len=64, n_seg=4)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linear import linear
-from ..ops.qtensor import Q4Tensor, gather_rows
+from ..ops.qtensor import QTensor, gather_rows
 from .config import BertConfig
 
 Array = jax.Array
@@ -215,7 +215,7 @@ def embed_tokens(
     emb = params["embeddings"]
     s = ids.shape[-1]
     word = emb["word"]
-    if isinstance(word, Q4Tensor):
+    if isinstance(word, QTensor):
         x = gather_rows(word, ids, dtype=jnp.float32)
     else:
         x = word[ids].astype(jnp.float32)

@@ -10,7 +10,7 @@ annotations — XLA inserts the collectives):
 - embeddings, LayerNorms, row-parallel biases: replicated;
 - activations/data: batch axis over "dp".
 
-Q4Tensors shard the same way: their qs/scales/mins planes all carry N last
+QTensors (q4/q8) shard the same way: their qs/scales/mins planes all carry N last
 and (blocked) K in the middle, so one spec per logical weight applies to all
 three planes.  Block alignment holds whenever (K/32) % tp == 0 — checked.
 """
@@ -25,7 +25,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.bert import ComputeOptions, bert_embed_batch, bert_embed_packed
 from ..models.config import BertConfig
-from ..ops.qtensor import Q4Tensor
 from .mesh import DP_AXIS, TP_AXIS
 
 # per-logical-weight specs; arrays are layer-stacked (leading L axis = None)

@@ -3,7 +3,9 @@
 // Written for this project; no external dependencies.
 #pragma once
 
+#include <cerrno>
 #include <cstdint>
+#include <cstdlib>
 #include <map>
 #include <memory>
 #include <stdexcept>
@@ -142,7 +144,16 @@ class Parser {
             ++p_;
         auto v = std::make_shared<Value>();
         v->type = Value::Type::Number;
-        v->num = std::stod(std::string(start, p_ - start));
+        // strtod, not std::stod: hostile blobs ("-", "1e") must surface as
+        // the parser's own error, not exception control flow (std::stod
+        // throwing also trips ASan's __cxa_throw interceptor check under
+        // LD_PRELOAD, making the sanitizer matrix unusable)
+        std::string text(start, p_ - start);
+        char *parse_end = nullptr;
+        errno = 0;
+        v->num = std::strtod(text.c_str(), &parse_end);
+        if (parse_end == text.c_str() || *parse_end != '\0')
+            fail("invalid number");
         return v;
     }
 

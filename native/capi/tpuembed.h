@@ -71,6 +71,12 @@ int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts);
 int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
                    int32_t k, int32_t* out_idx, float* out_scores);
 
+// Requantize a GGUF model file (bert_model_quantize, bert.h:92).  ftype
+// uses the reference's numeric codes (2=q4_0, 3=q4_1) plus 7=q8_0 (our
+// extension).  Runs the quantize tool in a child process; returns 0 on
+// success, -1 on failure.  Needs no tpe_ctx.
+int tpe_model_quantize(const char* in_path, const char* out_path, int ftype);
+
 // Human-readable description of the last failure on this context.
 const char* tpe_last_error(tpe_ctx* ctx);
 

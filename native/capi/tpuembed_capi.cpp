@@ -512,4 +512,28 @@ int32_t tpe_vocab_id_to_token(tpe_ctx* ctx, int32_t token_id, char* buf,
     return static_cast<int32_t>(len);
 }
 
+// bert_model_quantize parity (bert.h:92, reference CLI models/quantize.cpp):
+// requantizes in_path -> out_path.  ftype codes match the reference's
+// numeric convention (2=q4_0, 3=q4_1) plus our extensions (7=q8_0, and the
+// names understood by cli.quantize via the same codes).  Runs the quantize
+// CLI in a child process — consistent with this capi's client-plane design,
+// where tpe_load_from_file also spawns the Python engine.  Returns 0 on
+// success, -1 on failure.
+int tpe_model_quantize(const char* in_path, const char* out_path, int ftype) {
+    if (!in_path || !out_path) return -1;
+    pid_t pid = ::fork();
+    if (pid < 0) return -1;
+    if (pid == 0) {
+        const char* py = getenv("TPE_PYTHON");
+        if (!py || !*py) py = "python3";
+        std::string code = std::to_string(ftype);
+        ::execlp(py, py, "-m", "embedding_cpp_tpu.cli.quantize", in_path,
+                 out_path, code.c_str(), "-q", (char*)nullptr);
+        _exit(127);  // exec failed
+    }
+    int status = 0;
+    if (::waitpid(pid, &status, 0) != pid) return -1;
+    return (WIFEXITED(status) && WEXITSTATUS(status) == 0) ? 0 : -1;
+}
+
 }  // extern "C"

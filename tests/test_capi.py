@@ -237,3 +237,27 @@ def test_index_and_search_via_capi(running_server):
         assert idx2.shape[1] <= 4096
     finally:
         model.close()
+
+
+def test_model_quantize_via_capi(model_path, tmp_path):
+    """tpe_model_quantize (bert_model_quantize parity, bert.h:92): numeric
+    codes 2/3 (reference) and 7 (our q8_0 extension)."""
+    import ctypes
+
+    from embedding_cpp_tpu.gguf import GGMLType, GGUFReader
+
+    lib = ctypes.CDLL(LIB)
+    lib.tpe_model_quantize.restype = ctypes.c_int
+    lib.tpe_model_quantize.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                       ctypes.c_int]
+    os.environ.setdefault("TPE_PYTHON", sys.executable)
+    for code, gtype in ((2, GGMLType.Q4_0), (7, GGMLType.Q8_0)):
+        out = str(tmp_path / f"quant-{code}.gguf")
+        rc = lib.tpe_model_quantize(model_path.encode(), out.encode(), code)
+        assert rc == 0
+        with GGUFReader(out) as r:
+            wq = r.tensors["encoder.layer.0.attention.self.query.weight"]
+            assert wq.ggml_type == gtype
+    # bad inputs fail cleanly
+    assert lib.tpe_model_quantize(b"/nonexistent.gguf", b"/tmp/x.gguf", 2) == -1
+    assert lib.tpe_model_quantize(None, b"/tmp/x.gguf", 2) == -1

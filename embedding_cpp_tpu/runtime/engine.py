@@ -67,6 +67,11 @@ class Engine:
         packing: str = "auto",
         pack_seq: int | None = None,
     ):
+        from ..utils import compile_cache
+
+        # persistent XLA compilation cache: server restarts / CLI runs skip
+        # the 20-60 s/shape remote compiles (opt out: TPUEMBED_COMPILE_CACHE=0)
+        compile_cache.enable()
         self.config = config
         self.opts = opts or ComputeOptions()
         self.tokenizer = tokenizer

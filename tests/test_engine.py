@@ -256,3 +256,37 @@ def test_pack_output_i8_roundtrip():
     z = np.zeros((3, 16), np.float32)
     np.testing.assert_array_equal(unpack_output_i8(np.asarray(
         pack_output_i8(jnp.asarray(z)))), z)
+
+
+def test_persistent_compile_cache_writes_entries(tmp_path, monkeypatch):
+    """Engine construction enables the persistent XLA cache; a forward
+    compile lands an entry on disk (so the next process skips the compile)."""
+    import jax
+
+    from embedding_cpp_tpu.utils import compile_cache
+    from embedding_cpp_tpu.models.config import BertConfig
+
+    if jax.config.jax_compilation_cache_dir:
+        pytest.skip("cache dir already configured in this process")
+    cache_dir = str(tmp_path / "xla-cache")
+    monkeypatch.setenv("TPUEMBED_COMPILE_CACHE", cache_dir)
+    monkeypatch.setattr(compile_cache, "_enabled", False)
+    cfg = BertConfig(
+        n_vocab=1000, n_ctx=64, n_embd=64, n_layer=1, n_head=4, n_ff=128
+    )
+    eng = Engine.synthetic(cfg, ftype="f32")
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    eng.encode(["cache me"])
+    import os
+
+    assert len(os.listdir(cache_dir)) >= 1
+
+
+def test_persistent_compile_cache_opt_out(monkeypatch):
+    import jax
+
+    from embedding_cpp_tpu.utils import compile_cache
+
+    monkeypatch.setenv("TPUEMBED_COMPILE_CACHE", "0")
+    monkeypatch.setattr(compile_cache, "_enabled", False)
+    assert compile_cache.enable() is None

@@ -550,12 +550,22 @@ class Engine:
         `dimensions` components and re-L2-normalize (OpenAI embeddings-API
         semantics; the reference has no equivalent, its wire is always the
         full n_embd, bert.h:46)."""
+        return self.encode_with_counts(texts, dimensions=dimensions)[0]
+
+    def encode_with_counts(
+        self, texts: str | Sequence[str], *, dimensions: int | None = None
+    ) -> tuple[np.ndarray, list[int]]:
+        """encode() plus the per-text framed token counts (CLS/SEP included)
+        — consumers that report usage (the HTTP /v1/embeddings envelope) get
+        the counts from the tokenization that fed the forward pass instead
+        of re-tokenizing."""
         if isinstance(texts, str):
             texts = [texts]
-        out = self.embed_tokens(self.tokenize_batch(texts))
+        ids = self.tokenize_batch(texts)
+        out = self.embed_tokens(ids)
         if dimensions is not None:
             out = truncate_normalize(out, dimensions)
-        return out
+        return out, [len(t) for t in ids]
 
     # --- introspection (bert.h:87-90 equivalents) ---------------------------
     @property

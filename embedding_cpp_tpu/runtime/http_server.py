@@ -319,7 +319,7 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     req_batcher = b
                     dims = _parse_dimensions(payload, b.engine.n_embd)
                     try:
-                        vecs = await b.encode(texts)
+                        vecs, counts = await b.encode_with_counts(texts)
                     except OverloadedError as e:
                         raise HttpError(429, str(e))
                     vecs = np.ascontiguousarray(vecs, np.float32)
@@ -348,16 +348,10 @@ async def handle_http(reader, writer, batcher, model_name: str,
                             )
                         else:
                             data_json = jsonfmt.embedding_data_json(vecs)
-                    # usage re-tokenizes (~90k sentences/s native) rather
-                    # than plumbing counts out of the batched encode path;
-                    # in the executor so the event loop never blocks
-                    if b.engine.tokenizer is not None:
-                        id_lists = await loop.run_in_executor(
-                            None, b.engine.tokenize_batch, texts
-                        )
-                        n_tokens = int(sum(len(ids) for ids in id_lists))
-                    else:
-                        n_tokens = 0
+                    # usage comes from the tokenization that fed the forward
+                    # pass (encode_with_counts) — re-tokenizing here cost
+                    # ~11 ms per 1024-text request on the 1-core host
+                    n_tokens = int(sum(counts))
                     # splice the pre-rendered data array into the envelope
                     body_out = (
                         b'{"object":"list","data":' + data_json

@@ -201,6 +201,14 @@ class ContinuousBatcher:
                 pass
 
     async def encode(self, texts: list[str]) -> np.ndarray:
+        return (await self.encode_with_counts(texts))[0]
+
+    async def encode_with_counts(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, list[int]]:
+        """encode() plus per-text token counts from the same tokenization
+        pass (lets /v1/embeddings fill its usage field without
+        re-tokenizing the request)."""
         self.try_reserve(len(texts))
         try:
             fut = asyncio.get_running_loop().create_future()
@@ -250,13 +258,15 @@ class ContinuousBatcher:
         for t, _ in jobs:
             flat.extend(t)
         try:
-            vecs = await asyncio.get_running_loop().run_in_executor(
-                None, self.engine.encode, flat
+            vecs, counts = await asyncio.get_running_loop().run_in_executor(
+                None, self.engine.encode_with_counts, flat
             )
             off = 0
             for t, f in jobs:
                 if not f.cancelled():
-                    f.set_result(vecs[off : off + len(t)])
+                    f.set_result(
+                        (vecs[off : off + len(t)], counts[off : off + len(t)])
+                    )
                 off += len(t)
             self.stats.batches += 1
             self.stats.sentences += total

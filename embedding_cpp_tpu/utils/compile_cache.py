@@ -7,14 +7,13 @@ JAX's persistent cache writes each compiled executable to disk keyed by the
 HLO fingerprint, so every process after the first — server restarts, CLI
 runs, eval harnesses — skips straight to execution.
 
-Enabled by Engine construction (opt out with TPUEMBED_COMPILE_CACHE=0, or
-point TPUEMBED_COMPILE_CACHE at a directory).  Safe to call on any backend:
-platforms whose compiler bypasses the local cache simply never write
-entries.  Measured: standard PJRT backends (CPU, local TPU) hit the cache
-across processes; the axon RELAY does not (compilation happens on the
-remote server, its executables don't serialize through the local cache —
-second-process cold start measured unchanged), where only the relay's own
-in-process cache applies.
+Enabled by Engine construction on real local TPU backends; elsewhere it is
+opt-in via TPUEMBED_COMPILE_CACHE=<dir> (and TPUEMBED_COMPILE_CACHE=0 opts
+out everywhere).  Why the narrow default: CPU AOT cache entries embed exact
+machine-feature lists and reload with SIGILL-risk warnings on even slightly
+different hosts, and the axon RELAY compiles on the remote server — its
+executables don't serialize through the local cache (second-process cold
+start measured unchanged), only the relay's own in-process cache applies.
 """
 from __future__ import annotations
 
@@ -40,6 +39,17 @@ def enable(cache_dir: str | None = None) -> str | None:
     existing = jax.config.jax_compilation_cache_dir
     if _enabled or existing:
         return existing
+    if not env and not cache_dir:
+        # default-on only for real local TPU backends.  CPU's AOT cache
+        # entries embed exact machine-feature lists and reload with
+        # SIGILL-risk warnings on even slightly different hosts; axon-relay
+        # compiles happen server-side and never hit this cache.  Explicit
+        # TPUEMBED_COMPILE_CACHE=<dir> still enables anywhere.
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:
+            return None
     path = os.path.expanduser(cache_dir or env or _DEFAULT_DIR)
     try:
         os.makedirs(path, exist_ok=True)

@@ -153,14 +153,15 @@ def test_error_frame_isolates_request():
     pytest.importorskip("tokenizers")
     engine = Engine.synthetic(CFG, opts=ComputeOptions(dtype="float32"))
     engine.warmup()
-    real_encode = engine.encode
+    real_encode = engine.encode_with_counts
 
     def flaky_encode(texts):
         if any("BOOM" in t for t in texts):
             raise ValueError("injected failure")
         return real_encode(texts)
 
-    engine.encode = flaky_encode
+    # the batcher drives encode_with_counts (the usage-count path)
+    engine.encode_with_counts = flaky_encode
 
     loop = asyncio.new_event_loop()
     sock = socket.socket()

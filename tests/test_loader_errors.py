@@ -72,3 +72,55 @@ def test_missing_required_kv(tmp_path):
     with GGUFReader(p) as r:
         with pytest.raises(KeyError):
             BertConfig.from_gguf_kv(r.kv)
+
+
+@pytest.fixture(scope="module")
+def valid_gguf_bytes(tmp_path_factory):
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.cli.make_test_model import make_test_model
+
+    p = tmp_path_factory.mktemp("fuzz") / "tiny.gguf"
+    make_test_model(str(p), "tiny", "f32")
+    return p.read_bytes()
+
+
+def test_truncation_fuzz(tmp_path, valid_gguf_bytes):
+    """Truncating a valid file at any prefix must raise a clean error (or
+    succeed for truncations past the metadata that don't cut a mapped
+    tensor), never hang or crash the process."""
+    data = valid_gguf_bytes
+    p = tmp_path / "trunc.gguf"
+    offsets = [0, 1, 3, 4, 7, 8, 12, 20, 100, 1000, len(data) // 2,
+               len(data) - 1]
+    for off in offsets:
+        p.write_bytes(data[:off])
+        try:
+            with GGUFReader(p) as r:
+                for name in list(r.tensors)[:3]:
+                    r.tensor_raw(name)
+        except Exception as e:
+            assert not isinstance(e, (MemoryError, SystemError)), (off, e)
+
+
+def test_mutation_fuzz(tmp_path, valid_gguf_bytes):
+    """Random byte flips in the header/metadata region: every mutant must
+    either load or raise a clean Python exception — bounded memory, no
+    crash.  (Counts read from the file must be validated against the file
+    size before allocation.)"""
+    rng = np.random.default_rng(0)
+    data = bytearray(valid_gguf_bytes)
+    meta_span = min(len(data), 4096)
+    p = tmp_path / "mut.gguf"
+    for _ in range(200):
+        mutant = bytearray(data)
+        for _ in range(rng.integers(1, 4)):
+            pos = int(rng.integers(0, meta_span))
+            mutant[pos] = int(rng.integers(0, 256))
+        p.write_bytes(bytes(mutant))
+        try:
+            with GGUFReader(p) as r:
+                _ = r.kv
+                for name in list(r.tensors)[:2]:
+                    r.tensor_raw(name)
+        except Exception as e:
+            assert not isinstance(e, (MemoryError, SystemError)), e

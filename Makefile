@@ -24,4 +24,4 @@ validate-real:
 	python -m embedding_cpp_tpu.cli.hub download $(MODEL) $(MODEL_DIR)
 	python benchmarks/run_eval.py --hf-dir $(MODEL_DIR) \
 	  --model-name $(notdir $(MODEL)) \
-	  --modes f32 f16 q4_0 q4_1 --warmup --assert-baseline
+	  --modes f32 f16 q4_0 q4_1 q8_0 --warmup --assert-baseline

@@ -32,7 +32,6 @@ _MATMUL_KEYS = frozenset(
 _GATHER_KEYS = frozenset({"word"})
 
 Q4_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1)
-QUANT_TYPES = (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0)
 
 
 class _TensorSource:

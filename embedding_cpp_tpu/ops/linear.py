@@ -84,8 +84,10 @@ def linear(
                 if ln is not None:
                     y = _layer_norm(y, ln[0], ln[1], ln[2], dtype)
                 return y
-            y = q4_matmul(x.reshape(-1, x.shape[-1]), w)
-            y = y.reshape(*lead, -1).astype(jnp.float32)
+            # row-parallel (psum follows): keep the f32 accumulator — a
+            # bf16 round here would degrade the cross-device sum
+            y = q4_matmul(x.reshape(-1, x.shape[-1]), w, out_f32=True)
+            y = y.reshape(*lead, -1)
         else:
             wd = dequantize(w, dtype=dtype)
             y = jnp.matmul(x, wd, preferred_element_type=jnp.float32)

@@ -117,12 +117,14 @@ def _epilogue(y: Array, bias, activation: str | None,
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "activation", "ln_eps"))
+@functools.partial(
+    jax.jit, static_argnames=("tm", "activation", "ln_eps", "out_f32")
+)
 def _q4_matmul_1d(
     x: Array, qs: Array, scales: Array, mins: Array | None,
     bias: Array | None = None, residual: Array | None = None,
     ln_sb: Array | None = None, *, tm: int, activation: str | None = None,
-    ln_eps: float = 0.0
+    ln_eps: float = 0.0, out_f32: bool = False
 ) -> Array:
     """1-D grid over M; full weight dequantized into VMEM scratch once.
 
@@ -210,7 +212,9 @@ def _q4_matmul_1d(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (m, n), jnp.float32 if out_f32 else x.dtype
+        ),
         scratch_shapes=[pltpu.VMEM((k, n), compute_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
@@ -230,11 +234,13 @@ def _q4_matmul_1d(
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "activation"))
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "activation", "out_f32")
+)
 def _q4_matmul_2d(
     x: Array, qs: Array, scales: Array, mins: Array | None,
     bias: Array | None = None, *, tm: int, tn: int,
-    activation: str | None = None
+    activation: str | None = None, out_f32: bool = False
 ) -> Array:
     m, k = x.shape
     qk_rows, n = qs.shape  # K/2 packed (Q4) or K plain (Q8)
@@ -297,7 +303,9 @@ def _q4_matmul_2d(
         out_specs=pl.BlockSpec(
             (tm, tn), lambda j, i: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (m, n), jnp.float32 if out_f32 else x.dtype
+        ),
         scratch_shapes=[pltpu.VMEM((k, tn), compute_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
@@ -314,12 +322,14 @@ def _q4_matmul_2d(
 def q4_matmul(
     x: Array, w: Q4Tensor, bias: Array | None = None,
     activation: str | None = None, residual: Array | None = None,
-    ln: tuple | None = None,
+    ln: tuple | None = None, out_f32: bool = False,
 ) -> Array:
     """x [M, K] @ packed-quantized w [K, N] (+ epilogue) -> [M, N] in x.dtype.
-    (Exception: a raw product — no bias/activation/residual/ln — on a shape
-    the kernel does not tile returns the f32 accumulator unrounded; the
-    shard_map row-parallel path psums that before any cast.)
+    (Exceptions returning the f32 accumulator unrounded: `out_f32=True` —
+    the shard_map row-parallel caller psums the partial product across
+    devices BEFORE any cast, and a bf16 round here would degrade the
+    cross-device sum — and a raw product on a shape the kernel does not
+    tile, which falls back to XLA.)
 
     Fused: 4-bit weights are dequantized in VMEM, never materialized in HBM.
     The epilogue runs in f32 on the VMEM output tile, in order: `bias`
@@ -404,6 +414,7 @@ def q4_matmul(
         return _q4_matmul_1d(
             x, w.qs, w.scales, w.mins, bias, residual, ln_sb, tm=tm,
             activation=activation, ln_eps=0.0 if ln is None else float(ln[2]),
+            out_f32=out_f32,
         )
     if residual is not None or ln is not None:
         # the 2-D (N-tiled) kernel holds partial rows, so the LN tail would
@@ -416,4 +427,4 @@ def q4_matmul(
         return xla_fallback()
     tm2 = _pick_tile(m, (256, 128, 64, 32, 16, 8))
     return _q4_matmul_2d(x, w.qs, w.scales, w.mins, bias, tm=tm2, tn=tn,
-                         activation=activation)
+                         activation=activation, out_f32=out_f32)

@@ -98,6 +98,11 @@ class Engine:
         self.pack_seq = min(pack_seq or DEFAULT_PACK_SEQ, config.n_ctx)
         self.pack_segs = max(8, self.pack_seq // 8)
         self._fwd_cache: dict[tuple, object] = {}
+        # single-fetch concat executables are keyed by the full tuple of
+        # pending batch shapes — combinatorial over bucket multisets, and
+        # every new shape combo is a fresh (slow, remote) compile.  Cap the
+        # distinct combos; past the cap, fall back to per-batch fetches.
+        self._concat_combos: set[tuple] = set()
         # serializes device dispatch + the compile cache across threads (the
         # server drives encode via its batcher AND eval/tokenize frames via
         # executor threads; unlocked, a shared new shape would compile twice
@@ -455,6 +460,17 @@ class Engine:
         metrics.inc("tokens", n_tokens)
         metrics.inc("batches", n_batches)
 
+    def _concat_combo_ok(self, combo: tuple, cap: int = 16) -> bool:
+        """Admit a batch-shape combo for the single-fetch device concat only
+        while the set of distinct combos (== compiled concat executables)
+        stays bounded; afterwards unseen combos take per-batch fetches."""
+        if combo in self._concat_combos:
+            return True
+        if len(self._concat_combos) >= cap:
+            return False
+        self._concat_combos.add(combo)
+        return True
+
     def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Token-id lists -> [n, n_embd] f32 (the reference's
         bert_eval_batch, but actually batched).
@@ -477,10 +493,12 @@ class Engine:
                 pending = self._dispatch(token_lists)
                 if self._multiprocess:
                     pending = [(b, self._fetch(v)) for b, v in pending]
+            combo = tuple(v.shape + (str(v.dtype),) for _, v in pending)
             if (
                 not self._multiprocess
                 and len(pending) > 1
                 and len({(v.shape[1:], v.dtype) for _, v in pending}) == 1
+                and self._concat_combo_ok(combo)
             ):
                 # single-fetch: concatenate the batch results ON DEVICE so
                 # only one device->host transfer happens.  Every fetch pays

@@ -13,6 +13,7 @@
 // Build: make -C native  ->  native/build/libtpuembed_capi.so
 
 #include <arpa/inet.h>
+#include <errno.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <signal.h>
@@ -532,7 +533,12 @@ int tpe_model_quantize(const char* in_path, const char* out_path, int ftype) {
         _exit(127);  // exec failed
     }
     int status = 0;
-    if (::waitpid(pid, &status, 0) != pid) return -1;
+    pid_t r;
+    do {
+        r = ::waitpid(pid, &status, 0);
+    } while (r == -1 && errno == EINTR);  // retry: a signal must not turn a
+                                          // successful quantize into -1 + zombie
+    if (r != pid) return -1;
     return (WIFEXITED(status) && WEXITSTATUS(status) == 0) ? 0 : -1;
 }
 

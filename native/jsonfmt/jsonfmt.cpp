@@ -14,6 +14,7 @@
 #include <charconv>
 #include <cstdint>
 #include <cstdio>
+#include <cmath>
 #include <cstring>
 
 namespace {
@@ -34,8 +35,9 @@ char* append(char* p, const char* s) {
 
 char* append_float(char* p, float v, char* end) {
     // JSON has no Inf/NaN tokens; embeddings are finite by construction but
-    // a defensive null keeps the output parseable either way
-    if (!(v == v) || v > 3.4e38f || v < -3.4e38f) return append(p, "null");
+    // a defensive null keeps the output parseable either way (std::isfinite,
+    // not a magnitude threshold: FLT_MAX is finite and must render)
+    if (!std::isfinite(v)) return append(p, "null");
     auto res = std::to_chars(p, end, v);
     return res.ptr;
 }

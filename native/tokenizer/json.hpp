@@ -4,6 +4,7 @@
 #pragma once
 
 #include <cerrno>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <map>
@@ -154,6 +155,11 @@ class Parser {
         v->num = std::strtod(text.c_str(), &parse_end);
         if (parse_end == text.c_str() || *parse_end != '\0')
             fail("invalid number");
+        // overflow (1e999 -> +/-HUGE_VAL with ERANGE) is a malformed blob,
+        // not an inf-valued config; underflow-to-zero/denormal also sets
+        // ERANGE and stays accepted
+        if (errno == ERANGE && (v->num == HUGE_VAL || v->num == -HUGE_VAL))
+            fail("number out of range");
         return v;
     }
 

@@ -290,3 +290,19 @@ def test_persistent_compile_cache_opt_out(monkeypatch):
     monkeypatch.setenv("TPUEMBED_COMPILE_CACHE", "0")
     monkeypatch.setattr(compile_cache, "_enabled", False)
     assert compile_cache.enable() is None
+
+
+def test_concat_combo_cap():
+    """The single-fetch device concat admits only a bounded set of distinct
+    batch-shape combos (each combo is a compiled executable; unbounded
+    combos would mean unbounded slow remote compiles)."""
+    from embedding_cpp_tpu.models import BertConfig
+
+    cfg = BertConfig(n_vocab=512, n_ctx=64, n_embd=64, n_layer=1, n_head=4,
+                     n_ff=128)
+    eng = Engine.synthetic(cfg, ftype="f32")
+    for i in range(16):
+        assert eng._concat_combo_ok(((i, 64), "f32"))
+    # seen combos stay admitted; new ones are refused past the cap
+    assert eng._concat_combo_ok(((3, 64), "f32"))
+    assert not eng._concat_combo_ok(((99, 64), "f32"))

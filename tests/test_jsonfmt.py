@@ -56,6 +56,18 @@ def test_non_finite_values_render_as_null():
     assert data[0]["embedding"] == [None, None, None, 1.5]
 
 
+def test_flt_max_is_finite_and_renders():
+    """Regression: the finiteness guard must be std::isfinite, not a
+    magnitude threshold — FLT_MAX is a finite float and must render as a
+    number (the old 3.4e38 cutoff nulled it)."""
+    m = np.finfo(np.float32).max
+    s = np.array([[m, -m, 1.0]], np.float32)
+    row = json.loads(jsonfmt.embedding_data_json(s))[0]["embedding"]
+    assert row[2] == 1.0
+    assert row[0] is not None and np.float32(row[0]) == m
+    assert row[1] is not None and np.float32(row[1]) == -m
+
+
 def test_rejects_non_matrix():
     with pytest.raises(ValueError):
         jsonfmt.embedding_data_json(np.zeros(3, np.float32))

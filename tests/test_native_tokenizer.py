@@ -122,6 +122,9 @@ def test_hostile_vocab_blobs_rejected_cleanly():
         '"model":{"type":"WordPiece","vocab":{"[UNK]":0},"unk_token":"[UNK]"}}',
         '{"added_tokens":[{"content":"x"}],'
         '"model":{"type":"WordPiece","vocab":{"[UNK]":0},"unk_token":"[UNK]"}}',
+        # number overflow must be a parse error, not a silent inf config
+        '{"model":{"type":"WordPiece","vocab":{"a":0}},"x":1e999}',
+        '{"model":{"type":"WordPiece","vocab":{"a":0}},"x":-1e999}',
     ]
     for blob in hostile:
         with pytest.raises(Exception):

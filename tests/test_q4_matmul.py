@@ -41,6 +41,30 @@ def test_matches_dequant_path(qtype, m, k, n):
     np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
 
 
+def test_out_f32_keeps_accumulator_precision():
+    """out_f32=True (the row-parallel pre-psum contract) must return the
+    unrounded f32 accumulator from the kernel path — matching the dequant
+    reference far tighter than a bf16-rounded output could."""
+    qt = _make(GGMLType.Q4_0, 384, 384)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(64, 384)), dtype=jnp.bfloat16)
+    y = q4_matmul(x, qt, out_f32=True)
+    assert y.dtype == jnp.float32
+    ref = jnp.matmul(x, dequantize(qt, dtype=jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    # same math, possibly different accumulation order (cf.
+    # test_bf16_activation); the point under test is the unrounded f32
+    # output dtype on the KERNEL path, not bitwise agreement
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=0.5, rtol=2e-2)
+    # f32 output must at least refine the bf16-rounded default: rounding y
+    # to bf16 reproduces the default output exactly
+    y_bf = np.asarray(q4_matmul(x, qt))
+    np.testing.assert_array_equal(
+        np.asarray(y.astype(jnp.bfloat16)), y_bf
+    )
+
+
 def test_bf16_activation():
     qt = _make(GGMLType.Q4_0, 384, 384)
     rng = np.random.default_rng(2)

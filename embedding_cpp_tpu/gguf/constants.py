@@ -142,6 +142,12 @@ class Keys:
     # LaBSE pools then projects through a tanh Dense layer before L2)
     DENSE_OUT = f"{ARCH}.dense_feat_out"
     DENSE_ACTIVATION = f"{ARCH}.dense_activation"
+    # encoder-family extension (our extension; general.architecture carries
+    # the family name, these carry its shape deltas): token-type table rows
+    # (0 = no table, e.g. DistilBERT) and the first real-token position id
+    # (RoBERTa: padding_idx + 1 = 2)
+    TOKEN_TYPE_COUNT = f"{ARCH}.token_type_count"
+    POSITION_OFFSET = f"{ARCH}.position_offset"
 
     # tokenizer
     TOKENIZER_MODEL = "tokenizer.ggml.model"

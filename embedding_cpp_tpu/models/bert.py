@@ -207,23 +207,29 @@ def embed_tokens(
     opts: ComputeOptions,
     positions: Array | None = None,
 ) -> Array:
-    """word[ids] + token_type[0] + position[0..S-1], then embedding LayerNorm
-    (bert.cpp:868-898).  Token type is always 0 and positions are 0..S-1,
-    exactly as the reference hard-codes them.  For sequence-packed batches
+    """word[ids] + token_type[0] + position[off..off+S-1], then embedding
+    LayerNorm (bert.cpp:868-898).  Token type is always 0 and positions are
+    consecutive, exactly as the reference hard-codes them for BERT; the
+    arch-dependent deltas the reference never supports: DistilBERT has no
+    token-type table (the param key is absent), and RoBERTa numbers real
+    tokens from `pos_offset` = padding_idx + 1 (HF
+    create_position_ids_from_input_ids).  For sequence-packed batches
     `positions` carries the per-segment position ids (restarting at 0 for
     each packed sentence, matching the reference's per-sentence graphs)."""
     emb = params["embeddings"]
     s = ids.shape[-1]
+    off = config.pos_offset
     word = emb["word"]
     if isinstance(word, QTensor):
         x = gather_rows(word, ids, dtype=jnp.float32)
     else:
         x = word[ids].astype(jnp.float32)
-    x = x + emb["token_type"][0].astype(jnp.float32)
+    if "token_type" in emb:
+        x = x + emb["token_type"][0].astype(jnp.float32)
     if positions is None:
-        x = x + emb["position"][:s].astype(jnp.float32)
+        x = x + emb["position"][off : off + s].astype(jnp.float32)
     else:
-        x = x + emb["position"][positions].astype(jnp.float32)
+        x = x + emb["position"][positions + off].astype(jnp.float32)
     return layer_norm(
         x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps, opts.jdtype
     )

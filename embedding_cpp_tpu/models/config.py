@@ -3,12 +3,30 @@
 Equivalent of the reference's `bert_hparams` (bert.cpp:20-31), populated from
 GGUF kv metadata exactly as the reference loader does (bert.cpp:496-513):
 n_vocab comes from the token list length, everything else from `bert.*` keys.
+
+Extension over the reference (which accepts only BertModel,
+convert-to-gguf.py:133-136): the `arch` field selects among the supported
+encoder families — "bert", "roberta" (incl. XLM-R checkpoints that share the
+RobertaModel graph), "distilbert" — which differ only in tensor naming
+(models/schema.py), token-type table presence, and RoBERTa's position-id
+offset.  The GGUF kv key names stay `bert.*` for all of them (the reference's
+reader vocabulary); `general.architecture` records the real family.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
 from ..gguf.constants import Keys
+
+# Architecture-dependent defaults: (n_token_types, pos_offset, ln_eps).
+# RoBERTa numbers positions from padding_idx + 1 = 2 (HF
+# create_position_ids_from_input_ids), has a 1-row token-type table and
+# eps 1e-5; DistilBERT has no token-type table at all.
+_ARCH_DEFAULTS = {
+    "bert": (2, 0, 1e-12),
+    "roberta": (1, 2, 1e-5),
+    "distilbert": (0, 0, 1e-12),
+}
 
 
 @dataclass(frozen=True)
@@ -32,6 +50,11 @@ class BertConfig:
     # and normalization (0 = none): pooled @ W.T + b, then activation
     dense_out: int = 0
     dense_activation: str = "tanh"  # "tanh" | "identity"
+    # encoder family: "bert" | "roberta" | "distilbert" (see module doc)
+    arch: str = "bert"
+    # first real-token position id (RoBERTa: padding_idx + 1 = 2); the
+    # position table then has n_ctx + pos_offset rows
+    pos_offset: int = 0
     name: str = ""
 
     @property
@@ -43,10 +66,29 @@ class BertConfig:
             raise ValueError(
                 f"n_embd {self.n_embd} not divisible by n_head {self.n_head}"
             )
+        if self.arch not in _ARCH_DEFAULTS:
+            raise ValueError(
+                f"unsupported architecture {self.arch!r} "
+                f"(supported: {sorted(_ARCH_DEFAULTS)})"
+            )
+
+    @classmethod
+    def arch_defaults(cls, arch: str, **kw) -> "BertConfig":
+        """Construct with arch-appropriate token-type/pos-offset/eps defaults
+        (overridable via kw)."""
+        ntt, off, eps = _ARCH_DEFAULTS[arch]
+        kw.setdefault("n_token_types", ntt)
+        kw.setdefault("pos_offset", off)
+        kw.setdefault("layer_norm_eps", eps)
+        return cls(arch=arch, **kw)
 
     @classmethod
     def from_gguf_kv(cls, kv: dict) -> "BertConfig":
         n_vocab = len(kv[Keys.TOKENIZER_LIST])
+        arch = str(kv.get(Keys.ARCHITECTURE, "bert"))
+        if arch not in _ARCH_DEFAULTS:  # e.g. reference files say "bert"
+            arch = "bert"
+        ntt_default, off_default, eps_default = _ARCH_DEFAULTS[arch]
         return cls(
             n_vocab=n_vocab,
             n_ctx=int(kv[Keys.CONTEXT_LENGTH]),
@@ -54,17 +96,52 @@ class BertConfig:
             n_layer=int(kv[Keys.BLOCK_COUNT]),
             n_head=int(kv[Keys.HEAD_COUNT]),
             n_ff=int(kv[Keys.FEED_FORWARD_LENGTH]),
-            layer_norm_eps=float(kv.get(Keys.LAYER_NORM_EPS, 1e-12)),
+            layer_norm_eps=float(kv.get(Keys.LAYER_NORM_EPS, eps_default)),
+            n_token_types=int(kv.get(Keys.TOKEN_TYPE_COUNT, ntt_default)),
             pooling=str(kv.get(Keys.POOLING_TYPE, "mean")),
             normalize=bool(kv.get(Keys.NORMALIZE, True)),
             dense_out=int(kv.get(Keys.DENSE_OUT, 0)),
             dense_activation=str(kv.get(Keys.DENSE_ACTIVATION, "tanh")),
+            arch=arch,
+            pos_offset=int(kv.get(Keys.POSITION_OFFSET, off_default)),
             name=str(kv.get("general.name", "")),
         )
 
     @classmethod
     def from_hf_config(cls, hf: dict, name: str = "") -> "BertConfig":
-        """From a transformers BertConfig-style dict (config.json)."""
+        """From a transformers config.json dict (BertConfig-style keys;
+        DistilBertConfig uses its own names, dispatched on model_type)."""
+        model_type = str(hf.get("model_type", "bert"))
+        if model_type == "distilbert":
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                n_ctx=int(hf.get("max_position_embeddings", 512)),
+                n_embd=int(hf["dim"]),
+                n_layer=int(hf["n_layers"]),
+                n_head=int(hf["n_heads"]),
+                n_ff=int(hf["hidden_dim"]),
+                # HF modeling_distilbert hard-codes LayerNorm eps 1e-12
+                layer_norm_eps=1e-12,
+                n_token_types=0,
+                arch="distilbert",
+                name=name,
+            )
+        if model_type in ("roberta", "xlm-roberta", "camembert"):
+            pos_offset = int(hf.get("pad_token_id", 1)) + 1
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                # usable context excludes the pos_offset dummy rows
+                n_ctx=int(hf.get("max_position_embeddings", 514)) - pos_offset,
+                n_embd=int(hf["hidden_size"]),
+                n_layer=int(hf["num_hidden_layers"]),
+                n_head=int(hf["num_attention_heads"]),
+                n_ff=int(hf["intermediate_size"]),
+                layer_norm_eps=float(hf.get("layer_norm_eps", 1e-5)),
+                n_token_types=int(hf.get("type_vocab_size", 1)),
+                arch="roberta",
+                pos_offset=pos_offset,
+                name=name,
+            )
         return cls(
             n_vocab=int(hf["vocab_size"]),
             n_ctx=int(hf.get("max_position_embeddings", 512)),
@@ -90,4 +167,14 @@ MINILM_L12 = BertConfig(
 BERT_BASE = BertConfig(
     n_vocab=30522, n_ctx=512, n_embd=768, n_layer=12, n_head=12, n_ff=3072,
     name="bert-base-uncased",
+)
+DISTILROBERTA = BertConfig(
+    n_vocab=50265, n_ctx=512, n_embd=768, n_layer=6, n_head=12, n_ff=3072,
+    layer_norm_eps=1e-5, n_token_types=1, arch="roberta", pos_offset=2,
+    name="all-distilroberta-v1",
+)
+DISTILBERT_BASE = BertConfig(
+    n_vocab=30522, n_ctx=512, n_embd=768, n_layer=6, n_head=12, n_ff=3072,
+    n_token_types=0, arch="distilbert",
+    name="multi-qa-distilbert-cos-v1",
 )

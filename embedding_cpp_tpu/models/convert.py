@@ -39,24 +39,29 @@ FTYPE_NAMES = {
     "q8_0": GGUFFileType.MOSTLY_Q8_0,
 }
 
-# Standard BERT special tokens, used as fallback when no
-# special_tokens_map.json is available.
+# Special-token fallbacks when no special_tokens_map.json is available:
+# BERT/DistilBERT WordPiece names first, then the RoBERTa BPE names (whose
+# <s>/</s> play the cls/sep roles in our single-sequence framing,
+# tokenizer/base.frame_ids).
 _SPECIAL_TOKEN_NAMES = {
-    "unk": "[UNK]",
-    "sep": "[SEP]",
-    "pad": "[PAD]",
-    "cls": "[CLS]",
+    "unk": ("[UNK]", "<unk>"),
+    "sep": ("[SEP]", "</s>"),
+    "pad": ("[PAD]", "<pad>"),
+    "cls": ("[CLS]", "<s>"),
 }
 
 
 def special_ids_from_vocab(vocab: dict[str, int], overrides: dict | None = None):
     """Resolve unk/sep/pad/cls ids from the vocab (+ explicit overrides)."""
     ids = {}
-    for key, tok in _SPECIAL_TOKEN_NAMES.items():
+    for key, candidates in _SPECIAL_TOKEN_NAMES.items():
         if overrides and key in overrides:
             ids[key] = int(overrides[key])
-        elif tok in vocab:
-            ids[key] = int(vocab[tok])
+            continue
+        for tok in candidates:
+            if tok in vocab:
+                ids[key] = int(vocab[tok])
+                break
     return ids
 
 
@@ -74,7 +79,10 @@ def write_bert_gguf(
     tok = json.loads(tokenizer_json)
     vocab = tok["model"]["vocab"]
     if not isinstance(vocab, dict):
-        raise ValueError("tokenizer.json model.vocab must be a dict (WordPiece)")
+        raise ValueError(
+            "tokenizer.json model.vocab must be a dict (WordPiece/BPE)"
+        )
+    tok_model = str(tok["model"].get("type", "WordPiece"))
     id_to_token = {int(i): t for t, i in vocab.items()}
     # Added tokens (specials) may live outside model.vocab
     for added in tok.get("added_tokens", []):
@@ -89,7 +97,10 @@ def write_bert_gguf(
     sp = special_ids_from_vocab(vocab, special_ids)
 
     w = GGUFWriter()
-    w.add_string(Keys.ARCHITECTURE, "bert")
+    # the kv key *prefix* stays "bert." for every family (the reference
+    # reader's vocabulary, gguf.h:259-302); general.architecture records
+    # which encoder family the tensor names/shapes follow
+    w.add_string(Keys.ARCHITECTURE, config.arch)
     w.add_string(Keys.NAME, config.name or Path(out_path).stem)
     if source_hf_repo:
         w.add_string(Keys.SOURCE_HF_REPO, source_hf_repo)
@@ -109,10 +120,17 @@ def write_bert_gguf(
     if config.dense_out:
         w.add_uint32(Keys.DENSE_OUT, config.dense_out)
         w.add_string(Keys.DENSE_ACTIVATION, config.dense_activation)
+    if config.arch != "bert":
+        # shape deltas of the non-bert families (config.py _ARCH_DEFAULTS);
+        # written explicitly so the reader needs no arch-specific guessing
+        w.add_uint32(Keys.TOKEN_TYPE_COUNT, config.n_token_types)
+        w.add_uint32(Keys.POSITION_OFFSET, config.pos_offset)
     w.add_uint32("general.file_type", int(ftype))
 
     w.add_string(Keys.TOKENIZER_JSON_BLOB, tokenizer_json)
-    w.add_string(Keys.TOKENIZER_MODEL, "bert")
+    # "bert" = WordPiece (the reference's value); "gpt2" = byte-level BPE
+    # (ggml's name for it) — informational, dispatch runs off the json blob
+    w.add_string(Keys.TOKENIZER_MODEL, "gpt2" if tok_model == "BPE" else "bert")
     w.add_array(Keys.TOKENIZER_LIST, tokens, GGUFValueType.STRING)
     w.add_array(
         Keys.TOKENIZER_SCORES, [0.0] * n_vocab, GGUFValueType.FLOAT32
@@ -155,7 +173,15 @@ def load_hf_dir(model_dir: str | os.PathLike):
     with open(model_dir / "config.json") as f:
         hf_config = json.load(f)
     archs = hf_config.get("architectures") or []
-    if archs and archs[0] not in ("BertModel", "BertForMaskedLM"):
+    # the reference accepts only BertModel (convert-to-gguf.py:133-136); we
+    # extend to the sibling encoder families (models/schema.py)
+    _SUPPORTED = (
+        "BertModel", "BertForMaskedLM",
+        "DistilBertModel", "DistilBertForMaskedLM",
+        "RobertaModel", "RobertaForMaskedLM",
+        "XLMRobertaModel", "XLMRobertaForMaskedLM", "CamembertModel",
+    )
+    if archs and archs[0] not in _SUPPORTED:
         raise ValueError(f"unsupported architecture: {archs[0]}")
     config = BertConfig.from_hf_config(hf_config, name=model_dir.name)
     import dataclasses
@@ -173,10 +199,15 @@ def load_hf_dir(model_dir: str | os.PathLike):
     tokenizer_json = tokenizer_json_path.read_bytes()
 
     state_dict = _load_state_dict(model_dir)
-    # strip a leading "bert." prefix (BertForMaskedLM-style checkpoints)
+    # strip the base-model prefix of *ForMaskedLM-style checkpoints and drop
+    # their task heads (cls.* for BERT, lm_head.* / vocab_* for the others)
+    _PREFIXES = ("bert.", "distilbert.", "roberta.")
+    _HEADS = ("cls.", "lm_head.", "vocab_transform.", "vocab_layer_norm.",
+              "vocab_projector.")
     state_dict = {
-        (k[len("bert."):] if k.startswith("bert.") else k): v
+        next((k[len(p):] for p in _PREFIXES if k.startswith(p)), k): v
         for k, v in state_dict.items()
+        if not k.startswith(_HEADS)
     }
     if dense is not None:
         config = dataclasses.replace(

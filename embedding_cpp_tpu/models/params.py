@@ -118,7 +118,7 @@ def build_params(
     f32 = jnp.float32
 
     emb = {}
-    for name, (key, shape_fn) in schema.EMBEDDING_TENSORS.items():
+    for name, (key, shape_fn) in schema.embedding_tensors(config).items():
         shape = shape_fn(config)
         if key == "word":
             emb[key] = source.gather_table(name, shape, dense_dtype, keep_q4)
@@ -130,7 +130,7 @@ def build_params(
 
     per_layer: dict[str, list] = {}
     for i in range(config.n_layer):
-        for name, (key, shape_fn) in schema.layer_tensor_names(i).items():
+        for name, (key, shape_fn) in schema.layer_tensor_names(i, config).items():
             shape = shape_fn(config)
             if key in _MATMUL_KEYS:
                 v = source.matmul_weight(name, shape, dense_dtype, keep_q4)
@@ -216,7 +216,7 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
         return (rng.standard_normal(shape) * 0.02).astype(np.float32)
 
     sd: dict[str, np.ndarray] = {}
-    for name, (key, shape_fn) in schema.EMBEDDING_TENSORS.items():
+    for name, (key, shape_fn) in schema.embedding_tensors(config).items():
         shape = shape_fn(config)
         if key in ("ln_scale",):
             sd[name] = np.ones(shape, np.float32)
@@ -225,7 +225,7 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
         else:
             sd[name] = init(shape)
     for i in range(config.n_layer):
-        for name, (key, shape_fn) in schema.layer_tensor_names(i).items():
+        for name, (key, shape_fn) in schema.layer_tensor_names(i, config).items():
             shape = shape_fn(config)
             if key.startswith("ln_") and key.endswith("scale"):
                 sd[name] = np.ones(shape, np.float32)

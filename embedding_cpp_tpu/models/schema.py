@@ -1,10 +1,28 @@
-"""GGUF tensor-name schema for BERT-family models.
+"""GGUF tensor-name schemas for the supported encoder families.
 
 The reference stores tensors under verbatim HF BertModel names
-(bert.cpp:623-652, convert-to-gguf.py keeps `state_dict()` names).  This
-module is the single source of truth mapping those names to our param tree.
+(bert.cpp:623-652, convert-to-gguf.py keeps `state_dict()` names) and
+accepts ONLY the BertModel architecture (convert-to-gguf.py:133-136).  We
+keep the verbatim-HF-names convention and extend it to the sibling encoder
+families sentence-transformers users actually deploy:
+
+- "bert"        — HF BertModel names (the reference schema, unchanged);
+- "roberta"     — HF RobertaModel/XLMRobertaModel: module structure and
+                  therefore state-dict names are identical to BertModel;
+                  only the shapes differ (position table carries
+                  `pos_offset` extra rows, token-type table has 1 row);
+- "distilbert"  — HF DistilBertModel: no token-type table, and the encoder
+                  uses its own module names (transformer.layer.N.attention.
+                  {q,k,v,out}_lin, sa_layer_norm, ffn.lin1/lin2,
+                  output_layer_norm).
+
+This module is the single source of truth mapping those names to our param
+tree; the param keys (q_w, ffn_up_w, ln_att_scale, ...) are arch-invariant
+so the forward pass never branches on names.
 """
 from __future__ import annotations
+
+# --- BERT (and RoBERTa: identical names, shapes parameterized) --------------
 
 # Embedding-level tensors: GGUF name -> (param key, expected shape fn)
 EMBEDDING_TENSORS = {
@@ -15,7 +33,10 @@ EMBEDDING_TENSORS = {
     ),
     "embeddings.position_embeddings.weight": (
         "position",
-        lambda c: (c.n_ctx, c.n_embd),
+        # RoBERTa position tables carry pos_offset (= padding_idx + 1 = 2)
+        # unused leading rows (HF create_position_ids_from_input_ids numbers
+        # real tokens from padding_idx + 1)
+        lambda c: (c.n_ctx + c.pos_offset, c.n_embd),
     ),
     "embeddings.LayerNorm.weight": ("ln_scale", lambda c: (c.n_embd,)),
     "embeddings.LayerNorm.bias": ("ln_bias", lambda c: (c.n_embd,)),
@@ -42,6 +63,37 @@ LAYER_TENSORS = {
     "encoder.layer.{i}.output.LayerNorm.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
 }
 
+# --- DistilBERT --------------------------------------------------------------
+
+DISTILBERT_EMBEDDING_TENSORS = {
+    "embeddings.word_embeddings.weight": ("word", lambda c: (c.n_vocab, c.n_embd)),
+    "embeddings.position_embeddings.weight": (
+        "position",
+        lambda c: (c.n_ctx, c.n_embd),
+    ),
+    "embeddings.LayerNorm.weight": ("ln_scale", lambda c: (c.n_embd,)),
+    "embeddings.LayerNorm.bias": ("ln_bias", lambda c: (c.n_embd,)),
+}
+
+DISTILBERT_LAYER_TENSORS = {
+    "transformer.layer.{i}.attention.q_lin.weight": ("q_w", lambda c: (c.n_embd, c.n_embd)),
+    "transformer.layer.{i}.attention.q_lin.bias": ("q_b", lambda c: (c.n_embd,)),
+    "transformer.layer.{i}.attention.k_lin.weight": ("k_w", lambda c: (c.n_embd, c.n_embd)),
+    "transformer.layer.{i}.attention.k_lin.bias": ("k_b", lambda c: (c.n_embd,)),
+    "transformer.layer.{i}.attention.v_lin.weight": ("v_w", lambda c: (c.n_embd, c.n_embd)),
+    "transformer.layer.{i}.attention.v_lin.bias": ("v_b", lambda c: (c.n_embd,)),
+    "transformer.layer.{i}.attention.out_lin.weight": ("o_w", lambda c: (c.n_embd, c.n_embd)),
+    "transformer.layer.{i}.attention.out_lin.bias": ("o_b", lambda c: (c.n_embd,)),
+    "transformer.layer.{i}.sa_layer_norm.weight": ("ln_att_scale", lambda c: (c.n_embd,)),
+    "transformer.layer.{i}.sa_layer_norm.bias": ("ln_att_bias", lambda c: (c.n_embd,)),
+    "transformer.layer.{i}.ffn.lin1.weight": ("ffn_up_w", lambda c: (c.n_ff, c.n_embd)),
+    "transformer.layer.{i}.ffn.lin1.bias": ("ffn_up_b", lambda c: (c.n_ff,)),
+    "transformer.layer.{i}.ffn.lin2.weight": ("ffn_down_w", lambda c: (c.n_embd, c.n_ff)),
+    "transformer.layer.{i}.ffn.lin2.bias": ("ffn_down_b", lambda c: (c.n_embd,)),
+    "transformer.layer.{i}.output_layer_norm.weight": ("ln_out_scale", lambda c: (c.n_embd,)),
+    "transformer.layer.{i}.output_layer_norm.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
+}
+
 # Optional sentence-transformers Dense head (our extension; present only
 # when config.dense_out > 0): pooled @ W.T + b between pooling and L2 norm.
 DENSE_TENSORS = {
@@ -49,9 +101,16 @@ DENSE_TENSORS = {
     "dense.linear.bias": ("dense_b", lambda c: (c.dense_out,)),
 }
 
-# Tensors the converter intentionally drops (convert-to-gguf.py:294-321).
+# Tensors the converter intentionally drops (convert-to-gguf.py:294-321),
+# plus the same-role buffers of the sibling families (token_type_ids is a
+# registered non-persistent buffer in newer transformers checkpoints).
 SKIPPED_TENSORS = frozenset(
-    {"embeddings.position_ids", "pooler.dense.weight", "pooler.dense.bias"}
+    {
+        "embeddings.position_ids",
+        "embeddings.token_type_ids",
+        "pooler.dense.weight",
+        "pooler.dense.bias",
+    }
 )
 
 # 2-D weight matrices eligible for quantization — same filter the reference
@@ -63,12 +122,38 @@ QUANTIZABLE_KEYS = frozenset(
 )
 
 
-def layer_tensor_names(i: int) -> dict[str, tuple[str, object]]:
-    return {t.format(i=i): v for t, v in LAYER_TENSORS.items()}
+def embedding_tensors(config) -> dict:
+    """Embedding-level tensor map for the config's architecture.  RoBERTa
+    reuses the BERT names; DistilBERT has no token-type table."""
+    if config.arch == "distilbert":
+        return DISTILBERT_EMBEDDING_TENSORS
+    if config.n_token_types == 0:
+        # defensive: a bert-schema config without token types drops the row
+        return {
+            k: v for k, v in EMBEDDING_TENSORS.items() if v[0] != "token_type"
+        }
+    return EMBEDDING_TENSORS
 
 
-def all_tensor_names(n_layer: int) -> list[str]:
-    names = list(EMBEDDING_TENSORS)
+def _layer_templates(config) -> dict:
+    return (
+        DISTILBERT_LAYER_TENSORS
+        if config.arch == "distilbert"
+        else LAYER_TENSORS
+    )
+
+
+def layer_tensor_names(i: int, config=None) -> dict[str, tuple[str, object]]:
+    templates = LAYER_TENSORS if config is None else _layer_templates(config)
+    return {t.format(i=i): v for t, v in templates.items()}
+
+
+def all_tensor_names(n_layer: int, config=None) -> list[str]:
+    names = (
+        list(EMBEDDING_TENSORS)
+        if config is None
+        else list(embedding_tensors(config))
+    )
     for i in range(n_layer):
-        names.extend(layer_tensor_names(i))
+        names.extend(layer_tensor_names(i, config))
     return names

@@ -1,7 +1,11 @@
-"""Build a synthetic GGUF model (random weights + synthetic WordPiece vocab).
+"""Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|minilm-l6|minilm-l12|bert-base] [--ftype f32] [--seed 0]
+           [--preset tiny|tiny-roberta|tiny-distilbert|minilm-l6|minilm-l12|bert-base]\
+           [--ftype f32] [--seed 0]
+
+The roberta preset carries a trained byte-level BPE tokenizer; distilbert a
+WordPiece one.
 
 Lets every surface (CLI, server, benchmarks, tests) run end-to-end without
 network access or real model downloads.
@@ -14,12 +18,21 @@ from dataclasses import replace
 from ..models.config import BERT_BASE, MINILM_L6, MINILM_L12, BertConfig
 from ..models.convert import FTYPE_NAMES, write_bert_gguf
 from ..models.params import random_state_dict
-from ..tokenizer.testvocab import build_tokenizer_json
+from ..tokenizer.testvocab import build_bpe_tokenizer_json, build_tokenizer_json
 
 PRESETS = {
     "tiny": BertConfig(
         n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
         name="tiny-test",
+    ),
+    "tiny-roberta": BertConfig(
+        n_vocab=600, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        layer_norm_eps=1e-5, n_token_types=1, arch="roberta", pos_offset=2,
+        name="tiny-roberta-test",
+    ),
+    "tiny-distilbert": BertConfig(
+        n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        n_token_types=0, arch="distilbert", name="tiny-distilbert-test",
     ),
     "minilm-l6": replace(MINILM_L6, n_vocab=1000, name="minilm-l6-synthetic"),
     "minilm-l12": replace(MINILM_L12, n_vocab=1000, name="minilm-l12-synthetic"),
@@ -31,8 +44,20 @@ def make_test_model(
     out_path: str, preset: str = "tiny", ftype: str = "f32", seed: int = 0
 ) -> None:
     config = PRESETS[preset]
+    if config.arch == "roberta":
+        # BPE training stops when the corpus runs out of merges, so the
+        # trained vocab may be smaller than requested — size the model to it
+        import json
+
+        tokenizer_json = build_bpe_tokenizer_json(config.n_vocab)
+        spec = json.loads(tokenizer_json)
+        ids = list(spec["model"]["vocab"].values()) + [
+            t["id"] for t in spec.get("added_tokens", [])
+        ]
+        config = replace(config, n_vocab=max(ids) + 1)
+    else:
+        tokenizer_json = build_tokenizer_json(config.n_vocab)
     sd = random_state_dict(config, seed=seed)
-    tokenizer_json = build_tokenizer_json(config.n_vocab)
     write_bert_gguf(out_path, config, sd, tokenizer_json, FTYPE_NAMES[ftype])
 
 

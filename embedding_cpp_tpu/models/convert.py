@@ -154,7 +154,11 @@ def write_bert_gguf(
         if name in SKIPPED_TENSORS:
             continue
         arr = np.ascontiguousarray(np.asarray(data), dtype=np.float32)
-        arr = np.squeeze(arr)
+        if arr.ndim > 2:
+            # drop stray singleton dims from odd checkpoints — but never
+            # squeeze a legitimate 2-D table (RoBERTa's token-type table is
+            # [1, E] and must stay 2-D)
+            arr = np.squeeze(arr)
         if target != GGMLType.F32 and name.endswith(".weight") and arr.ndim == 2:
             if target == GGMLType.F16:
                 w.add_tensor(name, arr.astype(np.float16))

@@ -1,15 +1,21 @@
 """Tokenizer subsystem.
 
 Backends (all loading the same `blob.tokenizer.json` GGUF kv):
-- "native": C++ WordPiece engine via ctypes (native/tokenizer) — the
-  production host-side path;
+- "native": C++ engine via ctypes (native/tokenizer) — the production
+  host-side path (WordPiece and byte-level BPE);
 - "hf": HF `tokenizers` (Rust) library;
-- "python": dependency-free pure-Python engine (executable spec).
-"auto" picks native > hf > python.
+- "python": dependency-free pure-Python engines (executable specs) —
+  wordpiece.py for BERT-family jsons, bpe.py for RoBERTa/GPT-2-family.
+"auto" picks native > hf > python.  The model family is dispatched on the
+json's model.type, never on the architecture — tokenizer and encoder are
+independently pluggable, exactly as in HF checkpoints.
 """
 from __future__ import annotations
 
+import json as _json
+
 from .base import SpecialIds, Tokenizer, frame_ids
+from .bpe import ByteLevelBPETokenizer
 from .wordpiece import WordPieceTokenizer
 
 __all__ = [
@@ -17,8 +23,18 @@ __all__ = [
     "Tokenizer",
     "frame_ids",
     "WordPieceTokenizer",
+    "ByteLevelBPETokenizer",
     "load_tokenizer",
 ]
+
+
+def _model_type(tokenizer_json: bytes | str) -> str:
+    if isinstance(tokenizer_json, bytes):
+        tokenizer_json = tokenizer_json.decode("utf-8", errors="replace")
+    try:
+        return str((_json.loads(tokenizer_json).get("model") or {}).get("type"))
+    except Exception:
+        return ""
 
 
 def load_tokenizer(tokenizer_json: bytes | str, backend: str = "auto"):
@@ -38,4 +54,6 @@ def load_tokenizer(tokenizer_json: bytes | str, backend: str = "auto"):
         except Exception:
             if backend == "hf":
                 raise
+    if _model_type(tokenizer_json) == "BPE":
+        return ByteLevelBPETokenizer(tokenizer_json)
     return WordPieceTokenizer(tokenizer_json)

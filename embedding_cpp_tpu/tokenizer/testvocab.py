@@ -48,6 +48,35 @@ def build_vocab(n_vocab: int = 1000) -> dict[str, int]:
     return {t: i for i, t in enumerate(tokens)}
 
 
+def build_bpe_tokenizer_json(
+    n_vocab: int = 1000, add_prefix_space: bool = False
+) -> bytes:
+    """Serialize a real HF byte-level BPE pipeline (RoBERTa-style) to
+    tokenizer.json: specials <s>/<pad>/</s>/<unk>/<mask>, ByteLevel
+    pre-tokenizer/decoder, merges trained deterministically on the synthetic
+    corpus (BPE training is deterministic for a fixed corpus)."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(
+        add_prefix_space=add_prefix_space, use_regex=True
+    )
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=n_vocab,
+        special_tokens=["<s>", "<pad>", "</s>", "<unk>", "<mask>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        show_progress=False,
+    )
+    corpus = [
+        " ".join(_COMMON_WORDS),
+        "It's the quick brown fox; don't they'll we've I'm you're 123 42.",
+        "Café déjà vu — naïve résumé!",
+    ]
+    tok.train_from_iterator(corpus, trainer)
+    return tok.to_str().encode("utf-8")
+
+
 def build_tokenizer_json(n_vocab: int = 1000, lowercase: bool = True) -> bytes:
     """Serialize a real HF tokenizers WordPiece pipeline to tokenizer.json."""
     from tokenizers import (

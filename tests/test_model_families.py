@@ -251,3 +251,23 @@ def test_arch_kv_roundtrip(tmp_path):
     assert cfg2.n_token_types == 0
     assert cfg2.pos_offset == 0
     assert "embeddings.token_type_embeddings.weight" not in r.tensors
+
+
+@pytest.mark.parametrize("preset,ftype", [("tiny-roberta", "q4_0"),
+                                          ("tiny-distilbert", "q8_0")])
+def test_engine_end_to_end(tmp_path, preset, ftype):
+    """Synthetic GGUF -> Engine -> encode for the non-bert families
+    (RoBERTa rides the byte-level BPE tokenizer, DistilBERT WordPiece)."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.cli.make_test_model import make_test_model
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    path = tmp_path / f"{preset}.gguf"
+    make_test_model(str(path), preset, ftype)
+    eng = Engine.from_gguf(str(path))
+    assert eng.config.arch == preset.removeprefix("tiny-")
+    out = eng.encode(["hello world", "It's the quick brown fox."])
+    assert out.shape == (2, eng.config.n_embd)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+    toks = eng.tokenize("hello world")
+    assert toks[0] == eng.special_ids.cls and toks[-1] == eng.special_ids.sep

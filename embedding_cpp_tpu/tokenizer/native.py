@@ -1,8 +1,10 @@
-"""ctypes binding to the native C++ WordPiece tokenizer (native/tokenizer).
+"""ctypes binding to the native C++ tokenizer engines (native/tokenizer):
+WordPiece (BERT family) and byte-level BPE (RoBERTa/GPT-2 family).
 
-C ABI (see native/tokenizer/tokenizer_c.h):
+C ABI (see native/tokenizer/tokenizer.cpp):
     void*  tpuembed_tokenizer_new(const char* json, size_t len);
     void   tpuembed_tokenizer_free(void*);
+    int    tpuembed_model_kind(void*);                       // 0=WP, 1=BPE
     int    tpuembed_encode(void*, const char* text, size_t len,
                            int32_t* out, int32_t cap);       // -> n or -needed
     int    tpuembed_id_to_token(void*, int32_t id, char* out, int32_t cap);
@@ -56,6 +58,8 @@ def _load():
             ctypes.c_char_p,
             ctypes.c_int32,
         ]
+        lib.tpuembed_model_kind.restype = ctypes.c_int32
+        lib.tpuembed_model_kind.argtypes = [ctypes.c_void_p]
         lib.tpuembed_encode_batch.restype = ctypes.c_int64
         lib.tpuembed_encode_batch.argtypes = [
             ctypes.c_void_p,
@@ -81,6 +85,9 @@ class NativeTokenizer:
         if not self._handle:
             raise ValueError("native tokenizer rejected tokenizer.json")
         self._buf = (ctypes.c_int32 * 8192)()
+        self._kind = lib.tpuembed_model_kind(self._handle)
+        self._blob = tokenizer_json  # kept for lazy decode metadata
+        self._added_ids: set[int] | None = None
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -137,6 +144,45 @@ class NativeTokenizer:
         return out.raw[:n].decode("utf-8", errors="replace")
 
     def decode(self, ids) -> str:
+        if self._kind == 1:  # byte-level BPE: invert the byte remap
+            return self._decode_byte_level(ids)
         from .base import decode_wordpiece
 
         return decode_wordpiece(self.id_to_token, ids)
+
+    def _decode_byte_level(self, ids) -> str:
+        """ByteLevel decoder (mirrors bpe.py decode): map token chars back
+        to bytes; added tokens pass through literally."""
+        from .bpe import unicode_to_bytes
+
+        if self._added_ids is None:
+            import json
+
+            try:
+                spec = json.loads(self._blob)
+            except Exception:
+                spec = {}
+            self._added_ids = {
+                int(t["id"]) for t in spec.get("added_tokens", [])
+            }
+        u2b = unicode_to_bytes()
+        out: list[str] = []
+        raw = bytearray()
+        for i in ids:
+            i = int(i)
+            tok = self.id_to_token(i)
+            if i in self._added_ids:
+                if raw:
+                    out.append(raw.decode("utf-8", errors="replace"))
+                    raw = bytearray()
+                out.append(tok)
+                continue
+            for ch in tok:
+                b = u2b.get(ch)
+                if b is not None:
+                    raw.append(b)
+                else:  # not a byte-mapped char (malformed vocab): utf-8 it
+                    raw.extend(ch.encode("utf-8"))
+        if raw:
+            out.append(raw.decode("utf-8", errors="replace"))
+        return "".join(out)

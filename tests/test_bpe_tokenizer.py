@@ -152,6 +152,146 @@ def test_frame_ids_roberta_style(bpe_json):
     assert framed[1:-1] == ids
 
 
+@pytest.fixture(scope="module")
+def native_tok(bpe_json):
+    from pathlib import Path
+
+    lib = Path(__file__).resolve().parents[1] / "native" / "build" / (
+        "libtpuembed_tokenizer.so"
+    )
+    if not lib.exists():
+        pytest.skip("native lib not built (run `make -C native`)")
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    tok = NativeTokenizer(bpe_json)
+    assert tok._kind == 1  # byte-level BPE engine selected
+    return tok
+
+
+@pytest.mark.parametrize("idx", range(len(FUZZ_CORPUS)))
+def test_native_matches_hf(native_tok, hf_tok, idx):
+    text = FUZZ_CORPUS[idx]
+    assert native_tok.encode(text) == hf_tok.encode(text), repr(text)
+
+
+def test_native_matches_hf_random_strings(native_tok, hf_tok):
+    import random
+
+    rng = random.Random(2)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n.,!?;:'\"()[]{}@#$%^&*-_+=~`|\\/<>"
+        "àéîõüçñß日本語中文ｶﾀｶﾅ😀©«»  "
+    )
+    for _ in range(300):
+        n = rng.randint(0, 60)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        assert native_tok.encode(text) == hf_tok.encode(text), repr(text)
+
+
+def test_native_decode_matches_hf(native_tok, hf_tok):
+    for text in FUZZ_CORPUS + ["a <mask> b"]:
+        ids = hf_tok.encode(text)
+        assert native_tok.decode(ids) == hf_tok.decode(ids), repr(text)
+
+
+def test_native_batch_threads_match(native_tok, hf_tok):
+    texts = (FUZZ_CORPUS * 4)[:60]
+    rows = native_tok.encode_batch(texts, n_threads=4)
+    for t, ids in zip(texts, rows):
+        assert list(ids) == hf_tok.encode(t), repr(t)
+
+
+def test_native_long_input_buffer_growth(native_tok, hf_tok):
+    text = "hello world test sentence " * 2000  # > 8192 tokens
+    assert native_tok.encode(text) == hf_tok.encode(text)
+
+
+def test_native_loader_prefers_native(bpe_json, native_tok):
+    from embedding_cpp_tpu.tokenizer import load_tokenizer
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    tok = load_tokenizer(bpe_json, backend="auto")
+    assert isinstance(tok, NativeTokenizer)
+
+
+def test_native_unsupported_shapes_fall_back(bpe_json):
+    """Pipeline shapes the native engine doesn't implement must reject the
+    load (-> hf/python fallback), never silently mis-tokenize."""
+    from pathlib import Path
+
+    lib = Path(__file__).resolve().parents[1] / "native" / "build" / (
+        "libtpuembed_tokenizer.so"
+    )
+    if not lib.exists():
+        pytest.skip("native lib not built")
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    rejected = [
+        # NFC normalizer: not implemented natively
+        json.dumps({
+            "normalizer": {"type": "NFC"},
+            "pre_tokenizer": {"type": "ByteLevel"},
+            "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []},
+        }),
+        # non-ByteLevel pre-tokenizer
+        json.dumps({
+            "pre_tokenizer": {"type": "Whitespace"},
+            "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []},
+        }),
+        # missing pre-tokenizer (ByteLevel required, as in the python spec)
+        json.dumps({
+            "model": {"type": "BPE", "vocab": {"a": 0}, "merges": []},
+        }),
+        # suffix-BPE is a different pipeline
+        json.dumps({
+            "pre_tokenizer": {"type": "ByteLevel"},
+            "model": {"type": "BPE", "vocab": {"a": 0}, "merges": [],
+                      "end_of_word_suffix": "</w>"},
+        }),
+        # hostile ids must fail the load, not index out of bounds
+        json.dumps({
+            "pre_tokenizer": {"type": "ByteLevel"},
+            "model": {"type": "BPE", "vocab": {"a": -1}, "merges": []},
+        }),
+        json.dumps({
+            "pre_tokenizer": {"type": "ByteLevel"},
+            "model": {"type": "BPE", "vocab": {"a": 999999999}, "merges": []},
+        }),
+        # malformed merges entries
+        json.dumps({
+            "pre_tokenizer": {"type": "ByteLevel"},
+            "model": {"type": "BPE", "vocab": {"a": 0}, "merges": [123]},
+        }),
+        json.dumps({
+            "pre_tokenizer": {"type": "ByteLevel"},
+            "model": {"type": "BPE", "vocab": {"a": 0}, "merges": ["nospace"]},
+        }),
+    ]
+    for blob in rejected:
+        with pytest.raises(ValueError):
+            NativeTokenizer(blob.encode())
+
+
+def test_native_lowercase_normalizer(native_tok):
+    """Lowercase IS supported natively; verify against the python spec."""
+    blob = json.dumps({
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": False,
+                          "use_regex": True},
+        "model": {"type": "BPE",
+                  "vocab": {c: i for i, c in enumerate("helowrd ")},
+                  "merges": []},
+    })
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    nat = NativeTokenizer(blob.encode())
+    py = ByteLevelBPETokenizer(blob)
+    assert nat._kind == 1
+    for text in ("HELLO World", "hello world", "HeLLo"):
+        assert nat.encode(text) == py.encode(text), repr(text)
+
+
 def test_no_unk_drops_unknown_symbol():
     """A BPE model without unk_token drops unresolvable symbols (HF
     behavior) instead of crashing."""

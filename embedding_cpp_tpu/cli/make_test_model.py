@@ -1,7 +1,7 @@
 """Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|tiny-roberta|tiny-distilbert|minilm-l6|minilm-l12|bert-base]\
+           [--preset tiny|tiny-roberta|tiny-distilbert|tiny-mpnet|minilm-l6|minilm-l12|bert-base|mpnet-base]\
            [--ftype f32] [--seed 0]
 
 The roberta preset carries a trained byte-level BPE tokenizer; distilbert a
@@ -15,7 +15,13 @@ from __future__ import annotations
 import argparse
 from dataclasses import replace
 
-from ..models.config import BERT_BASE, MINILM_L6, MINILM_L12, BertConfig
+from ..models.config import (
+    BERT_BASE,
+    MINILM_L6,
+    MINILM_L12,
+    MPNET_BASE,
+    BertConfig,
+)
 from ..models.convert import FTYPE_NAMES, write_bert_gguf
 from ..models.params import random_state_dict
 from ..tokenizer.testvocab import build_bpe_tokenizer_json, build_tokenizer_json
@@ -34,9 +40,17 @@ PRESETS = {
         n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
         n_token_types=0, arch="distilbert", name="tiny-distilbert-test",
     ),
+    # MPNet tokenizes with WordPiece (MPNetTokenizer wraps BertTokenizer's
+    # algorithm behind RoBERTa-style special tokens)
+    "tiny-mpnet": BertConfig(
+        n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,
+        name="tiny-mpnet-test",
+    ),
     "minilm-l6": replace(MINILM_L6, n_vocab=1000, name="minilm-l6-synthetic"),
     "minilm-l12": replace(MINILM_L12, n_vocab=1000, name="minilm-l12-synthetic"),
     "bert-base": replace(BERT_BASE, n_vocab=1000, name="bert-base-synthetic"),
+    "mpnet-base": replace(MPNET_BASE, n_vocab=1000, name="mpnet-base-synthetic"),
 }
 
 

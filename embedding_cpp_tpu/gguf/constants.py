@@ -148,6 +148,9 @@ class Keys:
     # (RoBERTa: padding_idx + 1 = 2)
     TOKEN_TYPE_COUNT = f"{ARCH}.token_type_count"
     POSITION_OFFSET = f"{ARCH}.position_offset"
+    # MPNet: T5-style bucketed relative attention bias shared by all layers
+    # (HF MPNetEncoder.relative_attention_bias; 0 = absent)
+    REL_ATTN_BUCKETS = f"{ARCH}.attention.relative_buckets"
 
     # tokenizer
     TOKENIZER_MODEL = "tokenizer.ggml.model"

@@ -5,7 +5,7 @@ from .bert import (
     make_forward,
     mean_pool_normalize,
 )
-from .config import BERT_BASE, MINILM_L6, MINILM_L12, BertConfig
+from .config import BERT_BASE, MINILM_L6, MINILM_L12, MPNET_BASE, BertConfig
 from .params import load_params, random_params, random_state_dict
 
 __all__ = [
@@ -13,6 +13,7 @@ __all__ = [
     "MINILM_L6",
     "MINILM_L12",
     "BERT_BASE",
+    "MPNET_BASE",
     "ComputeOptions",
     "bert_embed_batch",
     "make_forward",

@@ -16,11 +16,13 @@ layer body regardless of depth.
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.linear import linear
 from ..ops.qtensor import QTensor, gather_rows
@@ -101,6 +103,57 @@ def gelu(x: Array, kind: str) -> Array:
     return jax.nn.gelu(x, approximate=(kind == "tanh"))
 
 
+def t5_relative_bucket(rel, num_buckets: int = 32, max_distance: int = 128,
+                       xp=jnp):
+    """T5-style bidirectional relative-position bucketing, exactly as HF
+    MPNetEncoder.relative_position_bucket computes it (sign bucket + linear
+    near-field + log-spaced far-field, capped at max_distance).  `rel` is
+    k_pos - q_pos; works on numpy (static positions, folded at trace time)
+    or jnp arrays via `xp`."""
+    half = num_buckets // 2
+    n = -rel
+    ret = (n < 0).astype(xp.int32) * half
+    n = xp.abs(n)
+    max_exact = half // 2
+    val_if_large = max_exact + (
+        xp.log(xp.maximum(n, 1).astype(xp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (half - max_exact)
+    ).astype(xp.int32)
+    val_if_large = xp.minimum(val_if_large, half - 1)
+    return ret + xp.where(n < max_exact, n.astype(xp.int32), val_if_large)
+
+
+def _rel_attn_bias(table: Array, s: int) -> Array:
+    """MPNet shared position bias for a plain padded batch: [H, S, S] f32.
+
+    HF computes the bias from absolute arange positions regardless of
+    padding (MPNetEncoder.compute_position_bias: context/memory positions
+    are arange(qlen)) — padded keys get a bias too but are masked out.  The
+    bucket matrix depends only on the static sequence length, so it folds
+    into the compiled graph as a numpy constant."""
+    pos = np.arange(s)
+    bucket = t5_relative_bucket(
+        pos[None, :] - pos[:, None], int(table.shape[0]), xp=np
+    )
+    # [S, S] gather -> [S, S, H] -> [H, S, S]
+    return jnp.transpose(
+        table.astype(jnp.float32)[jnp.asarray(bucket)], (2, 0, 1)
+    )
+
+
+def _rel_attn_bias_packed(table: Array, pos: Array) -> Array:
+    """Per-row position bias for sequence-packed batches: [B, H, S, S].
+
+    Within a segment the per-segment positions (restarting at 0) give the
+    same k_pos - q_pos differences as absolute positions would, so packed
+    outputs equal the unpacked per-sentence results; cross-segment pairs get
+    an arbitrary bucket but are masked block-diagonal by segment."""
+    rel = pos[:, None, :] - pos[:, :, None]  # [B, Sq, Sk] = k - q
+    bucket = t5_relative_bucket(rel, int(table.shape[0]), xp=jnp)
+    return jnp.transpose(table.astype(jnp.float32)[bucket], (0, 3, 1, 2))
+
+
 def _attention(
     x: Array,
     lp: dict,
@@ -109,6 +162,7 @@ def _attention(
     opts: ComputeOptions,
     seg: Array | None = None,
     max_seg_len: int | None = None,
+    pos_bias: Array | None = None,
 ) -> Array:
     """Multi-head self-attention: softmax(KᵀQ/sqrt(d)) · V
     (bert.cpp:907-942), masked over padded keys.
@@ -128,6 +182,14 @@ def _attention(
     k = linear(x, lp["k_w"], lp["k_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
     v = linear(x, lp["v_w"], lp["v_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
 
+    if pos_bias is not None and pos_bias.shape[-3] != h:
+        # manual-TP shard_map body: the bias table replicates while the head
+        # axis is device-local — take this device's head slice
+        i = jax.lax.axis_index(opts.tp_axis)
+        pos_bias = jax.lax.dynamic_slice_in_dim(
+            pos_bias, i * h, h, axis=pos_bias.ndim - 3
+        )
+
     impl = opts.attn_impl
     if impl == "auto":
         # pallas needs per-device local arrays: single-device jit, or inside
@@ -139,6 +201,10 @@ def _attention(
             if (on_tpu and local and s >= 128 and s % 8 == 0 and d % 8 == 0)
             else "xla"
         )
+    if impl == "pallas" and pos_bias is not None:
+        # the fused kernels take no full [H, S, S] additive bias (MPNet's
+        # relative attention); use the XLA einsum path for those models
+        impl = "xla"
     if impl == "pallas":
         if seg is not None:
             from ..ops.attention import flash_attention_packed
@@ -158,6 +224,10 @@ def _attention(
             scores = scores * (1.0 / d**0.5) + bias[:, None, :, :]
         else:
             scores = scores * (1.0 / d**0.5) + mask_bias[:, None, None, :]
+        if pos_bias is not None:
+            # added after scaling, exactly as HF MPNetSelfAttention.forward
+            # does (scores /= sqrt(d); scores += position_bias)
+            scores = scores + pos_bias  # [H,S,S] broadcasts over batch
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         att = jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
@@ -173,11 +243,12 @@ def encoder_layer(
     opts: ComputeOptions,
     seg: Array | None = None,
     max_seg_len: int | None = None,
+    pos_bias: Array | None = None,
 ) -> Array:
     """One transformer block: attn + add&norm, GELU FFN + add&norm
     (bert.cpp:900-994)."""
     att = _attention(x, lp, mask_bias, config, opts, seg=seg,
-                     max_seg_len=max_seg_len)
+                     max_seg_len=max_seg_len, pos_bias=pos_bias)
     # row-parallel matmuls psum over tp in manual mode (Megatron pattern).
     # The residual add + LayerNorm tails ride the projection's epilogue:
     # fused in-kernel on the Pallas Q4 path, XLA-fused otherwise — the
@@ -401,9 +472,14 @@ def bert_embed_batch(
     opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts)
     mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
+    # MPNet: ONE bucketed relative-position bias shared by every layer
+    # (computed once, like HF MPNetEncoder.forward)
+    rel = params.get("rel_attn_bias")
+    pos_bias = None if rel is None else _rel_attn_bias(rel, ids.shape[-1])
 
     def body(x, lp):
-        return encoder_layer(x, lp, mask_bias, config, opts), None
+        return encoder_layer(x, lp, mask_bias, config, opts,
+                             pos_bias=pos_bias), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     pooled = pool_normalize(x, mask, config.pooling, normalize=False)
@@ -441,10 +517,12 @@ def bert_embed_packed(
     opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts, positions=pos)
     mask_bias = jnp.where(seg >= 0, 0.0, _MASK_BIAS).astype(jnp.float32)
+    rel = params.get("rel_attn_bias")
+    pos_bias = None if rel is None else _rel_attn_bias_packed(rel, pos)
 
     def body(x, lp):
         return encoder_layer(x, lp, mask_bias, config, opts, seg=seg,
-                             max_seg_len=max_seg_len), None
+                             max_seg_len=max_seg_len, pos_bias=pos_bias), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     pooled = pool_normalize_packed(

@@ -18,14 +18,19 @@ from dataclasses import dataclass, field
 
 from ..gguf.constants import Keys
 
-# Architecture-dependent defaults: (n_token_types, pos_offset, ln_eps).
+# Architecture-dependent defaults:
+# (n_token_types, pos_offset, ln_eps, rel_attn_buckets).
 # RoBERTa numbers positions from padding_idx + 1 = 2 (HF
 # create_position_ids_from_input_ids), has a 1-row token-type table and
-# eps 1e-5; DistilBERT has no token-type table at all.
+# eps 1e-5; DistilBERT has no token-type table at all; MPNet combines the
+# RoBERTa position offset (padding_idx 1) with no token types plus a
+# T5-style bucketed relative attention bias shared across layers (HF
+# MPNetEncoder.compute_position_bias, num_buckets=32).
 _ARCH_DEFAULTS = {
-    "bert": (2, 0, 1e-12),
-    "roberta": (1, 2, 1e-5),
-    "distilbert": (0, 0, 1e-12),
+    "bert": (2, 0, 1e-12, 0),
+    "roberta": (1, 2, 1e-5, 0),
+    "distilbert": (0, 0, 1e-12, 0),
+    "mpnet": (0, 2, 1e-12, 32),
 }
 
 
@@ -55,6 +60,10 @@ class BertConfig:
     # first real-token position id (RoBERTa: padding_idx + 1 = 2); the
     # position table then has n_ctx + pos_offset rows
     pos_offset: int = 0
+    # T5-style relative attention bias bucket count (MPNet: 32; 0 = none).
+    # One [buckets, n_head] table shared by every layer, added to the
+    # scaled attention scores (HF MPNetSelfAttention.forward).
+    rel_attn_buckets: int = 0
     name: str = ""
 
     @property
@@ -76,10 +85,11 @@ class BertConfig:
     def arch_defaults(cls, arch: str, **kw) -> "BertConfig":
         """Construct with arch-appropriate token-type/pos-offset/eps defaults
         (overridable via kw)."""
-        ntt, off, eps = _ARCH_DEFAULTS[arch]
+        ntt, off, eps, buckets = _ARCH_DEFAULTS[arch]
         kw.setdefault("n_token_types", ntt)
         kw.setdefault("pos_offset", off)
         kw.setdefault("layer_norm_eps", eps)
+        kw.setdefault("rel_attn_buckets", buckets)
         return cls(arch=arch, **kw)
 
     @classmethod
@@ -88,7 +98,7 @@ class BertConfig:
         arch = str(kv.get(Keys.ARCHITECTURE, "bert"))
         if arch not in _ARCH_DEFAULTS:  # e.g. reference files say "bert"
             arch = "bert"
-        ntt_default, off_default, eps_default = _ARCH_DEFAULTS[arch]
+        ntt_default, off_default, eps_default, buckets_default = _ARCH_DEFAULTS[arch]
         return cls(
             n_vocab=n_vocab,
             n_ctx=int(kv[Keys.CONTEXT_LENGTH]),
@@ -104,6 +114,9 @@ class BertConfig:
             dense_activation=str(kv.get(Keys.DENSE_ACTIVATION, "tanh")),
             arch=arch,
             pos_offset=int(kv.get(Keys.POSITION_OFFSET, off_default)),
+            rel_attn_buckets=int(
+                kv.get(Keys.REL_ATTN_BUCKETS, buckets_default)
+            ),
             name=str(kv.get("general.name", "")),
         )
 
@@ -124,6 +137,30 @@ class BertConfig:
                 layer_norm_eps=1e-12,
                 n_token_types=0,
                 arch="distilbert",
+                name=name,
+            )
+        if model_type == "mpnet":
+            # HF MPNetEmbeddings hard-codes padding_idx = 1 and numbers real
+            # tokens RoBERTa-style from padding_idx + 1 = 2; the encoder adds
+            # a T5-style bucketed relative attention bias (MPNetEncoder.
+            # compute_position_bias — note it calls the bucket fn with its
+            # DEFAULT num_buckets=32, ignoring the config field, so 32 is
+            # the only value real checkpoints can have used).
+            pos_offset = 2
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                n_ctx=int(hf.get("max_position_embeddings", 514)) - pos_offset,
+                n_embd=int(hf["hidden_size"]),
+                n_layer=int(hf["num_hidden_layers"]),
+                n_head=int(hf["num_attention_heads"]),
+                n_ff=int(hf["intermediate_size"]),
+                layer_norm_eps=float(hf.get("layer_norm_eps", 1e-12)),
+                n_token_types=0,
+                arch="mpnet",
+                pos_offset=pos_offset,
+                rel_attn_buckets=int(
+                    hf.get("relative_attention_num_buckets", 32)
+                ),
                 name=name,
             )
         if model_type in ("roberta", "xlm-roberta", "camembert"):
@@ -177,4 +214,10 @@ DISTILBERT_BASE = BertConfig(
     n_vocab=30522, n_ctx=512, n_embd=768, n_layer=6, n_head=12, n_ff=3072,
     n_token_types=0, arch="distilbert",
     name="multi-qa-distilbert-cos-v1",
+)
+MPNET_BASE = BertConfig(
+    n_vocab=30527, n_ctx=512, n_embd=768, n_layer=12, n_head=12, n_ff=3072,
+    n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,
+    layer_norm_eps=1e-5,
+    name="all-mpnet-base-v2",
 )

@@ -25,6 +25,7 @@ from ..gguf.constants import (
     GGUFTokenType,
     GGUFValueType,
     Keys,
+    QK4,
 )
 from ..gguf.quant import quantize
 from ..gguf.writer import GGUFWriter
@@ -125,6 +126,8 @@ def write_bert_gguf(
         # written explicitly so the reader needs no arch-specific guessing
         w.add_uint32(Keys.TOKEN_TYPE_COUNT, config.n_token_types)
         w.add_uint32(Keys.POSITION_OFFSET, config.pos_offset)
+        if config.rel_attn_buckets:
+            w.add_uint32(Keys.REL_ATTN_BUCKETS, config.rel_attn_buckets)
     w.add_uint32("general.file_type", int(ftype))
 
     w.add_string(Keys.TOKENIZER_JSON_BLOB, tokenizer_json)
@@ -162,6 +165,11 @@ def write_bert_gguf(
         if target != GGMLType.F32 and name.endswith(".weight") and arr.ndim == 2:
             if target == GGMLType.F16:
                 w.add_tensor(name, arr.astype(np.float16))
+            elif arr.shape[-1] % QK4:
+                # block quants must not straddle rows (ggml blocks are
+                # row-local); e.g. MPNet's [32, n_head] relative-attention
+                # bias table stays f32 — same rule as quantize_tool
+                w.add_tensor(name, arr)
             else:
                 w.add_tensor_raw(name, arr.shape, target, quantize(arr.reshape(-1), target))
         else:
@@ -184,6 +192,7 @@ def load_hf_dir(model_dir: str | os.PathLike):
         "DistilBertModel", "DistilBertForMaskedLM",
         "RobertaModel", "RobertaForMaskedLM",
         "XLMRobertaModel", "XLMRobertaForMaskedLM", "CamembertModel",
+        "MPNetModel", "MPNetForMaskedLM",
     )
     if archs and archs[0] not in _SUPPORTED:
         raise ValueError(f"unsupported architecture: {archs[0]}")
@@ -205,7 +214,7 @@ def load_hf_dir(model_dir: str | os.PathLike):
     state_dict = _load_state_dict(model_dir)
     # strip the base-model prefix of *ForMaskedLM-style checkpoints and drop
     # their task heads (cls.* for BERT, lm_head.* / vocab_* for the others)
-    _PREFIXES = ("bert.", "distilbert.", "roberta.")
+    _PREFIXES = ("bert.", "distilbert.", "roberta.", "mpnet.")
     _HEADS = ("cls.", "lm_head.", "vocab_transform.", "vocab_layer_norm.",
               "vocab_projector.")
     state_dict = {

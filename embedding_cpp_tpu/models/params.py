@@ -142,6 +142,10 @@ def build_params(
 
     layers = {k: _stack_layer_values(v) for k, v in per_layer.items()}
     params = {"embeddings": emb, "layers": layers}
+    for name, (key, shape_fn) in schema.extra_tensors(config).items():
+        # MPNet's shared relative-attention-bias table: tiny ([buckets, H]),
+        # added directly to f32 attention scores — always dense f32
+        params[key] = source.dense(name, shape_fn(config), f32)
     if config.dense_out:
         # sentence-transformers Dense head: tiny ([E, dense_out]); kept f32
         # (the head deliberately computes in f32 — bf16 storage would round
@@ -235,6 +239,8 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
                 sd[name] = np.zeros(shape, np.float32)
             else:
                 sd[name] = init(shape)
+    for name, (key, shape_fn) in schema.extra_tensors(config).items():
+        sd[name] = init(shape_fn(config))
     if config.dense_out:
         for name, (key, shape_fn) in schema.DENSE_TENSORS.items():
             sd[name] = init(shape_fn(config))

@@ -14,7 +14,13 @@ families sentence-transformers users actually deploy:
 - "distilbert"  — HF DistilBertModel: no token-type table, and the encoder
                   uses its own module names (transformer.layer.N.attention.
                   {q,k,v,out}_lin, sa_layer_norm, ffn.lin1/lin2,
-                  output_layer_norm).
+                  output_layer_norm);
+- "mpnet"       — HF MPNetModel: no token-type table, RoBERTa position
+                  numbering (padding_idx 1), self-attention modules at
+                  attention.attn.{q,k,v,o}, the attention LayerNorm directly
+                  under attention, plus ONE encoder-global
+                  relative_attention_bias table [buckets, n_head] shared by
+                  every layer (MPNetEncoder.__init__).
 
 This module is the single source of truth mapping those names to our param
 tree; the param keys (q_w, ffn_up_w, ln_att_scale, ...) are arch-invariant
@@ -94,6 +100,49 @@ DISTILBERT_LAYER_TENSORS = {
     "transformer.layer.{i}.output_layer_norm.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
 }
 
+# --- MPNet -------------------------------------------------------------------
+
+MPNET_EMBEDDING_TENSORS = {
+    "embeddings.word_embeddings.weight": ("word", lambda c: (c.n_vocab, c.n_embd)),
+    "embeddings.position_embeddings.weight": (
+        "position",
+        # MPNet numbers positions RoBERTa-style from padding_idx + 1 = 2
+        # (MPNetEmbeddings hard-codes padding_idx = 1)
+        lambda c: (c.n_ctx + c.pos_offset, c.n_embd),
+    ),
+    "embeddings.LayerNorm.weight": ("ln_scale", lambda c: (c.n_embd,)),
+    "embeddings.LayerNorm.bias": ("ln_bias", lambda c: (c.n_embd,)),
+}
+
+MPNET_LAYER_TENSORS = {
+    "encoder.layer.{i}.attention.attn.q.weight": ("q_w", lambda c: (c.n_embd, c.n_embd)),
+    "encoder.layer.{i}.attention.attn.q.bias": ("q_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.attn.k.weight": ("k_w", lambda c: (c.n_embd, c.n_embd)),
+    "encoder.layer.{i}.attention.attn.k.bias": ("k_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.attn.v.weight": ("v_w", lambda c: (c.n_embd, c.n_embd)),
+    "encoder.layer.{i}.attention.attn.v.bias": ("v_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.attn.o.weight": ("o_w", lambda c: (c.n_embd, c.n_embd)),
+    "encoder.layer.{i}.attention.attn.o.bias": ("o_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.LayerNorm.weight": ("ln_att_scale", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.LayerNorm.bias": ("ln_att_bias", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.intermediate.dense.weight": ("ffn_up_w", lambda c: (c.n_ff, c.n_embd)),
+    "encoder.layer.{i}.intermediate.dense.bias": ("ffn_up_b", lambda c: (c.n_ff,)),
+    "encoder.layer.{i}.output.dense.weight": ("ffn_down_w", lambda c: (c.n_embd, c.n_ff)),
+    "encoder.layer.{i}.output.dense.bias": ("ffn_down_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.output.LayerNorm.weight": ("ln_out_scale", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.output.LayerNorm.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
+}
+
+# Encoder-global tensors outside the embeddings/layers trees.  MPNet's
+# relative-attention-bias table ([buckets, n_head], ONE table shared by all
+# layers — MPNetEncoder.__init__ relative_attention_bias) is the only one.
+MPNET_EXTRA_TENSORS = {
+    "encoder.relative_attention_bias.weight": (
+        "rel_attn_bias",
+        lambda c: (c.rel_attn_buckets, c.n_head),
+    ),
+}
+
 # Optional sentence-transformers Dense head (our extension; present only
 # when config.dense_out > 0): pooled @ W.T + b between pooling and L2 norm.
 DENSE_TENSORS = {
@@ -124,9 +173,11 @@ QUANTIZABLE_KEYS = frozenset(
 
 def embedding_tensors(config) -> dict:
     """Embedding-level tensor map for the config's architecture.  RoBERTa
-    reuses the BERT names; DistilBERT has no token-type table."""
+    reuses the BERT names; DistilBERT and MPNet have no token-type table."""
     if config.arch == "distilbert":
         return DISTILBERT_EMBEDDING_TENSORS
+    if config.arch == "mpnet":
+        return MPNET_EMBEDDING_TENSORS
     if config.n_token_types == 0:
         # defensive: a bert-schema config without token types drops the row
         return {
@@ -136,11 +187,19 @@ def embedding_tensors(config) -> dict:
 
 
 def _layer_templates(config) -> dict:
-    return (
-        DISTILBERT_LAYER_TENSORS
-        if config.arch == "distilbert"
-        else LAYER_TENSORS
-    )
+    if config.arch == "distilbert":
+        return DISTILBERT_LAYER_TENSORS
+    if config.arch == "mpnet":
+        return MPNET_LAYER_TENSORS
+    return LAYER_TENSORS
+
+
+def extra_tensors(config) -> dict:
+    """Encoder-global tensors (outside embeddings/layers): MPNet's shared
+    relative-attention-bias table when rel_attn_buckets > 0."""
+    if getattr(config, "rel_attn_buckets", 0):
+        return MPNET_EXTRA_TENSORS
+    return {}
 
 
 def layer_tensor_names(i: int, config=None) -> dict[str, tuple[str, object]]:
@@ -156,4 +215,6 @@ def all_tensor_names(n_layer: int, config=None) -> list[str]:
     )
     for i in range(n_layer):
         names.extend(layer_tensor_names(i, config))
+    if config is not None:
+        names.extend(extra_tensors(config))
     return names

@@ -31,6 +31,11 @@ DISTIL_CFG = BertConfig(
     n_vocab=160, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
     n_token_types=0, arch="distilbert", name="tiny-distilbert",
 )
+MPNET_CFG = BertConfig(
+    n_vocab=160, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+    n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,
+    name="tiny-mpnet",
+)
 
 
 def _ids_and_mask(rng, cfg, batch, max_len):
@@ -86,8 +91,8 @@ def test_schema_shapes_per_arch():
     }
 
 
-@pytest.mark.parametrize("cfg", [ROBERTA_CFG, DISTIL_CFG],
-                         ids=["roberta", "distilbert"])
+@pytest.mark.parametrize("cfg", [ROBERTA_CFG, DISTIL_CFG, MPNET_CFG],
+                         ids=["roberta", "distilbert", "mpnet"])
 def test_padded_batch_equals_per_sentence(cfg):
     rng = np.random.default_rng(0)
     params = random_params(cfg, seed=1)
@@ -102,8 +107,8 @@ def test_padded_batch_equals_per_sentence(cfg):
         np.testing.assert_allclose(batched[i], single, atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("cfg", [ROBERTA_CFG, DISTIL_CFG],
-                         ids=["roberta", "distilbert"])
+@pytest.mark.parametrize("cfg", [ROBERTA_CFG, DISTIL_CFG, MPNET_CFG],
+                         ids=["roberta", "distilbert", "mpnet"])
 def test_q4_forward_runs(cfg):
     rng = np.random.default_rng(2)
     params = random_params(cfg, GGUFFileType.MOSTLY_Q4_0, seed=3)
@@ -207,6 +212,118 @@ def test_distilbert_hf_parity():
     np.testing.assert_allclose(got, expected, atol=5e-4)
 
 
+def test_mpnet_schema_and_bucket():
+    from embedding_cpp_tpu.models import schema
+    from embedding_cpp_tpu.models.bert import t5_relative_bucket
+
+    names = schema.layer_tensor_names(0, MPNET_CFG)
+    assert "encoder.layer.0.attention.attn.q.weight" in names
+    assert "encoder.layer.0.attention.LayerNorm.weight" in names
+    extra = schema.extra_tensors(MPNET_CFG)
+    key, shape_fn = extra["encoder.relative_attention_bias.weight"]
+    assert key == "rel_attn_bias" and shape_fn(MPNET_CFG) == (32, 4)
+    assert schema.extra_tensors(ROBERTA_CFG) == {}
+    assert (
+        "encoder.relative_attention_bias.weight"
+        in schema.all_tensor_names(2, MPNET_CFG)
+    )
+
+    # bucket function vs the HF reference implementation
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers.models.mpnet.modeling_mpnet import MPNetEncoder
+
+    pos = np.arange(48)
+    rel = pos[None, :] - pos[:, None]
+    ours = t5_relative_bucket(rel, 32, xp=np)
+    theirs = MPNetEncoder.relative_position_bucket(
+        torch.from_numpy(rel), num_buckets=32
+    ).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_mpnet_hf_parity():
+    """MPNet forward (shared T5-style relative attention bias, RoBERTa
+    position numbering, no token types) vs HF torch MPNetModel on identical
+    random weights."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = MPNET_CFG
+    sd = random_state_dict(cfg, seed=13)
+    hf_config = transformers.MPNetConfig(
+        vocab_size=cfg.n_vocab,
+        hidden_size=cfg.n_embd,
+        num_hidden_layers=cfg.n_layer,
+        num_attention_heads=cfg.n_head,
+        intermediate_size=cfg.n_ff,
+        max_position_embeddings=cfg.n_ctx + cfg.pos_offset,
+        relative_attention_num_buckets=cfg.rel_attn_buckets,
+        layer_norm_eps=cfg.layer_norm_eps,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    model = transformers.MPNetModel(hf_config, add_pooling_layer=False)
+    model.eval()
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False
+    )
+    assert not unexpected
+    assert all("position_ids" in m for m in missing), missing
+
+    rng = np.random.default_rng(14)
+    ids, mask, _ = _ids_and_mask(rng, cfg, 5, 20)
+    with torch.no_grad():
+        hidden = model(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        ).last_hidden_state.numpy()
+    m = mask[..., None].astype(np.float32)
+    pooled = (hidden * m).sum(1) / m.sum(1)
+    expected = pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+    params = build_params(source_from_arrays(sd), cfg)
+    assert "rel_attn_bias" in params
+    got = np.asarray(bert_embed_batch(params, ids, mask, cfg, F32))
+    cos = np.sum(got * expected, axis=-1)
+    assert np.all(cos > 0.9999), cos
+    np.testing.assert_allclose(got, expected, atol=5e-4)
+
+
+def test_mpnet_packed_equals_plain():
+    """Sequence-packed MPNet (per-segment positions drive the relative
+    bias) matches the plain per-sentence forward."""
+    from embedding_cpp_tpu.models.bert import bert_embed_packed
+
+    cfg = MPNET_CFG
+    params = random_params(cfg, seed=15)
+    rng = np.random.default_rng(16)
+    ids, mask, lens = _ids_and_mask(rng, cfg, 4, 12)
+
+    # pack all 4 sentences into one row
+    s_total = int(lens.sum())
+    pad = -(-s_total // 8) * 8 - s_total  # align to 8 for the kernels
+    row_ids = np.concatenate(
+        [ids[i, :l] for i, l in enumerate(lens)] + [np.zeros(pad, np.int32)]
+    )[None]
+    row_seg = np.concatenate(
+        [np.full(l, i, np.int32) for i, l in enumerate(lens)]
+        + [np.full(pad, -1, np.int32)]
+    )[None]
+    row_pos = np.concatenate(
+        [np.arange(l, dtype=np.int32) for l in lens]
+        + [np.zeros(pad, np.int32)]
+    )[None]
+
+    packed = np.asarray(
+        bert_embed_packed(
+            params, row_ids, row_seg, row_pos, cfg, F32, n_seg=4
+        )
+    )[0]
+    plain = np.asarray(bert_embed_batch(params, ids, mask, cfg, F32))
+    np.testing.assert_allclose(packed, plain, atol=2e-5, rtol=1e-4)
+
+
 def test_hf_config_dispatch():
     c = BertConfig.from_hf_config(
         {
@@ -254,7 +371,8 @@ def test_arch_kv_roundtrip(tmp_path):
 
 
 @pytest.mark.parametrize("preset,ftype", [("tiny-roberta", "q4_0"),
-                                          ("tiny-distilbert", "q8_0")])
+                                          ("tiny-distilbert", "q8_0"),
+                                          ("tiny-mpnet", "q4_0")])
 def test_engine_end_to_end(tmp_path, preset, ftype):
     """Synthetic GGUF -> Engine -> encode for the non-bert families
     (RoBERTa rides the byte-level BPE tokenizer, DistilBERT WordPiece)."""
@@ -266,6 +384,8 @@ def test_engine_end_to_end(tmp_path, preset, ftype):
     make_test_model(str(path), preset, ftype)
     eng = Engine.from_gguf(str(path))
     assert eng.config.arch == preset.removeprefix("tiny-")
+    if eng.config.arch == "mpnet":
+        assert eng.config.rel_attn_buckets == 32
     out = eng.encode(["hello world", "It's the quick brown fox."])
     assert out.shape == (2, eng.config.n_embd)
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)

@@ -47,6 +47,38 @@ def test_manual_matches_single(eight_devices, dp, tp, ftype):
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4)])
+def test_manual_mpnet_rel_bias_tp(eight_devices, dp, tp):
+    """MPNet's shared relative-attention bias under manual TP: the bias
+    table replicates and each device slices its own heads (bert.py
+    _attention axis_index slice) — outputs must equal single-device and the
+    GSPMD path."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward
+    from embedding_cpp_tpu.parallel.shard_map_forward import (
+        shard_params_and_make_forward_manual,
+    )
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=64, n_embd=128, n_layer=2, n_head=4, n_ff=256,
+        n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,
+        name="shardmap-mpnet",
+    )
+    params = random_params(cfg, seed=3)
+    ids, mask = _data(seed=4)
+    expected = np.asarray(bert_embed_batch(params, ids, mask, cfg, OPTS))
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=eight_devices)
+    p1, f1 = shard_params_and_make_forward(params, cfg, OPTS, mesh)
+    p2, f2 = shard_params_and_make_forward_manual(params, cfg, OPTS, mesh)
+    np.testing.assert_allclose(
+        np.asarray(f1(p1, ids, mask)), expected, atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(f2(p2, ids, mask)), expected, atol=2e-5, rtol=1e-4
+    )
+
+
 def test_manual_matches_gspmd(eight_devices):
     from embedding_cpp_tpu.parallel.mesh import make_mesh
     from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward

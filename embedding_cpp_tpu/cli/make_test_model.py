@@ -1,11 +1,11 @@
 """Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|tiny-roberta|tiny-distilbert|tiny-mpnet|minilm-l6|minilm-l12|bert-base|mpnet-base]\
+           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|minilm-l6|minilm-l12|bert-base|mpnet-base]\
            [--ftype f32] [--seed 0]
 
-The roberta preset carries a trained byte-level BPE tokenizer; distilbert a
-WordPiece one.
+The roberta preset carries a trained byte-level BPE tokenizer; xlmr a trained
+SentencePiece-Unigram one; distilbert a WordPiece one.
 
 Lets every surface (CLI, server, benchmarks, tests) run end-to-end without
 network access or real model downloads.
@@ -24,7 +24,11 @@ from ..models.config import (
 )
 from ..models.convert import FTYPE_NAMES, write_bert_gguf
 from ..models.params import random_state_dict
-from ..tokenizer.testvocab import build_bpe_tokenizer_json, build_tokenizer_json
+from ..tokenizer.testvocab import (
+    build_bpe_tokenizer_json,
+    build_tokenizer_json,
+    build_unigram_tokenizer_json,
+)
 
 PRESETS = {
     "tiny": BertConfig(
@@ -35,6 +39,13 @@ PRESETS = {
         n_vocab=600, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
         layer_norm_eps=1e-5, n_token_types=1, arch="roberta", pos_offset=2,
         name="tiny-roberta-test",
+    ),
+    # XLM-R = RoBERTa encoder + SentencePiece-Unigram tokenizer
+    # (reference converts it through the same bert path; convert-to-gguf.py)
+    "tiny-xlmr": BertConfig(
+        n_vocab=600, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        layer_norm_eps=1e-5, n_token_types=1, arch="roberta", pos_offset=2,
+        name="tiny-xlmr-test",
     ),
     "tiny-distilbert": BertConfig(
         n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
@@ -58,7 +69,17 @@ def make_test_model(
     out_path: str, preset: str = "tiny", ftype: str = "f32", seed: int = 0
 ) -> None:
     config = PRESETS[preset]
-    if config.arch == "roberta":
+    if preset == "tiny-xlmr":
+        # Unigram training may converge below the requested vocab size —
+        # size the model to the trained piece list
+        import json
+
+        tokenizer_json = build_unigram_tokenizer_json(config.n_vocab)
+        spec = json.loads(tokenizer_json)
+        n = len(spec["model"]["vocab"])
+        n = max([n] + [t["id"] + 1 for t in spec.get("added_tokens", [])])
+        config = replace(config, n_vocab=n)
+    elif config.arch == "roberta":
         # BPE training stops when the corpus runs out of merges, so the
         # trained vocab may be smaller than requested — size the model to it
         import json

@@ -79,12 +79,22 @@ def write_bert_gguf(
     """Write a reference-compatible BERT GGUF file."""
     tok = json.loads(tokenizer_json)
     vocab = tok["model"]["vocab"]
-    if not isinstance(vocab, dict):
-        raise ValueError(
-            "tokenizer.json model.vocab must be a dict (WordPiece/BPE)"
-        )
     tok_model = str(tok["model"].get("type", "WordPiece"))
-    id_to_token = {int(i): t for t, i in vocab.items()}
+    scores = [0.0] * config.n_vocab
+    if isinstance(vocab, list):
+        # Unigram serializes vocab as [[piece, score], ...] in id order
+        id_to_token = {i: p for i, (p, _) in enumerate(vocab)}
+        vocab = {p: i for i, p in id_to_token.items()}
+        for i, (_, s) in enumerate(tok["model"]["vocab"]):
+            if i < config.n_vocab:
+                scores[i] = float(s)
+    elif isinstance(vocab, dict):
+        id_to_token = {int(i): t for t, i in vocab.items()}
+    else:
+        raise ValueError(
+            "tokenizer.json model.vocab must be a dict (WordPiece/BPE) "
+            "or a [piece, score] list (Unigram)"
+        )
     # Added tokens (specials) may live outside model.vocab
     for added in tok.get("added_tokens", []):
         id_to_token.setdefault(int(added["id"]), added["content"])
@@ -131,13 +141,15 @@ def write_bert_gguf(
     w.add_uint32("general.file_type", int(ftype))
 
     w.add_string(Keys.TOKENIZER_JSON_BLOB, tokenizer_json)
-    # "bert" = WordPiece (the reference's value); "gpt2" = byte-level BPE
-    # (ggml's name for it) — informational, dispatch runs off the json blob
-    w.add_string(Keys.TOKENIZER_MODEL, "gpt2" if tok_model == "BPE" else "bert")
+    # "bert" = WordPiece (the reference's value); "gpt2" = byte-level BPE;
+    # "t5" = SentencePiece Unigram (ggml's names) — informational, dispatch
+    # runs off the json blob
+    _TOK_MODEL_NAMES = {"BPE": "gpt2", "Unigram": "t5"}
+    w.add_string(Keys.TOKENIZER_MODEL, _TOK_MODEL_NAMES.get(tok_model, "bert"))
     w.add_array(Keys.TOKENIZER_LIST, tokens, GGUFValueType.STRING)
-    w.add_array(
-        Keys.TOKENIZER_SCORES, [0.0] * n_vocab, GGUFValueType.FLOAT32
-    )
+    # Unigram carries real piece log-probs; other families write zeros
+    # (the reference writes zeros unconditionally)
+    w.add_array(Keys.TOKENIZER_SCORES, scores, GGUFValueType.FLOAT32)
     w.add_array(
         Keys.TOKENIZER_TOKEN_TYPE,
         [int(GGUFTokenType.NORMAL)] * n_vocab,

@@ -5,7 +5,8 @@ Backends (all loading the same `blob.tokenizer.json` GGUF kv):
   host-side path (WordPiece and byte-level BPE);
 - "hf": HF `tokenizers` (Rust) library;
 - "python": dependency-free pure-Python engines (executable specs) —
-  wordpiece.py for BERT-family jsons, bpe.py for RoBERTa/GPT-2-family.
+  wordpiece.py for BERT-family jsons, bpe.py for RoBERTa/GPT-2-family,
+  unigram.py for SentencePiece-Unigram (XLM-R/multilingual) jsons.
 "auto" picks native > hf > python.  The model family is dispatched on the
 json's model.type, never on the architecture — tokenizer and encoder are
 independently pluggable, exactly as in HF checkpoints.
@@ -16,6 +17,7 @@ import json as _json
 
 from .base import SpecialIds, Tokenizer, frame_ids
 from .bpe import ByteLevelBPETokenizer
+from .unigram import UnigramTokenizer
 from .wordpiece import WordPieceTokenizer
 
 __all__ = [
@@ -24,6 +26,7 @@ __all__ = [
     "frame_ids",
     "WordPieceTokenizer",
     "ByteLevelBPETokenizer",
+    "UnigramTokenizer",
     "load_tokenizer",
 ]
 
@@ -54,6 +57,9 @@ def load_tokenizer(tokenizer_json: bytes | str, backend: str = "auto"):
         except Exception:
             if backend == "hf":
                 raise
-    if _model_type(tokenizer_json) == "BPE":
+    mtype = _model_type(tokenizer_json)
+    if mtype == "BPE":
         return ByteLevelBPETokenizer(tokenizer_json)
+    if mtype == "Unigram":
+        return UnigramTokenizer(tokenizer_json)
     return WordPieceTokenizer(tokenizer_json)

@@ -77,6 +77,33 @@ def build_bpe_tokenizer_json(
     return tok.to_str().encode("utf-8")
 
 
+def build_unigram_tokenizer_json(n_vocab: int = 600) -> bytes:
+    """Serialize a real HF Unigram pipeline (XLM-R-style: Metaspace
+    pre-tokenizer/decoder, spm special-token order <s>/<pad>/</s>/<unk>)
+    trained deterministically on the synthetic multilingual corpus."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.Unigram())
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+    tok.decoder = decoders.Metaspace(replacement="▁")
+    trainer = trainers.UnigramTrainer(
+        vocab_size=n_vocab,
+        special_tokens=["<s>", "<pad>", "</s>", "<unk>"],
+        unk_token="<unk>",
+        show_progress=False,
+    )
+    corpus = [
+        " ".join(_COMMON_WORDS),
+        "It's the quick brown fox; don't they'll we've I'm you're 123 42.",
+        "Café déjà vu — naïve résumé!",
+        "你好世界 中文 模型 嵌入 向量 日本語 テスト",
+        "Ein schneller brauner Fuchs springt über den faulen Hund.",
+        "Le renard brun rapide saute par-dessus le chien paresseux.",
+    ]
+    tok.train_from_iterator(corpus, trainer)
+    return tok.to_str().encode("utf-8")
+
+
 def build_tokenizer_json(n_vocab: int = 1000, lowercase: bool = True) -> bytes:
     """Serialize a real HF tokenizers WordPiece pipeline to tokenizer.json."""
     from tokenizers import (

@@ -1,10 +1,11 @@
 """ctypes binding to the native C++ tokenizer engines (native/tokenizer):
-WordPiece (BERT family) and byte-level BPE (RoBERTa/GPT-2 family).
+WordPiece (BERT family), byte-level BPE (RoBERTa/GPT-2 family) and
+SentencePiece Unigram (XLM-R family).
 
 C ABI (see native/tokenizer/tokenizer.cpp):
     void*  tpuembed_tokenizer_new(const char* json, size_t len);
     void   tpuembed_tokenizer_free(void*);
-    int    tpuembed_model_kind(void*);                       // 0=WP, 1=BPE
+    int    tpuembed_model_kind(void*);              // 0=WP, 1=BPE, 2=Unigram
     int    tpuembed_encode(void*, const char* text, size_t len,
                            int32_t* out, int32_t cap);       // -> n or -needed
     int    tpuembed_id_to_token(void*, int32_t id, char* out, int32_t cap);
@@ -146,9 +147,40 @@ class NativeTokenizer:
     def decode(self, ids) -> str:
         if self._kind == 1:  # byte-level BPE: invert the byte remap
             return self._decode_byte_level(ids)
+        if self._kind == 2:  # Unigram: Metaspace decoder
+            return self._decode_metaspace(ids)
         from .base import decode_wordpiece
 
         return decode_wordpiece(self.id_to_token, ids)
+
+    def _decode_metaspace(self, ids) -> str:
+        """Metaspace decoder (mirrors unigram.py decode): replacement char
+        -> space, leading separator of the first token stripped unless
+        prepend_scheme == never."""
+        if not hasattr(self, "_metaspace"):
+            import json
+
+            try:
+                pre = json.loads(self._blob).get("pre_tokenizer") or {}
+            except Exception:
+                pre = {}
+            rep = pre.get("replacement", "▁")
+            scheme = pre.get("prepend_scheme")
+            if scheme is None:
+                scheme = (
+                    "always" if pre.get("add_prefix_space", True) else "never"
+                )
+            self._metaspace = (rep, scheme)
+        rep, scheme = self._metaspace
+        out: list[str] = []
+        first = True
+        for i in ids:
+            piece = self.id_to_token(int(i)).replace(rep, " ")
+            if first and scheme != "never" and piece.startswith(" "):
+                piece = piece[1:]
+            first = False
+            out.append(piece)
+        return "".join(out)
 
     def _decode_byte_level(self, ids) -> str:
         """ByteLevel decoder (mirrors bpe.py decode): map token chars back

@@ -194,3 +194,225 @@ def test_mutation_fuzz_never_crashes():
             t.id_to_token(0)
         except Exception:
             pass  # clean rejection is the accepted outcome
+
+
+# --- Unigram (SentencePiece) engine ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def native_unigram(native_tok):
+    """Native Unigram on the trained synthetic XLM-R-style json (lib build
+    + `tokenizers` availability piggyback on the native_tok fixture)."""
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+    from embedding_cpp_tpu.tokenizer.testvocab import (
+        build_unigram_tokenizer_json,
+    )
+
+    blob = build_unigram_tokenizer_json(600)
+    return NativeTokenizer(blob), blob
+
+
+@pytest.fixture(scope="module")
+def hf_unigram(native_unigram):
+    from tokenizers import Tokenizer
+
+    return Tokenizer.from_str(native_unigram[1].decode())
+
+
+def test_unigram_kind(native_unigram):
+    assert native_unigram[0]._kind == 2
+
+
+def test_unigram_fuzz_corpus_matches_hf(native_unigram, hf_unigram):
+    from test_unigram_tokenizer import FUZZ_TEXTS
+
+    nat, _ = native_unigram
+    for text in FUZZ_TEXTS:
+        want = hf_unigram.encode(text, add_special_tokens=False).ids
+        assert nat.encode(text) == want, repr(text)
+
+
+def test_unigram_random_strings_match_hf(native_unigram, hf_unigram):
+    import random
+
+    nat, _ = native_unigram
+    rng = random.Random(11)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDE 0123456789.,!?'\"- "
+        "你好世界中文模型éüßñ▁ \t☃"
+    )
+    for _ in range(300):
+        text = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 60))
+        )
+        want = hf_unigram.encode(text, add_special_tokens=False).ids
+        assert nat.encode(text) == want, repr(text)
+
+
+def test_unigram_decode_matches_hf(native_unigram, hf_unigram):
+    from test_unigram_tokenizer import FUZZ_TEXTS
+
+    nat, _ = native_unigram
+    for text in FUZZ_TEXTS:
+        ids = hf_unigram.encode(text, add_special_tokens=False).ids
+        assert nat.decode(ids) == hf_unigram.decode(
+            ids, skip_special_tokens=False
+        ), repr(text)
+
+
+def test_unigram_manual_vocab_adversarial(native_tok):
+    """Tie-breaking / unk-fusing vocab through the full native pipeline vs
+    HF (mirrors test_unigram_tokenizer.test_unigram_vs_hf_manual_vocab)."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+    from test_unigram_tokenizer import FUZZ_TEXTS
+
+    vocab = [("<unk>", 0.0), ("▁", -2.5), ("a", -1.0), ("b", -1.1),
+             ("ab", -2.1), ("ba", -2.0), ("▁ab", -3.0), ("aa", -1.9),
+             ("abba", -4.0), ("c", -6.0)]
+    t = Tokenizer(models.Unigram(vocab, unk_id=0, byte_fallback=False))
+    t.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+    t.decoder = decoders.Metaspace(replacement="▁")
+    nat = NativeTokenizer(t.to_str().encode())
+    for text in ["abba ab", "aaab", "abc cba", "ab ab ab", "ba ab aab",
+                 "ccc", "a b ab ba", *FUZZ_TEXTS]:
+        ids = t.encode(text, add_special_tokens=False).ids
+        assert nat.encode(text) == ids, repr(text)
+        assert nat.decode(ids) == t.decode(
+            ids, skip_special_tokens=False
+        ), repr(text)
+
+
+def test_unigram_byte_fallback(native_tok):
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    vocab = [("<unk>", 0.0), ("▁", -2.0), ("a", -1.0)] + [
+        (f"<0x{b:02X}>", -5.0) for b in range(256)
+    ]
+    t = Tokenizer(models.Unigram(vocab, unk_id=0, byte_fallback=True))
+    t.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+    nat = NativeTokenizer(t.to_str().encode())
+    for text in ["aé", "a é ☃", "héllo", "aaa"]:
+        want = t.encode(text, add_special_tokens=False).ids
+        assert nat.encode(text) == want, repr(text)
+
+
+def test_unigram_precompiled_charsmap_vs_hf(native_tok):
+    """Native darts-trie charsmap reader through the full pipeline vs HF on
+    the same serialized blob."""
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+    from test_unigram_tokenizer import _CHARSMAP, _NORM_TEXTS, build_charsmap_blob
+
+    blob = build_charsmap_blob(_CHARSMAP)
+    vocab = [("<unk>", 0.0), ("▁", -2.5), ("a", -1.0), ("b", -1.2),
+             ("fi", -1.5), ("sh", -1.4), ("é", -1.3), ("1", -1.0),
+             ("2", -1.0), ("B", -1.1), ("▁fish", -3.0), ("x", -1.0),
+             ("e", -1.0), ("t", -1.0), ("u", -1.0), ("d", -1.0)]
+    t = Tokenizer(models.Unigram(vocab, unk_id=0, byte_fallback=False))
+    t.normalizer = normalizers.Precompiled(blob)
+    t.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+    nat = NativeTokenizer(t.to_str().encode())
+    for text in _NORM_TEXTS + ["ﬁsh étude ａＢ"]:
+        want = t.encode(text, add_special_tokens=False).ids
+        assert nat.encode(text) == want, repr(text)
+
+
+def test_unigram_loader_prefers_native(native_unigram):
+    from embedding_cpp_tpu.tokenizer import load_tokenizer
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    tok = load_tokenizer(native_unigram[1], backend="auto")
+    assert isinstance(tok, NativeTokenizer)
+    assert tok._kind == 2
+
+
+def test_unigram_unsupported_shapes_fall_back():
+    """NFx normalizers / Regex Replace / multi-char Metaspace replacement
+    reject natively (load_tokenizer then falls through to hf/python)."""
+    lib = ROOT / "native" / "build" / "libtpuembed_tokenizer.so"
+    if not lib.exists():
+        pytest.skip("native lib not built")
+    import json
+
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    base = {
+        "model": {"type": "Unigram", "unk_id": 0,
+                  "vocab": [["<unk>", 0.0], ["a", -1.0]]},
+        "pre_tokenizer": {"type": "Metaspace", "replacement": "▁"},
+    }
+    rejected = []
+    m = json.loads(json.dumps(base))
+    m["normalizer"] = {"type": "NFKC"}
+    rejected.append(m)
+    m = json.loads(json.dumps(base))
+    m["normalizer"] = {"type": "Replace", "pattern": {"Regex": "a+"},
+                       "content": "a"}
+    rejected.append(m)
+    m = json.loads(json.dumps(base))
+    m["pre_tokenizer"]["replacement"] = "ab"
+    rejected.append(m)
+    m = json.loads(json.dumps(base))
+    m["pre_tokenizer"] = {"type": "Whitespace"}
+    rejected.append(m)
+    for spec in rejected:
+        with pytest.raises(ValueError):
+            NativeTokenizer(json.dumps(spec).encode())
+
+
+def test_unigram_hostile_blobs_rejected_cleanly():
+    """Truncated/hostile charsmap blobs and malformed vocab entries must
+    reject, never crash: the trie reader indexes untrusted offsets."""
+    lib = ROOT / "native" / "build" / "libtpuembed_tokenizer.so"
+    if not lib.exists():
+        pytest.skip("native lib not built")
+    import base64
+    import json
+    import struct
+
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+    def spec(**kw):
+        base = {
+            "model": {"type": "Unigram", "unk_id": 0,
+                      "vocab": [["<unk>", 0.0], ["a", -1.0]]},
+            "pre_tokenizer": {"type": "Metaspace", "replacement": "▁"},
+        }
+        base.update(kw)
+        return json.dumps(base).encode()
+
+    hostile = [
+        # vocab not a list of pairs
+        b'{"model":{"type":"Unigram","vocab":{"a":0}},'
+        b'"pre_tokenizer":{"type":"Metaspace"}}',
+        b'{"model":{"type":"Unigram","vocab":[["a"]]},'
+        b'"pre_tokenizer":{"type":"Metaspace"}}',
+        # unk_id out of range
+        spec(model={"type": "Unigram", "unk_id": 99,
+                    "vocab": [["<unk>", 0.0]]}),
+        # charsmap: bad base64 / truncated header / trie exceeding blob
+        spec(normalizer={"type": "Precompiled",
+                         "precompiled_charsmap": "!!notbase64!!"}),
+        spec(normalizer={"type": "Precompiled",
+                         "precompiled_charsmap":
+                             base64.b64encode(b"\x01").decode()}),
+        spec(normalizer={"type": "Precompiled",
+                         "precompiled_charsmap": base64.b64encode(
+                             struct.pack("<I", 4096) + b"\x00" * 8
+                         ).decode()}),
+    ]
+    for blob in hostile:
+        with pytest.raises(ValueError):
+            NativeTokenizer(blob)
+    # out-of-bounds trie offsets inside a well-formed header: encode must
+    # not crash (probes clamp to the unit array)
+    units = struct.pack("<4I", 0xFFFFFC00, 0x141, 0x241, 0x341)
+    blob = base64.b64encode(struct.pack("<I", len(units)) + units).decode()
+    t = NativeTokenizer(spec(normalizer={"type": "Precompiled",
+                                         "precompiled_charsmap": blob}))
+    t.encode("hello world a")

@@ -391,3 +391,87 @@ def test_engine_end_to_end(tmp_path, preset, ftype):
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
     toks = eng.tokenize("hello world")
     assert toks[0] == eng.special_ids.cls and toks[-1] == eng.special_ids.sep
+
+
+def test_xlmr_hf_dir_conversion_end_to_end(tmp_path):
+    """XLM-R = RoBERTa encoder + SentencePiece-Unigram tokenizer, through
+    the FULL conversion path: a local HF checkpoint dir (config.json with
+    model_type xlm-roberta, pytorch weights, Unigram tokenizer.json) ->
+    convert_hf_dir -> Engine.encode, gated vs torch mean-pool+L2 on the
+    same tokenization.  The reference cannot convert or load this family
+    (convert-to-gguf.py:133-136)."""
+    import json
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer
+
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.tokenizer.testvocab import (
+        build_unigram_tokenizer_json,
+    )
+
+    tokenizer_json = build_unigram_tokenizer_json(600)
+    spec = json.loads(tokenizer_json)
+    n_vocab = len(spec["model"]["vocab"])
+
+    hf_config = transformers.XLMRobertaConfig(
+        vocab_size=n_vocab,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=66,
+        type_vocab_size=1,
+        layer_norm_eps=1e-5,
+        pad_token_id=1,
+        hidden_act="gelu",
+        attention_probs_dropout_prob=0.0,
+        hidden_dropout_prob=0.0,
+    )
+    model = transformers.XLMRobertaModel(hf_config, add_pooling_layer=False)
+    model.eval()
+
+    src = tmp_path / "hf-xlmr"
+    src.mkdir()
+    (src / "config.json").write_text(hf_config.to_json_string())
+    torch.save(model.state_dict(), src / "pytorch_model.bin")
+    (src / "tokenizer.json").write_bytes(tokenizer_json)
+
+    out = tmp_path / "xlmr.gguf"
+    convert_hf_dir(src, out)
+    eng = Engine.from_gguf(str(out), opts=F32)
+
+    texts = ["hello world", "Café déjà vu", "你好世界 中文 模型",
+             "Ein schneller brauner Fuchs"]
+    got = eng.encode(texts)
+
+    hf_tok = Tokenizer.from_str(tokenizer_json.decode())
+    framed = [
+        [eng.special_ids.cls]
+        + hf_tok.encode(t, add_special_tokens=False).ids
+        + [eng.special_ids.sep]
+        for t in texts
+    ]
+    max_len = max(len(f) for f in framed)
+    ids = np.full((len(texts), max_len), eng.special_ids.pad, np.int64)
+    mask = np.zeros((len(texts), max_len), np.int64)
+    for i, f in enumerate(framed):
+        ids[i, : len(f)] = f
+        mask[i, : len(f)] = 1
+    with torch.no_grad():
+        hidden = model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+    m = mask[..., None].astype(np.float32)
+    pooled = (hidden * m).sum(1) / m.sum(1)
+    expected = pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+    cos = np.sum(got * expected, axis=-1)
+    assert np.all(cos > 0.9999), cos
+    # specials followed the spm order from the added_tokens
+    assert eng.special_ids.pad == 1
+    assert eng.tokenize(texts[0])[0] == eng.special_ids.cls

@@ -143,7 +143,8 @@ def test_added_token_content_preserved():
     assert t.id_to_token(7) == "hello"
 
 
-def test_mutation_fuzz_never_crashes():
+@pytest.mark.parametrize("family", ["wordpiece", "unigram"])
+def test_mutation_fuzz_never_crashes(family):
     """Deterministic mini-fuzz of the untrusted tokenizer.json surface:
     structured mutations + raw garbage must load cleanly or raise — the
     process-killing classes this guards are in the two tests above."""
@@ -154,9 +155,15 @@ def test_mutation_fuzz_never_crashes():
 
     pytest.importorskip("tokenizers")
     from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
-    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+    from embedding_cpp_tpu.tokenizer.testvocab import (
+        build_tokenizer_json,
+        build_unigram_tokenizer_json,
+    )
 
-    base = json.loads(build_tokenizer_json(300))
+    if family == "wordpiece":
+        base = json.loads(build_tokenizer_json(300))
+    else:
+        base = json.loads(build_unigram_tokenizer_json(300))
     rng = random.Random(0)
 
     def mutate(obj):

@@ -350,14 +350,15 @@ class UnigramTokenizer:
             segments = new
         return segments
 
-    def _pre_tokenize(self, seg: str) -> list[str]:
+    def _pre_tokenize(self, seg: str, first: bool = True) -> list[str]:
         rep = self.replacement
         seg = seg.replace(" ", rep)
-        if (
-            self.prepend_scheme in ("always", "first")
-            and seg
-            and not seg.startswith(rep)
-        ):
+        # "first" prepends only to the section at text offset 0 — a section
+        # after an added-token split gets no separator (HF PrependScheme)
+        prepend = self.prepend_scheme == "always" or (
+            self.prepend_scheme == "first" and first
+        )
+        if prepend and seg and not seg.startswith(rep):
             seg = rep + seg
         if not self.split:
             return [seg] if seg else []
@@ -375,21 +376,23 @@ class UnigramTokenizer:
         # the scan above already does (every split starts at a delimiter)
         return [w for w in words if w]
 
-    def _encode_segment(self, seg: str) -> list[int]:
+    def _encode_segment(self, seg: str, first: bool = True) -> list[int]:
         for step in self._norm_steps:
             seg = step(seg)
         ids: list[int] = []
-        for w in self._pre_tokenize(seg):
+        for w in self._pre_tokenize(seg, first):
             ids.extend(self.model.tokenize(w))
         return ids
 
     def encode(self, text: str) -> list[int]:
         ids: list[int] = []
+        first = True
         for seg, seg_id in self._split_added(text):
             if seg_id is not None:
                 ids.append(seg_id)
             else:
-                ids.extend(self._encode_segment(seg))
+                ids.extend(self._encode_segment(seg, first))
+            first = False
         return ids
 
     def encode_batch(self, texts: Sequence[str]) -> list[list[int]]:

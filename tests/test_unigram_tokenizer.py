@@ -329,3 +329,31 @@ def test_engine_end_to_end_unigram(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
     toks = eng.tokenize("hello world")
     assert toks[0] == eng.special_ids.cls and toks[-1] == eng.special_ids.sep
+
+
+def test_prepend_scheme_first_added_token_sections():
+    """HF PrependScheme::First prepends only to the section at text offset
+    0 — a section after an added-token split gets no separator.  Both the
+    pure-Python and (when built) native engines must match."""
+    from tokenizers import AddedToken, Tokenizer, models, pre_tokenizers
+
+    vocab = [("<unk>", 0.0), ("▁", -2.0), ("a", -1.0), ("b", -1.0),
+             ("▁a", -1.5)]
+    t = Tokenizer(models.Unigram(vocab, unk_id=0, byte_fallback=False))
+    t.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement="▁", prepend_scheme="first"
+    )
+    t.add_special_tokens([AddedToken("<s>", special=True)])
+    spec = t.to_str()
+    engines = [UnigramTokenizer(spec)]
+    try:
+        from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+        engines.append(NativeTokenizer(spec.encode()))
+    except ImportError:
+        pass
+    for text in ["a b", "<s>a b", "a<s>b", "ab <s> ab", " a", "", "<s>",
+                 "b a<s> a b"]:
+        want = t.encode(text, add_special_tokens=False).ids
+        for eng in engines:
+            assert eng.encode(text) == want, (type(eng).__name__, repr(text))

@@ -168,3 +168,28 @@ def test_engine_mesh_int8_output(eight_devices):
     b = single.encode(texts)
     amax = np.abs(b).max(axis=1, keepdims=True)
     assert np.all(np.abs(a - b) <= amax / 254 + 2e-5)
+
+
+def test_mesh_forward_mpnet_matches_single(eight_devices):
+    """GSPMD partitioning of the MPNet relative-attention bias: the
+    [H, S, S] bias broadcast and bucket gather must shard cleanly over the
+    tp head axis (the manual shard_map analog slices heads explicitly —
+    test_shard_map_forward.test_manual_mpnet_rel_bias_tp)."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.sharding import (
+        shard_params_and_make_forward,
+    )
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=64, n_embd=128, n_layer=2, n_head=4, n_ff=256,
+        n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,
+        name="shard-mpnet",
+    )
+    params = random_params(cfg, seed=3)
+    ids, mask = _data()
+    expected = np.asarray(bert_embed_batch(params, ids, mask, cfg, OPTS))
+
+    mesh = make_mesh(dp=2, tp=4, devices=eight_devices)
+    sharded, fwd = shard_params_and_make_forward(params, cfg, OPTS, mesh)
+    got = np.asarray(fwd(sharded, ids, mask))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)

@@ -41,6 +41,97 @@ class Tokenizer(Protocol):
     def id_to_token(self, token_id: int) -> str: ...
 
 
+# --- added-token matching (shared by every pure-Python engine) ---------------
+
+# Unicode White_Space, exactly Rust's char::is_whitespace (what the
+# tokenizers crate strips for AddedToken lstrip/rstrip).  NOT str.isspace():
+# python adds 0x1C-0x1F, which the property excludes.
+_ADDED_WS = frozenset(
+    "\t\n\x0b\x0c\r \x85\xa0\u1680\u2028\u2029\u202f\u205f\u3000"
+) | frozenset(chr(c) for c in range(0x2000, 0x200B))
+
+
+def _is_word_char(ch: str) -> bool:
+    """Word char for AddedToken single_word boundaries (regex \\w-like:
+    letters, marks, numbers, connector punctuation, join controls — '_ab'
+    and '́ab' block a single_word match in HF, '-ab' doesn't)."""
+    import unicodedata
+
+    cat = unicodedata.category(ch)
+    return cat[0] in "LMN" or cat == "Pc" or ch in "\u200c\u200d"
+
+
+def parse_added_tokens(spec: dict) -> list[dict]:
+    """added_tokens entries (content/id/lstrip/rstrip/single_word), sorted
+    longest-first for the leftmost-longest scan.  `normalized` is ignored:
+    all engines match added tokens on raw text (exact for specials, which
+    serialize normalized=false; a known deviation for non-special added
+    tokens under a non-identity normalizer)."""
+    toks = [
+        {
+            "content": t["content"],
+            "id": int(t["id"]),
+            "lstrip": bool(t.get("lstrip", False)),
+            "rstrip": bool(t.get("rstrip", False)),
+            "single_word": bool(t.get("single_word", False)),
+        }
+        for t in spec.get("added_tokens", [])
+    ]
+    toks.sort(key=lambda t: -len(t["content"]))
+    return toks
+
+
+def split_added_tokens(
+    text: str, added: list[dict]
+) -> list[tuple[str, int | None]]:
+    """Split raw text on added tokens with the tokenizers crate's
+    AddedVocabulary semantics: leftmost-longest match; single_word rejects
+    matches flanked by word chars; lstrip consumes the whitespace run
+    before the match (back to the previous segment boundary), rstrip the
+    run after — the consumed whitespace belongs to the token match and
+    reaches no segment (so Metaspace never sees it).  Returns
+    [(segment, None) | (token_content, id)]."""
+    if not added:
+        return [(text, None)] if text else []
+    n = len(text)
+    segments: list[tuple[str, int | None]] = []
+    pos = 0
+    seg_start = 0
+    while pos < n:
+        hit = None
+        for t in added:
+            c = t["content"]
+            if not c or not text.startswith(c, pos):
+                continue
+            end = pos + len(c)
+            if t["single_word"]:
+                if pos > 0 and _is_word_char(text[pos - 1]):
+                    continue
+                if end < n and _is_word_char(text[end]):
+                    continue
+            start = pos
+            if t["lstrip"]:
+                while start > seg_start and text[start - 1] in _ADDED_WS:
+                    start -= 1
+            if t["rstrip"]:
+                while end < n and text[end] in _ADDED_WS:
+                    end += 1
+            hit = (start, end, c, t["id"])
+            break
+        if hit is None:
+            pos += 1
+            continue
+        start, end, content, tid = hit
+        if start > seg_start:
+            segments.append((text[seg_start:start], None))
+        segments.append((content, tid))
+        pos = end
+        seg_start = end
+    if seg_start < n:
+        segments.append((text[seg_start:], None))
+    return segments
+
+
 # HF WordPiece decoder cleanup=True rules, applied PER PIECE (a piece is
 # " "+token or a ##-stripped continuation) — exactly the Rust decoder's
 # `cleanup()`; applying them to the joined string would fuse patterns

@@ -26,6 +26,8 @@ import unicodedata
 from functools import lru_cache
 from typing import Sequence
 
+from .base import parse_added_tokens, split_added_tokens
+
 
 @lru_cache(maxsize=1)
 def bytes_to_unicode() -> dict[int, str]:
@@ -257,9 +259,10 @@ class ByteLevelBPETokenizer:
         self._b2u = bytes_to_unicode()
 
         # added tokens (specials) match on raw text before the byte remap
-        self._added: dict[str, int] = {}
-        for t in spec.get("added_tokens", []):
-            self._added[t["content"]] = int(t["id"])
+        self._added_list = parse_added_tokens(spec)
+        self._added: dict[str, int] = {
+            t["content"]: t["id"] for t in self._added_list
+        }
         self._id_to_token = {i: t for t, i in self.model.vocab.items()}
         for t, i in self._added.items():
             self._id_to_token.setdefault(i, t)
@@ -287,23 +290,7 @@ class ByteLevelBPETokenizer:
         return steps
 
     def _split_added(self, text: str):
-        if not self._added:
-            return [(text, None)]
-        segments: list[tuple[str, int | None]] = [(text, None)]
-        for tok, tid in sorted(self._added.items(), key=lambda kv: -len(kv[0])):
-            new: list[tuple[str, int | None]] = []
-            for seg, seg_id in segments:
-                if seg_id is not None:
-                    new.append((seg, seg_id))
-                    continue
-                parts = seg.split(tok)
-                for j, part in enumerate(parts):
-                    if part:
-                        new.append((part, None))
-                    if j < len(parts) - 1:
-                        new.append((tok, tid))
-            segments = new
-        return segments
+        return split_added_tokens(text, self._added_list)
 
     def _encode_segment(self, seg: str) -> list[int]:
         for step in self._norm_steps:

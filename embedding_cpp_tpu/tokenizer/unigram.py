@@ -36,6 +36,8 @@ import struct
 import unicodedata
 from typing import Sequence
 
+from .base import parse_added_tokens, split_added_tokens
+
 _UNK_PENALTY = 10.0  # K_UNK_PENALTY, tokenizers models/unigram/model.rs
 
 
@@ -324,31 +326,16 @@ class UnigramTokenizer:
         self.prepend_scheme = scheme
         self.split = bool(pre.get("split", True))
 
-        self._added: dict[str, int] = {}
-        for t in spec.get("added_tokens", []):
-            self._added[t["content"]] = int(t["id"])
+        self._added_list = parse_added_tokens(spec)
+        self._added: dict[str, int] = {
+            t["content"]: t["id"] for t in self._added_list
+        }
         self._id_to_token = {i: p for p, i in self.model.vocab.items()}
         for t, i in self._added.items():
             self._id_to_token.setdefault(i, t)
 
     def _split_added(self, text: str):
-        if not self._added:
-            return [(text, None)]
-        segments: list[tuple[str, int | None]] = [(text, None)]
-        for tok, tid in sorted(self._added.items(), key=lambda kv: -len(kv[0])):
-            new: list[tuple[str, int | None]] = []
-            for seg, seg_id in segments:
-                if seg_id is not None:
-                    new.append((seg, seg_id))
-                    continue
-                parts = seg.split(tok)
-                for j, part in enumerate(parts):
-                    if part:
-                        new.append((part, None))
-                    if j < len(parts) - 1:
-                        new.append((tok, tid))
-            segments = new
-        return segments
+        return split_added_tokens(text, self._added_list)
 
     def _pre_tokenize(self, seg: str, first: bool = True) -> list[str]:
         rep = self.replacement

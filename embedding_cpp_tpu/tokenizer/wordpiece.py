@@ -15,6 +15,8 @@ import json
 import unicodedata
 from typing import Sequence
 
+from .base import parse_added_tokens, split_added_tokens
+
 # CJK Unified Ideograph ranges (BERT's definition)
 _CJK_RANGES = (
     (0x4E00, 0x9FFF),
@@ -204,33 +206,18 @@ class WordPieceTokenizer:
             raise ValueError(f"unsupported pre_tokenizer: {pre.get('type')}")
         self.pre_tokenizer = BertPreTokenizer()
 
-        # added tokens (specials) match on raw text before normalization
-        self._added: dict[str, int] = {}
-        for t in spec.get("added_tokens", []):
-            self._added[t["content"]] = int(t["id"])
+        # added tokens match on raw text before normalization, with the
+        # AddedVocabulary lstrip/rstrip/single_word semantics (base.py)
+        self._added_list = parse_added_tokens(spec)
+        self._added: dict[str, int] = {
+            t["content"]: t["id"] for t in self._added_list
+        }
         self._id_to_token = {i: t for t, i in self.model.vocab.items()}
         for t, i in self._added.items():
             self._id_to_token.setdefault(i, t)
 
     def _split_added(self, text: str) -> list[tuple[str, int | None]]:
-        """Split raw text on added special tokens; returns (segment, id|None)."""
-        if not self._added:
-            return [(text, None)]
-        segments: list[tuple[str, int | None]] = [(text, None)]
-        for tok, tid in sorted(self._added.items(), key=lambda kv: -len(kv[0])):
-            new: list[tuple[str, int | None]] = []
-            for seg, seg_id in segments:
-                if seg_id is not None:
-                    new.append((seg, seg_id))
-                    continue
-                parts = seg.split(tok)
-                for j, part in enumerate(parts):
-                    if part:
-                        new.append((part, None))
-                    if j < len(parts) - 1:
-                        new.append((tok, tid))
-            segments = new
-        return segments
+        return split_added_tokens(text, self._added_list)
 
     def encode(self, text: str) -> list[int]:
         ids: list[int] = []

@@ -191,3 +191,40 @@ def test_decode_roundtrip_all_backends():
         for t in texts:
             ids = tok.encode(t)
             assert tok.decode(ids) == hf.decode(hf.encode(t)), (backend, t)
+
+
+def test_added_token_lstrip_rstrip_single_word():
+    """AddedVocabulary match options vs HF across all three families/eight
+    engines: lstrip consumes preceding whitespace into the match (XLM-R /
+    RoBERTa <mask> style), rstrip the following run, single_word rejects
+    matches flanked by word chars ('_' and combining marks count as word
+    chars, '-' doesn't)."""
+    pytest.importorskip("tokenizers")
+    from tokenizers import AddedToken, Tokenizer, models, pre_tokenizers
+
+    from embedding_cpp_tpu.tokenizer.unigram import UnigramTokenizer
+
+    vocab = [("<unk>", 0.0), ("▁", -2.0), ("a", -1.0), ("b", -1.0),
+             ("c", -1.0), ("▁a", -1.5), ("▁b", -1.5), ("▁c", -1.5)]
+    t = Tokenizer(models.Unigram(vocab, unk_id=0, byte_fallback=False))
+    t.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+    t.add_special_tokens([AddedToken("<mask>", special=True, lstrip=True)])
+    t.add_tokens([AddedToken("<m>", rstrip=True, normalized=False),
+                  AddedToken("ab", single_word=True, normalized=False)])
+    spec = t.to_str()
+    engines = [UnigramTokenizer(spec)]
+    try:
+        from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+
+        engines.append(NativeTokenizer(spec.encode()))
+    except ImportError:
+        pass
+    texts = ["a <mask> b", "a<mask>b", "a  <mask>", "<mask> a",
+             "a <m>  b", "ab c", "abc", "cab", "ab.c", "_ab", "-ab",
+             "a <mask>  <m> b", " <mask>", "éab", "́ab"]
+    for text in texts:
+        want = t.encode(text, add_special_tokens=False).ids
+        for eng in engines:
+            assert list(eng.encode(text)) == want, (
+                type(eng).__name__, repr(text),
+            )

@@ -13,6 +13,8 @@ the same device batches) as the TCP protocol.
                            Matryoshka semantics)}
       -> {"object": "list", "data": [{"object": "embedding", "index": i,
           "embedding": [...]}], "model": ..., "usage": {...}}
+    POST /v1/tokenize     {"input": "text" | ["texts"...]}
+                          -> {"ids": [[...]], "tokens": [[...]]}
     POST /v1/index        {"input": ["texts"...]} -> {"total": N}
                           (embed into the on-device vector index)
     POST /v1/search       {"input": ["queries"...], "k": 10}
@@ -241,6 +243,27 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         "data": [{"id": n, "object": "model"}
                                  for n in names],
                     })
+                elif path == "/v1/tokenize":
+                    # HTTP face of the TCP tokenize frame (bert.h:64 over
+                    # the wire): framed ids + token strings, no embedding
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    loop = asyncio.get_running_loop()
+                    id_lists = await loop.run_in_executor(
+                        None, b.engine.tokenize_batch, texts
+                    )
+                    out = _json_response(200, {
+                        "object": "tokenize",
+                        "ids": [[int(i) for i in ids_] for ids_ in id_lists],
+                        "tokens": [
+                            [b.engine.id_to_token(int(i)) for i in ids_]
+                            for ids_ in id_lists
+                        ],
+                    })
+                    b.stats.requests += 1
                 elif path == "/v1/index":
                     if method != "POST":
                         raise HttpError(405, "POST required")

@@ -410,3 +410,26 @@ def test_multi_model_routing(tmp_path):
     assert status == 400 and "no index" in body["error"]["message"]
     loop.call_soon_threadsafe(holder["task"].cancel)
     t.join(timeout=5)
+
+
+def test_http_tokenize(http_server):
+    """POST /v1/tokenize: framed ids + token strings, no embedding (the
+    HTTP face of the TCP tokenize frame / bert_tokenize, bert.h:64)."""
+    port, _, engine = http_server
+    status, body = _post(port, "/v1/tokenize",
+                         {"input": ["hello world", "a"]})
+    assert status == 200
+    assert body["object"] == "tokenize"
+    assert body["ids"] == [
+        [int(i) for i in engine.tokenize("hello world")],
+        [int(i) for i in engine.tokenize("a")],
+    ]
+    # framed: CLS ... SEP, and tokens mirror ids through the vocab
+    for ids, toks in zip(body["ids"], body["tokens"]):
+        assert ids[0] == engine.special_ids.cls
+        assert ids[-1] == engine.special_ids.sep
+        assert len(ids) == len(toks)
+        assert toks == [engine.id_to_token(i) for i in ids]
+    # single string form
+    status, body = _post(port, "/v1/tokenize", {"input": "hello"})
+    assert status == 200 and len(body["ids"]) == 1

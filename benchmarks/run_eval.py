@@ -203,6 +203,10 @@ def main() -> None:
                         "a miss.  Use with a real checkpoint, e.g. "
                         "--hf-dir .../all-MiniLM-L6-v2")
     p.add_argument("--model-name")
+    p.add_argument("--preset", default="minilm-l6",
+                   help="synthetic-mode model preset (make_test_model): "
+                        "covers every encoder/tokenizer family, e.g. "
+                        "tiny-xlmr (Unigram), tiny-mpnet (relative bias)")
     args = p.parse_args()
 
     sts, clf = get_datasets(args.synthetic or args.synthetic_data, args.sts_json)
@@ -221,13 +225,13 @@ def main() -> None:
         )
         from embedding_cpp_tpu.cli.make_test_model import make_test_model
 
-        model_name = args.model_name or "synthetic-minilm-l6"
+        model_name = args.model_name or f"synthetic-{args.preset}"
         with tempfile.TemporaryDirectory() as td:
             for mode in args.modes:
                 if mode not in ENGINE_MODES:
                     continue  # no sbert for synthetic weights
                 path = f"{td}/model-{mode}.gguf"
-                make_test_model(path, "minilm-l6", mode)
+                make_test_model(path, args.preset, mode)
                 scores = run_mode(
                     mode, model_name, make_engine_encoder(path, args.dtype, args.output_dtype),
                     sts, clf, args.tasks, warmup=args.warmup)

@@ -363,6 +363,106 @@ def bench_attention(b: int = 32, s: int = 512, h: int = 12, d: int = 32,
     return out
 
 
+def bench_forward_attn_impl(b: int = 32, s: int = 512, iters: int = 20,
+                            preset: str = "mpnet-base") -> dict:
+    """FULL MPNet forward chained in-device: attn_impl='pallas' (fused
+    position-bias attention kernel) vs 'xla' (einsum + materialized
+    [B, H, S, S] scores).  The family-level analog of
+    bench_forward_q4_impl — decides whether the bias kernel carries the
+    auto default for MPNet plain batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.cli.make_test_model import PRESETS
+    from embedding_cpp_tpu.models import (
+        ComputeOptions, bert_embed_batch, random_params,
+    )
+
+    config = PRESETS[preset]
+    params = random_params(config, seed=0, dense_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(
+        rng.integers(0, config.n_vocab, size=(b, s)), dtype=jnp.int32
+    )
+    mask = jnp.ones((b, s), jnp.int32)
+    n_tokens = b * s
+
+    out = {}
+    for impl in ("pallas", "xla"):
+        opts = ComputeOptions(dtype="bfloat16", attn_impl=impl)
+
+        @jax.jit
+        def loop(params, ids, mask):
+            def body(i, carry):
+                # fake data dependency so XLA cannot hoist the
+                # loop-invariant forward out of the fori_loop
+                ids_i = ids + (carry > 1e30).astype(jnp.int32)
+                y = bert_embed_batch(params, ids_i, mask, config, opts)
+                return carry + jnp.sum(y.astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        args = (params, ids, mask)
+        _sync(loop(*args))
+        best = min(_timed(lambda: _sync(loop(*args))) for _ in range(3))
+        per = max((best - _dispatch_floor()) / iters, 1e-9)
+        out[impl] = {"ms": round(per * 1e3, 3),
+                     "tokens_per_sec": round(n_tokens / per)}
+    return out
+
+
+def bench_attention_bias(b: int = 32, s: int = 512, h: int = 12, d: int = 64,
+                         iters: int = 50) -> dict:
+    """Additive [H, S, S] position-bias attention (MPNet relative attention,
+    all-mpnet-base-v2 shapes): fused bias kernel (batch-innermost grid, bias
+    DMA'd once per (head, q-tile)) vs the XLA einsum path."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    bias_np = np.zeros((b, s), np.float32)
+    bias_np[:, (s * 3) // 4:] = -1e9
+    bias = jnp.asarray(bias_np)
+    pos_bias = jnp.asarray(rng.normal(size=(h, s, s)).astype(np.float32))
+    flops = 4 * b * h * s * s * d
+
+    def xla_attn(q, k, v, bias):
+        sc = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+        sc = sc * (1.0 / d**0.5) + bias[:, None, None, :] + pos_bias
+        p = jax.nn.softmax(sc, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    def pallas_attn(q, k, v, bias):
+        return flash_attention(q, k, v, bias, pos_bias=pos_bias)
+
+    out = {}
+    for name, f in (("pallas", pallas_attn), ("xla", xla_attn)):
+        # full output fed back as the next q: no column-slicing/DCE escape
+        # hatch for XLA (see CLAUDE.md chained-loop traps)
+        @jax.jit
+        def loop(q, k, v, bias):
+            def body(i, qq):
+                return f(qq, k, v, bias).astype(qq.dtype)
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32)
+            )
+
+        _sync(loop(q, k, v, bias))
+        best = min(_timed(lambda: _sync(loop(q, k, v, bias))) for _ in range(2))
+        per = max((best - _dispatch_floor()) / iters, 1e-9)
+        out[name] = {"us": round(per * 1e6, 1),
+                     "tflops": round(flops / per / 1e12, 2)}
+    return out
+
+
 def bench_packed_attention(b: int = 64, s: int = 512, h: int = 12, d: int = 32,
                            seg_len: int = 16, iters: int = 50) -> dict:
     """Segment-masked (sequence-packed) attention: pallas kernel vs the XLA
@@ -518,9 +618,20 @@ def main() -> None:
     p.add_argument("--attn", action="store_true", default=True)
     p.add_argument("--forward-only", action="store_true",
                    help="only the full-forward q4_impl A/B")
+    p.add_argument("--mpnet-forward", action="store_true",
+                   help="only the MPNet full-forward attn_impl A/B")
     args = p.parse_args()
 
     platform = jax.devices()[0].platform
+    if args.mpnet_forward:
+        results = {"platform": platform}
+        r = bench_forward_attn_impl()
+        results["mpnet_forward_b32_s512"] = r
+        print(f"mpnet forward attn A/B b=32 s=512: "
+              f"pallas {r['pallas']['ms']}ms | xla {r['xla']['ms']}ms",
+              file=sys.stderr)
+        print(json.dumps(results))
+        return
     if args.forward_only:
         results = {"platform": platform}
         for b, s in ((32, 512), (128, 128)):
@@ -565,6 +676,11 @@ def main() -> None:
     r = bench_attention()
     results["attention"]["b32_s512"] = r
     print(f"attention B=32 S=512: pallas {r['pallas']['us']:8.1f}us | "
+          f"xla {r['xla']['us']:8.1f}us", file=sys.stderr)
+    r = bench_attention_bias()
+    results["attention_bias"] = {"b32_s512_d64": r}
+    print(f"attention+pos-bias B=32 S=512 d=64 (mpnet): "
+          f"pallas {r['pallas']['us']:8.1f}us | "
           f"xla {r['xla']['us']:8.1f}us", file=sys.stderr)
     r = bench_attention_headpack()
     results["attention_headpack"] = {"b32_s512_hb4": r}

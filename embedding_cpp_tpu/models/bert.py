@@ -201,9 +201,16 @@ def _attention(
             if (on_tpu and local and s >= 128 and s % 8 == 0 and d % 8 == 0)
             else "xla"
         )
-    if impl == "pallas" and pos_bias is not None:
-        # the fused kernels take no full [H, S, S] additive bias (MPNet's
-        # relative attention); use the XLA einsum path for those models
+    if impl == "pallas" and pos_bias is not None and (
+        seg is not None or pos_bias.ndim != 3 or opts.attn_impl == "auto"
+    ):
+        # the packed/segment kernels take no additive bias, and the bias
+        # kernel streams a batch-invariant [H, S, S] table — packed MPNet
+        # (per-row restart positions -> [B, H, S, S]) rides the XLA path.
+        # auto also stays on XLA for the plain-batch bias case until the
+        # bias kernel has a real-TPU smoke + A/B on record (CLAUDE.md:
+        # interpret mode checks no tiling constraints); force
+        # attn_impl="pallas" to take it
         impl = "xla"
     if impl == "pallas":
         if seg is not None:
@@ -213,7 +220,7 @@ def _attention(
         else:
             from ..ops.attention import flash_attention
 
-            att = flash_attention(q, k, v, mask_bias)
+            att = flash_attention(q, k, v, mask_bias, pos_bias=pos_bias)
     else:
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32

@@ -23,12 +23,16 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hb):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale, hb):
     # blocks: q [1,HB,TQ,d]; k, v [1,HB,S,d]; bias [1,1,S] f32.  Per-head
     # dots run sequentially inside one grid cell: at d=32 each dot uses a
     # quarter of the MXU's contraction/lane width, so the win comes from
     # fewer grid cells (less per-cell overhead), not dot shape — measured
     # 460 us vs 692 at (B=32, S=512, H=12) for hb=H, tq=S vs hb=1, tq=256.
+    # With an extra [HB,TQ,S] f32 ref (MPNet's batch-invariant relative
+    # position bias) it is added after scaling, exactly as HF
+    # MPNetSelfAttention.forward does.
+    pbias_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
     bias = bias_ref[0, 0]
     for hh in range(hb):
         q = q_ref[0, hh]
@@ -40,6 +44,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hb):
             preferred_element_type=jnp.float32,
         )  # [TQ, S]
         scores = scores * scale + bias[None, :]
+        if pbias_ref is not None:
+            scores = scores + pbias_ref[hh]
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         # softmax division deferred past the PV dot: divide the [TQ, d]
@@ -56,11 +62,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hb):
 
 def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
                 tq_candidates=(512, 256, 128),
-                score_bytes: int = 4) -> tuple[int, int]:
+                score_bytes: int = 4, bias_bytes: int = 0) -> tuple[int, int]:
     """(tq, hb): whole-sequence q tiles and as many heads per grid cell as
     the VMEM budget allows (per-head score tiles are sequential, so only the
     q/k/v/out tiles scale with hb).  score_bytes=8 for the segment-masked
-    kernel, whose [TQ, S] boolean mask lives alongside the f32 scores."""
+    kernel, whose [TQ, S] boolean mask lives alongside the f32 scores;
+    bias_bytes=4 for the additive-bias kernel, whose [HB, TQ, S] f32
+    position-bias tile is double-buffered alongside qkv."""
     for tq in (s, *tq_candidates):
         if s % tq:
             continue
@@ -68,6 +76,7 @@ def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
             if h % hb:
                 continue
             tiles = 2 * hb * (3 * s + tq) * d * itemsize  # dbl-buffered qkv+o
+            tiles += 2 * hb * tq * s * bias_bytes
             if tiles + tq * s * score_bytes <= 10 * 1024 * 1024:
                 return tq, hb
     # nothing fits the budget model (very long s): smallest safe tile — the
@@ -129,6 +138,68 @@ def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *,
         ),
         interpret=jax.devices()[0].platform != "tpu",
     )(q, k, v, mask_bias[:, None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "hb"))
+def _flash_attention_bias(q: Array, k: Array, v: Array, mask_bias: Array,
+                          pos_bias: Array, *, tq: int, hb: int) -> Array:
+    """q/k/v: [B, H, S, d]; mask_bias: [B, S] f32; pos_bias: [H, S, S] f32
+    (batch-invariant). -> [B, H, S, d]
+
+    Batch rides the INNERMOST grid dimension: consecutive grid steps then
+    share the (head, q-tile) bias block, so Pallas DMAs each [HB, TQ, S]
+    f32 bias tile from HBM once per (hi, qi) instead of once per batch
+    element — H*S*S*4 total bias traffic instead of B*H*S*S*4 (the
+    [B,H,S,S] f32 score tensor the XLA path materializes)."""
+    b, h, s, d = q.shape
+    scale = 1.0 / (d**0.5)
+    grid = (h // hb, s // tq, b)
+
+    kernel = functools.partial(_attn_kernel, scale=scale, hb=hb)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, hb, tq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hb, s, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hb, s, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s), lambda hi, qi, bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (hb, tq, s), lambda hi, qi, bi: (hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hb, tq, d), lambda hi, qi, bi: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=4 * b * h * s * d * q.dtype.itemsize
+            + h * s * s * 4,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # bias reuse requires consecutive bi steps to revisit the same
+            # (hi, qi) block: bi must stay innermost/sequential
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, mask_bias[:, None, :], pos_bias)
 
 
 def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
@@ -372,11 +443,14 @@ def flash_attention_packed(
     return out.transpose(0, 2, 1, 3)
 
 
-def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array) -> Array:
+def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array,
+                    pos_bias: Array | None = None) -> Array:
     """Masked multi-head attention.
 
     q, k, v: [B, S, H, d] (the model's layout); mask_bias: [B, S] f32
-    (0 for valid keys, -1e9 for padding).  Returns [B, S, H, d].
+    (0 for valid keys, -1e9 for padding); pos_bias: optional [H, S, S] f32
+    batch-invariant additive bias (MPNet relative attention), added after
+    scaling.  Returns [B, S, H, d].
 
     Falls back to the XLA einsum path when shapes don't tile (tiny S or
     unaligned d).
@@ -388,6 +462,8 @@ def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array) -> Array:
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         )
         scores = scores * (1.0 / d**0.5) + mask_bias[:, None, None, :]
+        if pos_bias is not None:
+            scores = scores + pos_bias
         p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         return jnp.einsum(
             "bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32
@@ -396,6 +472,13 @@ def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array) -> Array:
     qt = q.transpose(0, 2, 1, 3)  # [B, H, S, d]
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
+    if pos_bias is not None:
+        tq, hb = _attn_tiles(h, s, d, q.dtype.itemsize, bias_bytes=4)
+        out = _flash_attention_bias(
+            qt, kt, vt, mask_bias.astype(jnp.float32),
+            pos_bias.astype(jnp.float32), tq=tq, hb=hb,
+        )
+        return out.transpose(0, 2, 1, 3)
     tq, hb = _attn_tiles(h, s, d, q.dtype.itemsize)
     out = _flash_attention(qt, kt, vt, mask_bias.astype(jnp.float32), tq=tq,
                            hb=hb)

@@ -155,3 +155,53 @@ def test_attn_tiles_never_whole_sequence_over_budget():
     s = 8 * 5003  # 40024: divisors are {1,2,4,8} x {1,5003,...}; tq -> 8
     tq, hb = _attn_tiles(12, s, 32, 2)
     assert tq < s and s % tq == 0 and tq % 8 == 0 and tq <= 128
+
+
+@pytest.mark.parametrize("b,s,h,d", [(2, 64, 4, 32), (1, 128, 12, 32), (2, 128, 4, 64)])
+def test_bias_kernel_matches_reference(b, s, h, d):
+    """Additive [H, S, S] position bias (MPNet relative attention) in the
+    fused kernel vs the XLA einsum path."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    mask = np.zeros((b, s), np.float32)
+    mask[:, (3 * s) // 4:] = -1e9
+    mask = jnp.asarray(mask)
+    pos_bias = jnp.asarray(rng.normal(size=(h, s, s)).astype(np.float32))
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / d**0.5) + mask[:, None, None, :] + pos_bias
+    p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    expected = np.asarray(
+        jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    )
+    got = np.asarray(flash_attention(q, k, v, mask, pos_bias=pos_bias))
+    np.testing.assert_allclose(got, expected, atol=_tpu_atol(2e-5), rtol=1e-4)
+
+
+def test_mpnet_forward_pallas_matches_xla():
+    """Full MPNet forward: fused bias kernel vs XLA (the auto dispatch takes
+    the bias kernel on TPU for plain padded batches)."""
+    from embedding_cpp_tpu.models import (
+        BertConfig, ComputeOptions, bert_embed_batch, random_params,
+    )
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=128, n_embd=128, n_layer=2, n_head=4, n_ff=256,
+        n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,
+    )
+    params = random_params(cfg, seed=4)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(5, 256, size=(4, 64)).astype(np.int32)
+    mask = np.ones((4, 64), np.int32)
+    mask[:, 40:] = 0
+    a = np.asarray(bert_embed_batch(params, ids, mask, cfg,
+                                    ComputeOptions(attn_impl="xla")))
+    b = np.asarray(bert_embed_batch(params, ids, mask, cfg,
+                                    ComputeOptions(attn_impl="pallas")))
+    np.testing.assert_allclose(a, b, atol=_tpu_atol(1e-5), rtol=1e-4)

@@ -199,3 +199,40 @@ def test_engine_auto_packs_many_short_sentences():
     assert out.shape == (40, CFG.n_embd)
     # all 40 short sentences fit one packed dispatch
     assert e.stats["batches"] == 1
+
+
+def test_packed_forward_matches_unpacked_roberta():
+    """pos_offset families (RoBERTa/XLM-R) through the packed path: the
+    per-segment restart positions must land at position[pos + off]
+    (models/bert.py embed positions), so packed == plain."""
+    cfg = dataclasses.replace(
+        CFG, layer_norm_eps=1e-5, n_token_types=1, arch="roberta",
+        pos_offset=2, name="packed-roberta",
+    )
+    params = random_params(cfg, seed=7)
+    rng = np.random.default_rng(8)
+    token_lists = [
+        list(rng.integers(4, cfg.n_vocab, size=l))
+        for l in (5, 9, 3, 12, 7, 4)
+    ]
+    plain = []
+    for toks in token_lists:
+        ids = np.array([toks], np.int32)
+        mask = np.ones_like(ids)
+        plain.append(
+            np.asarray(bert_embed_batch(params, ids, mask, cfg, F32))[0]
+        )
+    plain = np.stack(plain)
+
+    batches = pack_segments(token_lists, list(range(len(token_lists))),
+                            pad_id=0, seq_len=16, n_seg=8)
+    got = np.full_like(plain, np.nan)
+    for b in batches:
+        vecs = np.asarray(
+            bert_embed_packed(params, b.ids, b.seg, b.pos, cfg, F32,
+                              n_seg=b.n_seg)
+        )
+        for r, row in enumerate(b.positions):
+            for g, orig in enumerate(row):
+                got[orig] = vecs[r, g]
+    np.testing.assert_allclose(got, plain, atol=2e-5, rtol=1e-4)

@@ -19,6 +19,7 @@ from ..models.config import (
     BERT_BASE,
     MINILM_L6,
     MINILM_L12,
+    MODERNBERT_BASE,
     MPNET_BASE,
     BertConfig,
 )
@@ -58,10 +59,22 @@ PRESETS = {
         n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,
         name="tiny-mpnet-test",
     ),
+    # ModernBERT tokenizes with byte-level BPE (a modified OLMo/GPT-2
+    # vocabulary); 4 layers cover the global/local alternation (g,l,l,g)
+    "tiny-modernbert": BertConfig(
+        n_vocab=600, n_ctx=128, n_embd=64, n_layer=4, n_head=4, n_ff=128,
+        n_token_types=0, arch="modernbert", layer_norm_eps=1e-5,
+        rope_theta=160000.0, local_rope_theta=10000.0,
+        global_attn_every=3, local_window=16,
+        name="tiny-modernbert-test",
+    ),
     "minilm-l6": replace(MINILM_L6, n_vocab=1000, name="minilm-l6-synthetic"),
     "minilm-l12": replace(MINILM_L12, n_vocab=1000, name="minilm-l12-synthetic"),
     "bert-base": replace(BERT_BASE, n_vocab=1000, name="bert-base-synthetic"),
     "mpnet-base": replace(MPNET_BASE, n_vocab=1000, name="mpnet-base-synthetic"),
+    "modernbert-base": replace(
+        MODERNBERT_BASE, n_vocab=1000, name="modernbert-base-synthetic"
+    ),
 }
 
 
@@ -79,7 +92,7 @@ def make_test_model(
         n = len(spec["model"]["vocab"])
         n = max([n] + [t["id"] + 1 for t in spec.get("added_tokens", [])])
         config = replace(config, n_vocab=n)
-    elif config.arch == "roberta":
+    elif config.arch in ("roberta", "modernbert"):
         # BPE training stops when the corpus runs out of merges, so the
         # trained vocab may be smaller than requested — size the model to it
         import json

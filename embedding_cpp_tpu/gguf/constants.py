@@ -151,6 +151,12 @@ class Keys:
     # MPNet: T5-style bucketed relative attention bias shared by all layers
     # (HF MPNetEncoder.relative_attention_bias; 0 = absent)
     REL_ATTN_BUCKETS = f"{ARCH}.attention.relative_buckets"
+    # ModernBERT rotary/local-attention geometry (our extension; the
+    # freq_base name follows llama.cpp's {arch}.rope.freq_base convention)
+    ROPE_FREQ_BASE = f"{ARCH}.rope.freq_base"
+    ROPE_FREQ_BASE_LOCAL = f"{ARCH}.rope.freq_base_local"
+    GLOBAL_ATTN_EVERY = f"{ARCH}.attention.global_every_n_layers"
+    LOCAL_ATTN_WINDOW = f"{ARCH}.attention.local_window"
 
     # tokenizer
     TOKENIZER_MODEL = "tokenizer.ggml.model"

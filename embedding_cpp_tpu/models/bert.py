@@ -476,6 +476,15 @@ def bert_embed_batch(
     `gather_idx` ([M] int32 row indices) compacts the output to [M, n_embd]
     on device so padded batch rows never cross the device->host link.
     """
+    if config.arch == "modernbert":
+        # pre-norm / RoPE / GeGLU graph — entirely different block math
+        # (models/modernbert.py); dispatched here so every caller (engine,
+        # GSPMD, shard_map) stays arch-agnostic
+        from .modernbert import modernbert_embed_batch
+
+        return modernbert_embed_batch(
+            params, ids, mask, config, opts, gather_idx=gather_idx
+        )
     opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts)
     mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
@@ -521,6 +530,13 @@ def bert_embed_packed(
     [M, n_embd] on device — only real sentences cross the device->host link,
     not empty segment slots (the fetch is bandwidth-bound on thin hosts).
     """
+    if config.arch == "modernbert":
+        from .modernbert import modernbert_embed_packed
+
+        return modernbert_embed_packed(
+            params, ids, seg, pos, config, opts, n_seg=n_seg,
+            gather_idx=gather_idx, max_seg_len=max_seg_len,
+        )
     opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts, positions=pos)
     mask_bias = jnp.where(seg >= 0, 0.0, _MASK_BIAS).astype(jnp.float32)

@@ -31,6 +31,10 @@ _ARCH_DEFAULTS = {
     "roberta": (1, 2, 1e-5, 0),
     "distilbert": (0, 0, 1e-12, 0),
     "mpnet": (0, 2, 1e-12, 32),
+    # ModernBERT (HF ModernBertModel): no token types, no absolute position
+    # table (RoPE), pre-norm blocks, GeGLU MLP, bias-free linears/norms,
+    # alternating global/local attention (see the rope_/attn window fields)
+    "modernbert": (0, 0, 1e-5, 0),
 }
 
 
@@ -64,6 +68,16 @@ class BertConfig:
     # One [buckets, n_head] table shared by every layer, added to the
     # scaled attention scores (HF MPNetSelfAttention.forward).
     rel_attn_buckets: int = 0
+    # ModernBERT rotary/local-attention geometry (0.0/0 = unused by the
+    # other families).  HF ModernBertAttention.__init__: layer i is GLOBAL
+    # when i % global_attn_every == 0 (RoPE base rope_theta = config.
+    # global_rope_theta); every other layer attends only within
+    # |q_pos - k_pos| <= local_window // 2 and uses local_rope_theta for
+    # its RoPE base (falling back to the global theta when None).
+    rope_theta: float = 0.0
+    local_rope_theta: float = 0.0
+    global_attn_every: int = 0
+    local_window: int = 0
     name: str = ""
 
     @property
@@ -117,6 +131,10 @@ class BertConfig:
             rel_attn_buckets=int(
                 kv.get(Keys.REL_ATTN_BUCKETS, buckets_default)
             ),
+            rope_theta=float(kv.get(Keys.ROPE_FREQ_BASE, 0.0)),
+            local_rope_theta=float(kv.get(Keys.ROPE_FREQ_BASE_LOCAL, 0.0)),
+            global_attn_every=int(kv.get(Keys.GLOBAL_ATTN_EVERY, 0)),
+            local_window=int(kv.get(Keys.LOCAL_ATTN_WINDOW, 0)),
             name=str(kv.get("general.name", "")),
         )
 
@@ -161,6 +179,44 @@ class BertConfig:
                 rel_attn_buckets=int(
                     hf.get("relative_attention_num_buckets", 32)
                 ),
+                name=name,
+            )
+        if model_type == "modernbert":
+            # Bias-free is the only published configuration (HF defaults;
+            # answerdotai/ModernBERT-*, gte-modernbert, nomic-modernbert all
+            # keep attention_bias = mlp_bias = norm_bias = False).  The
+            # schema/forward assume it, so reject the hypothetical biased
+            # variant loudly rather than silently dropping weights.
+            if any(
+                bool(hf.get(k, False))
+                for k in ("attention_bias", "mlp_bias", "norm_bias")
+            ):
+                raise ValueError(
+                    "modernbert with attention_bias/mlp_bias/norm_bias=True "
+                    "is not supported (no published checkpoint uses biases)"
+                )
+            if str(hf.get("hidden_activation", "gelu")) != "gelu":
+                raise ValueError(
+                    "modernbert hidden_activation "
+                    f"{hf.get('hidden_activation')!r} != 'gelu' unsupported"
+                )
+            local_theta = hf.get("local_rope_theta")  # None -> global theta
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                n_ctx=int(hf.get("max_position_embeddings", 8192)),
+                n_embd=int(hf["hidden_size"]),
+                n_layer=int(hf["num_hidden_layers"]),
+                n_head=int(hf["num_attention_heads"]),
+                n_ff=int(hf["intermediate_size"]),
+                layer_norm_eps=float(hf.get("norm_eps", 1e-5)),
+                n_token_types=0,
+                arch="modernbert",
+                rope_theta=float(hf.get("global_rope_theta", 160000.0)),
+                local_rope_theta=float(
+                    local_theta if local_theta is not None else 0.0
+                ),
+                global_attn_every=int(hf.get("global_attn_every_n_layers", 3)),
+                local_window=int(hf.get("local_attention", 128)),
                 name=name,
             )
         if model_type in ("roberta", "xlm-roberta", "camembert"):
@@ -214,6 +270,16 @@ DISTILBERT_BASE = BertConfig(
     n_vocab=30522, n_ctx=512, n_embd=768, n_layer=6, n_head=12, n_ff=3072,
     n_token_types=0, arch="distilbert",
     name="multi-qa-distilbert-cos-v1",
+)
+MODERNBERT_BASE = BertConfig(
+    # answerdotai/ModernBERT-base geometry (gte-modernbert-base and
+    # nomic-modernbert embedders reuse it); gte pools cls, so the synthetic
+    # preset does too
+    n_vocab=50368, n_ctx=8192, n_embd=768, n_layer=22, n_head=12, n_ff=1152,
+    n_token_types=0, arch="modernbert", layer_norm_eps=1e-5,
+    rope_theta=160000.0, local_rope_theta=10000.0,
+    global_attn_every=3, local_window=128, pooling="cls",
+    name="gte-modernbert-base",
 )
 MPNET_BASE = BertConfig(
     n_vocab=30527, n_ctx=512, n_embd=768, n_layer=12, n_head=12, n_ff=3072,

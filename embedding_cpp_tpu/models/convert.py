@@ -138,6 +138,12 @@ def write_bert_gguf(
         w.add_uint32(Keys.POSITION_OFFSET, config.pos_offset)
         if config.rel_attn_buckets:
             w.add_uint32(Keys.REL_ATTN_BUCKETS, config.rel_attn_buckets)
+        if config.arch == "modernbert":
+            # rotary/local-attention geometry (config.py field docs)
+            w.add_float32(Keys.ROPE_FREQ_BASE, config.rope_theta)
+            w.add_float32(Keys.ROPE_FREQ_BASE_LOCAL, config.local_rope_theta)
+            w.add_uint32(Keys.GLOBAL_ATTN_EVERY, config.global_attn_every)
+            w.add_uint32(Keys.LOCAL_ATTN_WINDOW, config.local_window)
     w.add_uint32("general.file_type", int(ftype))
 
     w.add_string(Keys.TOKENIZER_JSON_BLOB, tokenizer_json)

@@ -13,7 +13,12 @@ from typing import Callable
 import jax.numpy as jnp
 import numpy as np
 
-from ..gguf.constants import GGMLType, GGUFFileType, FTYPE_TO_GGML
+from ..gguf.constants import (
+    GGMLType,
+    GGUFFileType,
+    FTYPE_TO_GGML,
+    ggml_nbytes,
+)
 from ..gguf.quant import dequantize as gguf_dequantize, quantize as gguf_quantize
 from ..ops.qtensor import (
     QTensor,
@@ -63,6 +68,39 @@ class _TensorSource:
         return jnp.asarray(
             gguf_dequantize(raw, gtype, n).reshape(actual_shape).T, dtype=dtype
         )
+
+    def matmul_weight_split(
+        self, name: str, shape: tuple, dtype, keep_q4: bool, sections: int
+    ) -> list:
+        """Split a fused [out, in] weight into `sections` equal out-row
+        groups, each returned in matmul orientation (packed QTensor or
+        dense [in, out/sections]).  ModernBERT stores Wqkv [3E, E] and the
+        GeGLU Wi [2F, E] fused (HF ModernBertAttention/ModernBertMLP); the
+        quantized split is exact because ggml blocks run along the
+        contraction (in) axis, so out-rows are whole blocks."""
+        raw, gtype, actual_shape = self.get(name)
+        self._check(name, shape, actual_shape)
+        out, k = actual_shape
+        if out % sections:
+            raise ValueError(
+                f"tensor {name}: {out} rows not divisible into {sections}"
+            )
+        sub = out // sections
+        if keep_q4 and (gtype in Q4_TYPES or gtype == GGMLType.Q8_0):
+            row_bytes = ggml_nbytes(gtype, k)
+            rows = np.asarray(raw).reshape(out, row_bytes)
+            parts = [
+                np.ascontiguousarray(rows[j * sub : (j + 1) * sub]).reshape(-1)
+                for j in range(sections)
+            ]
+            if gtype in Q4_TYPES:
+                return [pack_q4_matmul(p, (sub, k), gtype) for p in parts]
+            return [pack_q8_matmul(p, (sub, k)) for p in parts]
+        w = gguf_dequantize(raw, gtype, out * k).reshape(out, k)
+        return [
+            jnp.asarray(w[j * sub : (j + 1) * sub].T, dtype=dtype)
+            for j in range(sections)
+        ]
 
     def gather_table(self, name: str, shape: tuple, dtype, keep_q4: bool):
         raw, gtype, actual_shape = self.get(name)
@@ -132,6 +170,25 @@ def build_params(
     for i in range(config.n_layer):
         for name, (key, shape_fn) in schema.layer_tensor_names(i, config).items():
             shape = shape_fn(config)
+            if key == "wqkv":
+                # ModernBERT fused QKV -> per-projection weights (schema.py
+                # MODERNBERT_LAYER_TENSORS doc; fused QKV measured slower)
+                for subkey, v in zip(
+                    ("q_w", "k_w", "v_w"),
+                    source.matmul_weight_split(name, shape, dense_dtype,
+                                               keep_q4, 3),
+                ):
+                    per_layer.setdefault(subkey, []).append(v)
+                continue
+            if key == "wi":
+                # GeGLU Wi -> (input, gate) halves, TP-shardable per half
+                for subkey, v in zip(
+                    ("ffn_up_w", "ffn_gate_w"),
+                    source.matmul_weight_split(name, shape, dense_dtype,
+                                               keep_q4, 2),
+                ):
+                    per_layer.setdefault(subkey, []).append(v)
+                continue
             if key in _MATMUL_KEYS:
                 v = source.matmul_weight(name, shape, dense_dtype, keep_q4)
             elif key.startswith("ln_"):
@@ -140,6 +197,14 @@ def build_params(
                 v = source.dense(name, shape, f32)
             per_layer.setdefault(key, []).append(v)
 
+    if config.arch == "modernbert":
+        # layer 0 has no attn_norm (nn.Identity) — pad the stack with a
+        # ones row so the lax.scan xs stay rectangular; the forward skips
+        # the norm for layer 0 entirely (models/modernbert.py), so the row
+        # is never read
+        per_layer["ln_att_scale"].insert(
+            0, jnp.ones((config.n_embd,), f32)
+        )
     layers = {k: _stack_layer_values(v) for k, v in per_layer.items()}
     params = {"embeddings": emb, "layers": layers}
     for name, (key, shape_fn) in schema.extra_tensors(config).items():
@@ -240,7 +305,11 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
             else:
                 sd[name] = init(shape)
     for name, (key, shape_fn) in schema.extra_tensors(config).items():
-        sd[name] = init(shape_fn(config))
+        # norm scales init to ones (ModernBERT's final_norm); bias tables random
+        if key.endswith("ln_scale"):
+            sd[name] = np.ones(shape_fn(config), np.float32)
+        else:
+            sd[name] = init(shape_fn(config))
     if config.dense_out:
         for name, (key, shape_fn) in schema.DENSE_TENSORS.items():
             sd[name] = init(shape_fn(config))

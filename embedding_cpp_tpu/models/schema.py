@@ -143,6 +143,39 @@ MPNET_EXTRA_TENSORS = {
     ),
 }
 
+# --- ModernBERT --------------------------------------------------------------
+# HF ModernBertModel state-dict names verbatim.  Everything is bias-free
+# (attention_bias = mlp_bias = norm_bias = False in every published
+# checkpoint); there is no token-type or absolute-position table (RoPE).
+# Two tensors stay FUSED on disk exactly as HF stores them and are split at
+# load time (models/params.py):
+#   attn.Wqkv [3E, E]  -> q_w / k_w / v_w   (out-row thirds; a fused QKV
+#                         projection measured 30% slower on v5e — see the
+#                         fused-QKV adjudication commit)
+#   mlp.Wi   [2F, E]   -> ffn_up_w / ffn_gate_w (GeGLU halves; split tensors
+#                         keep Megatron column-parallel TP local: each
+#                         device's gelu(up)*gate needs matching columns)
+MODERNBERT_EMBEDDING_TENSORS = {
+    "embeddings.tok_embeddings.weight": ("word", lambda c: (c.n_vocab, c.n_embd)),
+    "embeddings.norm.weight": ("ln_scale", lambda c: (c.n_embd,)),
+}
+
+MODERNBERT_LAYER_TENSORS = {
+    # attn_norm is ABSENT for layer 0 (nn.Identity — ModernBertEncoderLayer
+    # .__init__); layer_tensor_names() drops it there and params.py
+    # synthesizes a never-used ones row so the scan stack stays rectangular
+    "layers.{i}.attn_norm.weight": ("ln_att_scale", lambda c: (c.n_embd,)),
+    "layers.{i}.attn.Wqkv.weight": ("wqkv", lambda c: (3 * c.n_embd, c.n_embd)),
+    "layers.{i}.attn.Wo.weight": ("o_w", lambda c: (c.n_embd, c.n_embd)),
+    "layers.{i}.mlp_norm.weight": ("ln_out_scale", lambda c: (c.n_embd,)),
+    "layers.{i}.mlp.Wi.weight": ("wi", lambda c: (2 * c.n_ff, c.n_embd)),
+    "layers.{i}.mlp.Wo.weight": ("ffn_down_w", lambda c: (c.n_embd, c.n_ff)),
+}
+
+MODERNBERT_EXTRA_TENSORS = {
+    "final_norm.weight": ("final_ln_scale", lambda c: (c.n_embd,)),
+}
+
 # Optional sentence-transformers Dense head (our extension; present only
 # when config.dense_out > 0): pooled @ W.T + b between pooling and L2 norm.
 DENSE_TENSORS = {
@@ -167,7 +200,7 @@ SKIPPED_TENSORS = frozenset(
 # (bert.cpp:1430-1436). Note this includes the embedding tables.
 QUANTIZABLE_KEYS = frozenset(
     {"word", "token_type", "position", "q_w", "k_w", "v_w", "o_w",
-     "ffn_up_w", "ffn_down_w"}
+     "ffn_up_w", "ffn_down_w", "wqkv", "wi"}
 )
 
 
@@ -178,6 +211,8 @@ def embedding_tensors(config) -> dict:
         return DISTILBERT_EMBEDDING_TENSORS
     if config.arch == "mpnet":
         return MPNET_EMBEDDING_TENSORS
+    if config.arch == "modernbert":
+        return MODERNBERT_EMBEDDING_TENSORS
     if config.n_token_types == 0:
         # defensive: a bert-schema config without token types drops the row
         return {
@@ -191,20 +226,29 @@ def _layer_templates(config) -> dict:
         return DISTILBERT_LAYER_TENSORS
     if config.arch == "mpnet":
         return MPNET_LAYER_TENSORS
+    if config.arch == "modernbert":
+        return MODERNBERT_LAYER_TENSORS
     return LAYER_TENSORS
 
 
 def extra_tensors(config) -> dict:
     """Encoder-global tensors (outside embeddings/layers): MPNet's shared
-    relative-attention-bias table when rel_attn_buckets > 0."""
+    relative-attention-bias table when rel_attn_buckets > 0; ModernBERT's
+    final LayerNorm scale."""
     if getattr(config, "rel_attn_buckets", 0):
         return MPNET_EXTRA_TENSORS
+    if getattr(config, "arch", "bert") == "modernbert":
+        return MODERNBERT_EXTRA_TENSORS
     return {}
 
 
 def layer_tensor_names(i: int, config=None) -> dict[str, tuple[str, object]]:
     templates = LAYER_TENSORS if config is None else _layer_templates(config)
-    return {t.format(i=i): v for t, v in templates.items()}
+    named = {t.format(i=i): v for t, v in templates.items()}
+    if config is not None and config.arch == "modernbert" and i == 0:
+        # layer 0's attn_norm is nn.Identity — the tensor does not exist
+        named = {k: v for k, v in named.items() if v[0] != "ln_att_scale"}
+    return named
 
 
 def all_tensor_names(n_layer: int, config=None) -> list[str]:

@@ -28,7 +28,7 @@ from ..models.config import BertConfig
 from .mesh import DP_AXIS, TP_AXIS
 
 # per-logical-weight specs; arrays are layer-stacked (leading L axis = None)
-_COLUMN_PARALLEL = frozenset({"q_w", "k_w", "v_w", "ffn_up_w"})
+_COLUMN_PARALLEL = frozenset({"q_w", "k_w", "v_w", "ffn_up_w", "ffn_gate_w"})
 _ROW_PARALLEL = frozenset({"o_w", "ffn_down_w"})
 _COLUMN_BIAS = frozenset({"q_b", "k_b", "v_b", "ffn_up_b"})
 

@@ -278,6 +278,93 @@ def test_gguf_roundtrip_kv_and_engine(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
 
 
+def test_hf_dir_conversion_end_to_end(tmp_path):
+    """A local HF ModernBERT checkpoint dir (config.json model_type
+    modernbert, torch weights, byte-level BPE tokenizer.json) through
+    convert_hf_dir -> Engine.encode, gated vs torch mean-pool+L2 on the
+    same tokenization."""
+    import json
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer
+
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.tokenizer.testvocab import build_bpe_tokenizer_json
+
+    tokenizer_json = build_bpe_tokenizer_json(600)
+    spec = json.loads(tokenizer_json)
+    ids = list(spec["model"]["vocab"].values()) + [
+        t["id"] for t in spec.get("added_tokens", [])
+    ]
+    n_vocab = max(ids) + 1
+
+    hf_config = transformers.ModernBertConfig(
+        vocab_size=n_vocab,
+        hidden_size=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=128,
+        global_attn_every_n_layers=3,
+        local_attention=16,
+        global_rope_theta=160000.0,
+        local_rope_theta=10000.0,
+        norm_eps=1e-5,
+        attention_dropout=0.0,
+        mlp_dropout=0.0,
+        embedding_dropout=0.0,
+        reference_compile=False,
+        attn_implementation="sdpa",
+        pad_token_id=1,
+    )
+    model = transformers.ModernBertModel(hf_config)
+    model.eval()
+
+    src = tmp_path / "hf-modernbert"
+    src.mkdir()
+    (src / "config.json").write_text(hf_config.to_json_string())
+    torch.save(model.state_dict(), src / "pytorch_model.bin")
+    (src / "tokenizer.json").write_bytes(tokenizer_json)
+
+    out = tmp_path / "modernbert.gguf"
+    convert_hf_dir(src, out)
+    eng = Engine.from_gguf(str(out), opts=F32)
+    assert eng.config.arch == "modernbert"
+    assert eng.config.rope_theta == 160000.0 and eng.config.local_window == 16
+
+    texts = ["hello world", "the quick brown fox jumps over the lazy dog",
+             "a b c d e f g h i j k l m n o p q r s t"]
+    got = eng.encode(texts)
+
+    hf_tok = Tokenizer.from_str(tokenizer_json.decode())
+    framed = [
+        [eng.special_ids.cls]
+        + hf_tok.encode(t, add_special_tokens=False).ids
+        + [eng.special_ids.sep]
+        for t in texts
+    ]
+    max_len = max(len(f) for f in framed)
+    tok_ids = np.full((len(texts), max_len), eng.special_ids.pad, np.int64)
+    mask = np.zeros((len(texts), max_len), np.int64)
+    for i, f in enumerate(framed):
+        tok_ids[i, : len(f)] = f
+        mask[i, : len(f)] = 1
+    with torch.no_grad():
+        hidden = model(
+            input_ids=torch.from_numpy(tok_ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+    m = mask[..., None].astype(np.float32)
+    pooled = (hidden * m).sum(1) / m.sum(1)
+    expected = pooled / np.linalg.norm(pooled, axis=-1, keepdims=True)
+
+    cos = np.sum(got * expected, axis=-1)
+    assert np.all(cos > 0.9999), cos
+
+
 def test_from_hf_config():
     c = BertConfig.from_hf_config(
         {

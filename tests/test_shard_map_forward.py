@@ -79,6 +79,42 @@ def test_manual_mpnet_rel_bias_tp(eight_devices, dp, tp):
     )
 
 
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4)])
+def test_manual_modernbert_tp(eight_devices, dp, tp):
+    """ModernBERT under both distribution paths: RoPE tables replicate,
+    heads are tp-local after the load-time Wqkv split, the GeGLU halves
+    column-shard independently (ffn_gate_w), and the per-layer global/local
+    window masks are data-replicated — outputs must equal single-device."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward
+    from embedding_cpp_tpu.parallel.shard_map_forward import (
+        shard_params_and_make_forward_manual,
+    )
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=64, n_embd=128, n_layer=4, n_head=4, n_ff=256,
+        n_token_types=0, arch="modernbert", layer_norm_eps=1e-5,
+        rope_theta=160000.0, local_rope_theta=10000.0,
+        global_attn_every=3, local_window=8, name="shardmap-modernbert",
+    )
+    params = random_params(cfg, seed=5)
+    ids, mask = _data(seed=6)
+    expected = np.asarray(bert_embed_batch(params, ids, mask, cfg, OPTS))
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=eight_devices)
+    p1, f1 = shard_params_and_make_forward(params, cfg, OPTS, mesh)
+    p2, f2 = shard_params_and_make_forward_manual(params, cfg, OPTS, mesh)
+    if tp > 1:
+        gw = p1["layers"]["ffn_gate_w"]
+        assert gw.sharding.shard_shape(gw.shape)[-1] == gw.shape[-1] // tp
+    np.testing.assert_allclose(
+        np.asarray(f1(p1, ids, mask)), expected, atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(f2(p2, ids, mask)), expected, atol=2e-5, rtol=1e-4
+    )
+
+
 def test_manual_matches_gspmd(eight_devices):
     from embedding_cpp_tpu.parallel.mesh import make_mesh
     from embedding_cpp_tpu.parallel.sharding import shard_params_and_make_forward

@@ -101,10 +101,21 @@ def _ln(x: Array, scale: Array, eps: float, out_dtype) -> Array:
     return _layer_norm(x, scale, 0.0, eps, out_dtype)
 
 
-def _attention(x, lp, aux, bias_global, bias_local, pos, config, opts):
+def _attention(x, lp, aux, bias_global, bias_local, pos, config, opts,
+               pad=None):
     """Pre-normed input -> attention output (pre-residual).  bias_global /
     bias_local are the full additive score biases ([B, 1|S, S]-broadcastable
-    f32) for the two layer kinds; `aux["is_local"]` selects per layer."""
+    f32) for the two layer kinds; `aux["is_local"]` selects per layer.
+
+    `pad` ([B, S] f32 additive key-padding bias, plain batches only)
+    enables the fused Pallas path: global layers run the plain fused
+    kernel, local layers either the sliding-window kernel (out-of-window
+    key tiles are never loaded — attention FLOPs scale with the window,
+    not S², ModernBERT's whole point at its 8192 context) or, when the
+    window would not be narrower than S, the bias kernel with a
+    head-invariant [S, S] distance mask.  `aux["is_local"]` is a traced
+    scan carry, so the global/local split is a `lax.cond` with both
+    branches compiled once for the whole stack."""
     b, s, _ = x.shape
     d = config.head_dim
     q = linear(x, lp["q_w"], q4_impl=opts.q4_impl)
@@ -117,19 +128,57 @@ def _attention(x, lp, aux, bias_global, bias_local, pos, config, opts):
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    impl = opts.attn_impl
+    # pallas needs per-device local arrays (single-device jit or a
+    # shard_map body) and sublane-aligned tiles
+    fusable = (
+        pad is not None
+        and s >= 128 and s % 8 == 0 and d % 8 == 0
+        and (jax.device_count() == 1 or opts.inside_shard_map)
     )
-    bias = jnp.where(aux["is_local"], bias_local, bias_global)
-    scores = scores * (1.0 / d**0.5) + bias[:, None, :, :]
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    att = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    if impl == "auto":
+        # stays XLA until the window/head-invariant-bias kernels have a
+        # real-TPU smoke + A/B on record (interpret mode checks no tiling
+        # constraints — CLAUDE.md); force attn_impl="pallas" to take them
+        impl = "xla"
+    elif impl == "pallas" and not fusable:
+        impl = "xla"
+
+    if impl == "pallas":
+        from ..ops.attention import (
+            flash_attention,
+            flash_attention_local,
+            local_window_tiles,
+        )
+
+        win = config.local_window
+        _, wmax = local_window_tiles(s, win)
+        if wmax is not None:
+            att = jax.lax.cond(
+                aux["is_local"],
+                lambda q, k, v: flash_attention_local(q, k, v, pad, win),
+                lambda q, k, v: flash_attention(q, k, v, pad),
+                q, k, v,
+            )
+        else:
+            win_bias = jnp.asarray(_window_bias(s, win))  # [S, S] constant
+            qk_bias = jnp.where(aux["is_local"], win_bias, 0.0)[None]
+            att = flash_attention(q, k, v, pad, pos_bias=qk_bias)
+    else:
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        bias = jnp.where(aux["is_local"], bias_local, bias_global)
+        scores = scores * (1.0 / d**0.5) + bias[:, None, :, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        att = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     return att.reshape(b, s, h * d)
 
 
-def _encoder_layer(x, lp, aux, bias_global, bias_local, pos, config, opts):
+def _encoder_layer(x, lp, aux, bias_global, bias_local, pos, config, opts,
+                   pad=None):
     """One pre-norm block (ModernBertEncoderLayer.forward):
     x += Wo(attn(attn_norm(x))); x += Wo_mlp(gelu(in) * gate) over
     mlp_norm(x)."""
@@ -138,7 +187,8 @@ def _encoder_layer(x, lp, aux, bias_global, bias_local, pos, config, opts):
     # layer 0's attn_norm is Identity; both branches are cheap next to the
     # matmuls and `where` keeps the scan body layer-invariant
     xn = jnp.where(aux["is_first"], x, ln_x)
-    att = _attention(xn, lp, aux, bias_global, bias_local, pos, config, opts)
+    att = _attention(xn, lp, aux, bias_global, bias_local, pos, config, opts,
+                     pad=pad)
     x = linear(
         att, lp["o_w"], q4_impl=opts.q4_impl,
         reduce_axis=opts.tp_axis, residual=x,
@@ -165,12 +215,13 @@ def _embed(params, ids, config, opts):
     return _ln(x, emb["ln_scale"], config.layer_norm_eps, opts.jdtype)
 
 
-def _run_layers(x, params, aux, bias_global, bias_local, pos, config, opts):
+def _run_layers(x, params, aux, bias_global, bias_local, pos, config, opts,
+                pad=None):
     def body(x, xs):
         lp, a = xs
         return (
             _encoder_layer(x, lp, a, bias_global, bias_local, pos, config,
-                           opts),
+                           opts, pad=pad),
             None,
         )
 
@@ -199,7 +250,7 @@ def modernbert_embed_batch(params, ids, mask, config, opts,
     pos = jnp.arange(s, dtype=jnp.int32)
     aux = _layer_aux(config)
     x = _run_layers(x, params, aux, bias_global, bias_local, pos, config,
-                    opts)
+                    opts, pad=pad)
     pooled = pool_normalize(x, mask, config.pooling, normalize=False)
     out = _output_head(pooled, params, config)
     if gather_idx is not None:

@@ -31,7 +31,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale, hb):
     # 460 us vs 692 at (B=32, S=512, H=12) for hb=H, tq=S vs hb=1, tq=256.
     # With an extra [HB,TQ,S] f32 ref (MPNet's batch-invariant relative
     # position bias) it is added after scaling, exactly as HF
-    # MPNetSelfAttention.forward does.
+    # MPNetSelfAttention.forward does.  A [1,TQ,S] bias block is
+    # head-invariant (ModernBERT's sliding-window mask): every head reads
+    # block 0 (`hh % shape[0]` folds at trace time).
     pbias_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
     bias = bias_ref[0, 0]
     for hh in range(hb):
@@ -45,7 +47,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale, hb):
         )  # [TQ, S]
         scores = scores * scale + bias[None, :]
         if pbias_ref is not None:
-            scores = scores + pbias_ref[hh]
+            scores = scores + pbias_ref[hh % pbias_ref.shape[0]]
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         # softmax division deferred past the PV dot: divide the [TQ, d]
@@ -62,13 +64,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale, hb):
 
 def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
                 tq_candidates=(512, 256, 128),
-                score_bytes: int = 4, bias_bytes: int = 0) -> tuple[int, int]:
+                score_bytes: int = 4, bias_bytes: int = 0,
+                bias_heads: bool = True) -> tuple[int, int]:
     """(tq, hb): whole-sequence q tiles and as many heads per grid cell as
     the VMEM budget allows (per-head score tiles are sequential, so only the
     q/k/v/out tiles scale with hb).  score_bytes=8 for the segment-masked
     kernel, whose [TQ, S] boolean mask lives alongside the f32 scores;
     bias_bytes=4 for the additive-bias kernel, whose [HB, TQ, S] f32
-    position-bias tile is double-buffered alongside qkv."""
+    position-bias tile is double-buffered alongside qkv (bias_heads=False
+    for a head-invariant [1, TQ, S] bias, which doesn't scale with hb)."""
     for tq in (s, *tq_candidates):
         if s % tq:
             continue
@@ -76,7 +80,7 @@ def _attn_tiles(h: int, s: int, d: int, itemsize: int = 2,
             if h % hb:
                 continue
             tiles = 2 * hb * (3 * s + tq) * d * itemsize  # dbl-buffered qkv+o
-            tiles += 2 * hb * tq * s * bias_bytes
+            tiles += 2 * (hb if bias_heads else 1) * tq * s * bias_bytes
             if tiles + tq * s * score_bytes <= 10 * 1024 * 1024:
                 return tq, hb
     # nothing fits the budget model (very long s): smallest safe tile — the
@@ -144,7 +148,8 @@ def _flash_attention(q: Array, k: Array, v: Array, mask_bias: Array, *,
 def _flash_attention_bias(q: Array, k: Array, v: Array, mask_bias: Array,
                           pos_bias: Array, *, tq: int, hb: int) -> Array:
     """q/k/v: [B, H, S, d]; mask_bias: [B, S] f32; pos_bias: [H, S, S] f32
-    (batch-invariant). -> [B, H, S, d]
+    (batch-invariant) or [1, S, S] (also head-invariant — ModernBERT's
+    per-layer window mask). -> [B, H, S, d]
 
     Batch rides the INNERMOST grid dimension: consecutive grid steps then
     share the (head, q-tile) bias block, so Pallas DMAs each [HB, TQ, S]
@@ -154,6 +159,7 @@ def _flash_attention_bias(q: Array, k: Array, v: Array, mask_bias: Array,
     b, h, s, d = q.shape
     scale = 1.0 / (d**0.5)
     grid = (h // hb, s // tq, b)
+    ph = pos_bias.shape[0]  # h, or 1 for a head-invariant bias
 
     kernel = functools.partial(_attn_kernel, scale=scale, hb=hb)
     return pl.pallas_call(
@@ -177,7 +183,9 @@ def _flash_attention_bias(q: Array, k: Array, v: Array, mask_bias: Array,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (hb, tq, s), lambda hi, qi, bi: (hi, qi, 0),
+                (hb if ph != 1 else 1, tq, s),
+                (lambda hi, qi, bi: (hi, qi, 0)) if ph != 1
+                else (lambda hi, qi, bi: (0, qi, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -189,7 +197,7 @@ def _flash_attention_bias(q: Array, k: Array, v: Array, mask_bias: Array,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * d,
             bytes_accessed=4 * b * h * s * d * q.dtype.itemsize
-            + h * s * s * 4,
+            + ph * s * s * 4,
             transcendentals=b * h * s * s,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -381,6 +389,146 @@ def _flash_attention_packed_window(
     )(q, k, v, seg3, seg3)
 
 
+def _attn_local_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hb, tq, wmax, s, window
+):
+    # blocks: q [1,HB,TQ,d]; k, v [1,HB,S,d]; bias [1,S,1] f32 (key padding,
+    # S on sublanes so the windowed slice is a sublane-dim dynamic slice).
+    # Sliding-window attention (ModernBERT local layers): query q attends
+    # keys with |q - k| <= window // 2, so the q tile at qs only needs keys
+    # in [qs - w/2, qs + tq + w/2) — the dots run on a [TQ, wmax] slice
+    # centred on the tile instead of [TQ, S].  FLOPs scale with wmax, not S.
+    qi = pl.program_id(2)
+    qs = qi * tq
+    kstart = jnp.clip(((qs + (tq - wmax) // 2) // 8) * 8, 0, s - wmax)
+    kstart = pl.multiple_of(kstart, 8)
+    kb = bias_ref[0, pl.ds(kstart, wmax), 0]  # [wmax] additive padding bias
+    qpos = qs + jax.lax.broadcasted_iota(jnp.int32, (tq, wmax), 0)
+    kpos = kstart + jax.lax.broadcasted_iota(jnp.int32, (tq, wmax), 1)
+    add = jnp.where(
+        jnp.abs(qpos - kpos) <= window // 2, kb[None, :], -1e9
+    )
+    for hh in range(hb):
+        q = q_ref[0, hh]
+        k = k_ref[0, hh, pl.ds(kstart, wmax), :]
+        v = v_ref[0, hh, pl.ds(kstart, wmax), :]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TQ, wmax]
+        scores = scores * scale + add
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
+        acc = jnp.dot(  # softmax divide deferred to the [TQ, d] output
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, hh] = (acc / se).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tq", "wmax", "hb"))
+def _flash_attention_local(
+    q: Array, k: Array, v: Array, mask_bias: Array, *,
+    window: int, tq: int, wmax: int, hb: int
+) -> Array:
+    """q/k/v: [B, H, S, d]; mask_bias: [B, S] f32 additive. -> [B, H, S, d]"""
+    b, h, s, d = q.shape
+    scale = 1.0 / (d**0.5)
+    grid = (b, h // hb, s // tq)
+
+    kernel = functools.partial(
+        _attn_local_kernel, scale=scale, hb=hb, tq=tq, wmax=wmax, s=s,
+        window=window,
+    )
+    bias3 = mask_bias.astype(jnp.float32)[:, :, None]  # [B, S, 1]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, hb, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hb, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hb, s, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s, 1), lambda bi, hi, qi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hb, tq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * wmax * d,
+            bytes_accessed=4 * b * h * s * d * q.dtype.itemsize,
+            transcendentals=b * h * s * wmax,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, bias3)
+
+
+def flash_attention_local(
+    q: Array, k: Array, v: Array, mask_bias: Array, window: int
+) -> Array:
+    """Sliding-window multi-head attention (ModernBERT local layers).
+
+    q, k, v: [B, S, H, d]; mask_bias: [B, S] f32 (0 valid / -1e9 padding);
+    token q attends token k iff |q - k| <= window // 2 and k is valid —
+    exactly the distance mask HF ModernBertModel._update_attention_mask
+    builds, but computed tile-locally so out-of-window keys are never
+    loaded into the dots.  Requires S % 128 == 0 and the implied key
+    window tq + window + 16 (rounded up to 128 lanes) < S; callers fall
+    back to `flash_attention` with an [S, S] window bias otherwise.
+    """
+    b, s, h, d = q.shape
+    tq, wmax = local_window_tiles(s, window)
+    assert wmax is not None, (s, window)
+    itemsize = q.dtype.itemsize
+    hb = next(
+        (
+            c
+            for c in range(h, 0, -1)
+            if h % c == 0
+            and 2 * c * (3 * s + tq) * d * itemsize + tq * wmax * 8
+            <= 10 * 1024 * 1024
+        ),
+        1,
+    )
+    out = _flash_attention_local(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), mask_bias,
+        window=window, tq=tq, wmax=wmax, hb=hb,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def local_window_tiles(s: int, window: int) -> tuple[int, int | None]:
+    """(tq, wmax) for the sliding-window kernel, or (tq, None) when the
+    windowed slice would not be narrower than the full sequence (the full
+    kernel with an [S, S] bias is then at least as good).  The margin must
+    cover window // 2 on each side plus the 8-alignment round-down slack of
+    the window start."""
+    if s % 128:
+        return 128, None
+    tq = 256 if s % 256 == 0 and s >= 2048 else 128
+    wmax = -(-(tq + window + 16) // 128) * 128
+    return tq, wmax if wmax < s else None
+
+
 def flash_attention_packed(
     q: Array, k: Array, v: Array, seg: Array, max_seg_len: int | None = None
 ) -> Array:
@@ -473,7 +621,8 @@ def flash_attention(q: Array, k: Array, v: Array, mask_bias: Array,
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     if pos_bias is not None:
-        tq, hb = _attn_tiles(h, s, d, q.dtype.itemsize, bias_bytes=4)
+        tq, hb = _attn_tiles(h, s, d, q.dtype.itemsize, bias_bytes=4,
+                             bias_heads=pos_bias.shape[0] != 1)
         out = _flash_attention_bias(
             qt, kt, vt, mask_bias.astype(jnp.float32),
             pos_bias.astype(jnp.float32), tq=tq, hb=hb,

@@ -205,3 +205,81 @@ def test_mpnet_forward_pallas_matches_xla():
     b = np.asarray(bert_embed_batch(params, ids, mask, cfg,
                                     ComputeOptions(attn_impl="pallas")))
     np.testing.assert_allclose(a, b, atol=_tpu_atol(1e-5), rtol=1e-4)
+
+
+@pytest.mark.parametrize("s,window", [(512, 128), (512, 64), (1024, 128)])
+def test_local_window_kernel_matches_reference(s, window):
+    """Sliding-window kernel (ModernBERT local layers) vs the XLA einsum
+    path with the full [S, S] distance mask."""
+    import jax
+    from embedding_cpp_tpu.ops.attention import flash_attention_local
+
+    rng = np.random.default_rng(6)
+    b, h, d = 2, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    mask = np.zeros((b, s), np.float32)
+    mask[:, (7 * s) // 8:] = -1e9  # padded tail
+    maskj = jnp.asarray(mask)
+
+    pos = np.arange(s)
+    dist_ok = np.abs(pos[None, :] - pos[:, None]) <= window // 2
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / d**0.5) + maskj[:, None, None, :]
+    scores = jnp.where(jnp.asarray(dist_ok)[None, None], scores, -1e9)
+    p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    expected = np.asarray(
+        jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    )
+    got = np.asarray(flash_attention_local(q, k, v, maskj, window))
+    # padded queries whose whole window is padding are don't-care (pooling
+    # never reads them; the reference einsum gives them a different garbage
+    # distribution because its out-of-window keys sit at exactly -1e9) —
+    # compare valid query positions only, like the packed-kernel test.
+    valid = mask[:, :, None, None] == 0.0
+    np.testing.assert_allclose(
+        np.where(valid, got, 0.0), np.where(valid, expected, 0.0),
+        atol=_tpu_atol(2e-5), rtol=1e-4,
+    )
+
+
+def test_local_window_tiles():
+    from embedding_cpp_tpu.ops.attention import local_window_tiles
+
+    tq, wmax = local_window_tiles(512, 128)
+    assert (tq, wmax) == (128, 384)  # pays: 384 < 512
+    assert local_window_tiles(256, 128)[1] is None  # window covers S
+    assert local_window_tiles(520, 128)[1] is None  # unaligned S
+    tq, wmax = local_window_tiles(8192, 128)
+    assert tq == 256 and wmax == 512  # 16x fewer score FLOPs than [TQ, S]
+
+
+@pytest.mark.parametrize("s", [128, 512])
+def test_modernbert_forward_pallas_matches_xla(s):
+    """Full ModernBERT forward, fused kernels vs XLA: s=512 exercises the
+    lax.cond global-kernel / sliding-window-kernel split, s=128 the
+    head-invariant [1, S, S] window-bias kernel (window not narrower
+    than S)."""
+    from embedding_cpp_tpu.models import (
+        BertConfig, ComputeOptions, bert_embed_batch, random_params,
+    )
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=1024, n_embd=64, n_layer=3, n_head=2, n_ff=128,
+        n_token_types=0, arch="modernbert", layer_norm_eps=1e-5,
+        rope_theta=160000.0, local_rope_theta=10000.0,
+        global_attn_every=3, local_window=64 if s == 512 else 16,
+    )
+    params = random_params(cfg, seed=8)
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 256, size=(2, s)).astype(np.int32)
+    mask = np.ones((2, s), np.int32)
+    mask[1, (3 * s) // 4:] = 0
+    a = np.asarray(bert_embed_batch(params, ids, mask, cfg,
+                                    ComputeOptions(attn_impl="xla")))
+    b = np.asarray(bert_embed_batch(params, ids, mask, cfg,
+                                    ComputeOptions(attn_impl="pallas")))
+    np.testing.assert_allclose(a, b, atol=_tpu_atol(1e-5), rtol=1e-4)

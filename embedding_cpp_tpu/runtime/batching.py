@@ -252,8 +252,13 @@ def pack_batches(
     batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
     max_batch: int | None = None,
     max_seq: int | None = None,
+    max_tokens: int | None = None,
 ) -> list[PackedBatch]:
-    """Group tokenized sentences into padded static-shape batches."""
+    """Group tokenized sentences into padded static-shape batches.
+
+    `max_tokens` bounds one batch's token slots (rows x seq bucket): long
+    sequence buckets get proportionally fewer rows per dispatch so the
+    activation footprint of a single compiled shape stays bounded."""
     if max_seq is not None:
         seq_buckets = [b for b in seq_buckets if b <= max_seq] or [max_seq]
     if max_batch is not None:
@@ -265,11 +270,15 @@ def pack_batches(
         by_bucket.setdefault(s, []).append(idx)
 
     batches: list[PackedBatch] = []
-    cap = batch_buckets[-1]
     for s, indices in sorted(by_bucket.items()):
+        bb = batch_buckets
+        if max_tokens is not None and s * bb[-1] > max_tokens:
+            row_cap = max(1, max_tokens // s)
+            bb = [b for b in bb if b <= row_cap] or [row_cap]
+        cap = bb[-1]
         for start in range(0, len(indices), cap):
             chunk = indices[start : start + cap]
-            b = bucket_for(len(chunk), batch_buckets)
+            b = bucket_for(len(chunk), bb)
             ids = np.full((b, s), pad_id, dtype=np.int32)
             mask = np.zeros((b, s), dtype=np.int32)
             for row, idx in enumerate(chunk):

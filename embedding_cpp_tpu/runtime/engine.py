@@ -80,6 +80,21 @@ class Engine:
         self.seq_buckets = tuple(b for b in seq_buckets if b <= config.n_ctx) or (
             config.n_ctx,
         )
+        if seq_buckets is DEFAULT_SEQ_BUCKETS and config.n_ctx > self.seq_buckets[-1]:
+            # long-context encoders (ModernBERT: n_ctx 8192): extend the
+            # default buckets in power-of-two steps so texts past 512 tokens
+            # are batched at full length instead of truncated to the top
+            # default bucket.  Custom seq_buckets are respected as passed.
+            ext, b = [], self.seq_buckets[-1]
+            while b < config.n_ctx:
+                b = min(b * 2, config.n_ctx)
+                ext.append(b)
+            self.seq_buckets += tuple(ext)
+        # per-dispatch token budget: at the default buckets the historical
+        # cap (2048 rows x 512 tokens) is unchanged; longer sequence buckets
+        # scale the row cap down so one dispatch's activation memory stays
+        # bounded (8192-token rows batch 128 at a time, not 2048)
+        self.max_batch_tokens = DEFAULT_BATCH_BUCKETS[-1] * 512
         self.batch_buckets = tuple(batch_buckets)
         if mesh is not None:
             from ..parallel.mesh import DP_AXIS
@@ -397,6 +412,7 @@ class Engine:
             seq_buckets=self.seq_buckets,
             batch_buckets=self.batch_buckets,
             max_seq=self.config.n_ctx,
+            max_tokens=self.max_batch_tokens,
         )
         for batch in batches:
             batch.positions = [rest[i] for i in batch.positions]

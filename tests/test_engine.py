@@ -306,3 +306,58 @@ def test_concat_combo_cap():
     # seen combos stay admitted; new ones are refused past the cap
     assert eng._concat_combo_ok(((3, 64), "f32"))
     assert not eng._concat_combo_ok(((99, 64), "f32"))
+
+
+def test_pack_batches_token_budget():
+    """Long sequence buckets get proportionally fewer rows per dispatch
+    (max_tokens bounds rows x seq bucket, keeping one compiled shape's
+    activation footprint flat across bucket lengths)."""
+    toks = [[1] * 1000 for _ in range(300)]
+    batches = pack_batches(
+        toks, pad_id=0, seq_buckets=(512, 1024), batch_buckets=(1, 8, 64, 512),
+        max_tokens=1024 * 128,
+    )
+    assert all(b.ids.shape == (64, 1024) or b.ids.shape[0] < 64 for b in batches)
+    assert max(b.ids.shape[0] for b in batches) == 64  # 128-row cap -> bucket 64
+    covered = sorted(i for b in batches for i in b.positions)
+    assert covered == list(range(300))
+    # short buckets keep the full row cap (budget only binds past it)
+    short = pack_batches(
+        [[1] * 10 for _ in range(100)], pad_id=0, seq_buckets=(16,),
+        batch_buckets=(1, 8, 64, 512), max_tokens=1024 * 128,
+    )
+    assert short[0].ids.shape == (512, 16)
+
+
+def test_long_context_engine_no_truncation():
+    """A long-context encoder (ModernBERT-style n_ctx) must batch texts past
+    512 tokens at full length: the default seq buckets extend to n_ctx in
+    power-of-two steps, and the result equals the direct full-length
+    forward (truncation at 512 would change it)."""
+    from embedding_cpp_tpu.models.bert import bert_embed_batch
+    from embedding_cpp_tpu.models.config import BertConfig
+    from embedding_cpp_tpu.models.params import random_params
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=2048, n_embd=64, n_layer=2, n_head=2, n_ff=128,
+        n_token_types=0, arch="modernbert", layer_norm_eps=1e-5,
+        rope_theta=160000.0, local_rope_theta=10000.0,
+        global_attn_every=3, local_window=64, name="long-ctx",
+    )
+    params = random_params(cfg, seed=11)
+    opts = ComputeOptions(dtype="float32")
+    eng = Engine(params, cfg, opts=opts)
+    assert eng.seq_buckets[-1] == 2048 and 1024 in eng.seq_buckets
+
+    rng = np.random.default_rng(12)
+    long_ids = list(rng.integers(0, 256, size=700))
+    short_ids = list(rng.integers(0, 256, size=20))
+    out = eng.embed_tokens([long_ids, short_ids])
+
+    s = 1024  # the bucket the 700-token text lands in
+    ids = np.zeros((1, s), np.int32)
+    mask = np.zeros((1, s), np.int32)
+    ids[0, : len(long_ids)] = long_ids
+    mask[0, : len(long_ids)] = 1
+    direct = np.asarray(bert_embed_batch(params, ids, mask, cfg, opts))
+    np.testing.assert_allclose(out[0], direct[0], atol=2e-5, rtol=1e-4)

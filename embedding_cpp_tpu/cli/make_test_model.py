@@ -1,7 +1,7 @@
 """Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|minilm-l6|minilm-l12|bert-base|mpnet-base]\
+           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base]\
            [--ftype f32] [--seed 0]
 
 The roberta preset carries a trained byte-level BPE tokenizer; xlmr a trained
@@ -67,6 +67,12 @@ PRESETS = {
         rope_theta=160000.0, local_rope_theta=10000.0,
         global_attn_every=3, local_window=16,
         name="tiny-modernbert-test",
+    ),
+    # cross-encoder reranker: BERT encoder + classification head (drives
+    # the rerank CLI / /v1/rerank route hermetically)
+    "tiny-reranker": BertConfig(
+        n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        n_labels=1, name="tiny-reranker-test",
     ),
     "minilm-l6": replace(MINILM_L6, n_vocab=1000, name="minilm-l6-synthetic"),
     "minilm-l12": replace(MINILM_L12, n_vocab=1000, name="minilm-l12-synthetic"),

@@ -157,6 +157,10 @@ class Keys:
     ROPE_FREQ_BASE_LOCAL = f"{ARCH}.rope.freq_base_local"
     GLOBAL_ATTN_EVERY = f"{ARCH}.attention.global_every_n_layers"
     LOCAL_ATTN_WINDOW = f"{ARCH}.attention.local_window"
+    # sequence-classification head (our extension: cross-encoder rerankers,
+    # *ForSequenceClassification checkpoints; 0 = embedding model, no head)
+    N_LABELS = f"{ARCH}.classifier.n_labels"
+    HEAD_ACTIVATION = f"{ARCH}.classifier.activation"
 
     # tokenizer
     TOKENIZER_MODEL = "tokenizer.ggml.model"

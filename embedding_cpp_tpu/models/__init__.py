@@ -2,6 +2,7 @@
 from .bert import (
     ComputeOptions,
     bert_embed_batch,
+    bert_score_batch,
     make_forward,
     mean_pool_normalize,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "MPNET_BASE",
     "ComputeOptions",
     "bert_embed_batch",
+    "bert_score_batch",
     "make_forward",
     "mean_pool_normalize",
     "load_params",

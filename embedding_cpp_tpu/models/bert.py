@@ -284,6 +284,7 @@ def embed_tokens(
     config: BertConfig,
     opts: ComputeOptions,
     positions: Array | None = None,
+    type_ids: Array | None = None,
 ) -> Array:
     """word[ids] + token_type[0] + position[off..off+S-1], then embedding
     LayerNorm (bert.cpp:868-898).  Token type is always 0 and positions are
@@ -293,7 +294,11 @@ def embed_tokens(
     tokens from `pos_offset` = padding_idx + 1 (HF
     create_position_ids_from_input_ids).  For sequence-packed batches
     `positions` carries the per-segment position ids (restarting at 0 for
-    each packed sentence, matching the reference's per-sentence graphs)."""
+    each packed sentence, matching the reference's per-sentence graphs).
+    `type_ids` ([B, S] int32) selects per-token segment embeddings — the
+    cross-encoder pair framing ([CLS] q [SEP] d [SEP] with segments 0/1)
+    the embedding paths never need (they hard-wire type 0, like the
+    reference)."""
     emb = params["embeddings"]
     s = ids.shape[-1]
     off = config.pos_offset
@@ -303,7 +308,8 @@ def embed_tokens(
     else:
         x = word[ids].astype(jnp.float32)
     if "token_type" in emb:
-        x = x + emb["token_type"][0].astype(jnp.float32)
+        tt = emb["token_type"]  # always dense (params.py loads tiny tables f32)
+        x = x + (tt[0] if type_ids is None else tt[type_ids]).astype(jnp.float32)
     if positions is None:
         x = x + emb["position"][off : off + s].astype(jnp.float32)
     else:
@@ -503,6 +509,45 @@ def bert_embed_batch(
     if gather_idx is not None:
         out = out[gather_idx]
     return _cast_output(out, opts)
+
+
+def bert_score_batch(
+    params: dict,
+    ids: Array,
+    mask: Array,
+    config: BertConfig,
+    opts: ComputeOptions = ComputeOptions(),
+    type_ids: Array | None = None,
+) -> Array:
+    """Sequence-classification forward: [B, S] token ids (+ optional
+    [B, S] segment type ids) -> [B, n_labels] f32 logits.
+
+    The cross-encoder path (reranking): a query/document pair framed as
+    [CLS] q [SEP] d [SEP] (segments 0/1) runs the same masked encoder as
+    the embedding path, then logits = out(act(dense(h_cls))) — the shape
+    every HF *ForSequenceClassification head reduces to (schema.py
+    _HEAD_TENSORS_BY_ARCH).  The head computes in f32 (it is two tiny
+    matvecs; accuracy over MXU throughput).  The reference has no
+    classification surface at all (bert.h:41-92).
+    """
+    if "head" not in params:
+        raise ValueError("model has no classification head (n_labels == 0)")
+    opts = resolve_impls(opts)
+    x = embed_tokens(params, ids, config, opts, type_ids=type_ids)
+    mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
+    rel = params.get("rel_attn_bias")
+    pos_bias = None if rel is None else _rel_attn_bias(rel, ids.shape[-1])
+
+    def body(x, lp):
+        return encoder_layer(x, lp, mask_bias, config, opts,
+                             pos_bias=pos_bias), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    h = x[..., 0, :].astype(jnp.float32)  # CLS hidden state
+    head = params["head"]
+    y = h @ head["dense_w"] + head["dense_b"]
+    y = jnp.tanh(y) if config.head_activation == "tanh" else jax.nn.relu(y)
+    return y @ head["out_w"] + head["out_b"]
 
 
 def bert_embed_packed(

@@ -78,6 +78,14 @@ class BertConfig:
     local_rope_theta: float = 0.0
     global_attn_every: int = 0
     local_window: int = 0
+    # sequence-classification head width (cross-encoder rerankers /
+    # *ForSequenceClassification checkpoints; 0 = embedding model, no head).
+    # Every HF family computes logits = out_proj(act(dense(h_cls))): BERT's
+    # pooler(tanh)+classifier, RoBERTa/MPNet's ClassificationHead
+    # (dense+tanh+out_proj), DistilBERT's pre_classifier(ReLU)+classifier —
+    # head_activation selects the act, the tensor names live in schema.py.
+    n_labels: int = 0
+    head_activation: str = "tanh"  # "tanh" | "relu"
     name: str = ""
 
     @property
@@ -93,6 +101,15 @@ class BertConfig:
             raise ValueError(
                 f"unsupported architecture {self.arch!r} "
                 f"(supported: {sorted(_ARCH_DEFAULTS)})"
+            )
+        if self.n_labels and self.head_activation not in ("tanh", "relu"):
+            raise ValueError(
+                f"unsupported head_activation {self.head_activation!r} "
+                "(supported: tanh, relu)"
+            )
+        if self.n_labels and self.arch == "modernbert":
+            raise ValueError(
+                "classification heads are not supported for modernbert yet"
             )
 
     @classmethod
@@ -135,6 +152,11 @@ class BertConfig:
             local_rope_theta=float(kv.get(Keys.ROPE_FREQ_BASE_LOCAL, 0.0)),
             global_attn_every=int(kv.get(Keys.GLOBAL_ATTN_EVERY, 0)),
             local_window=int(kv.get(Keys.LOCAL_ATTN_WINDOW, 0)),
+            n_labels=int(kv.get(Keys.N_LABELS, 0)),
+            head_activation=str(
+                kv.get(Keys.HEAD_ACTIVATION,
+                       "relu" if arch == "distilbert" else "tanh")
+            ),
             name=str(kv.get("general.name", "")),
         )
 

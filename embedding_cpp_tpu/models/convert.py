@@ -131,6 +131,9 @@ def write_bert_gguf(
     if config.dense_out:
         w.add_uint32(Keys.DENSE_OUT, config.dense_out)
         w.add_string(Keys.DENSE_ACTIVATION, config.dense_activation)
+    if config.n_labels:
+        w.add_uint32(Keys.N_LABELS, config.n_labels)
+        w.add_string(Keys.HEAD_ACTIVATION, config.head_activation)
     if config.arch != "bert":
         # shape deltas of the non-bert families (config.py _ARCH_DEFAULTS);
         # written explicitly so the reader needs no arch-specific guessing
@@ -171,8 +174,16 @@ def write_bert_gguf(
         w.add_uint32(Keys.TOKENIZER_CLS_ID, sp["cls"])
 
     target = FTYPE_TO_GGML[ftype]
+    # classification-head models carry their pooler: it IS the head's dense
+    # layer for BERT (SKIPPED_TENSORS drops it only for embedding models,
+    # matching convert-to-gguf.py:294-321)
+    skipped = SKIPPED_TENSORS
+    if config.n_labels:
+        from .schema import head_tensors
+
+        skipped = skipped - set(head_tensors(config))
     for name, data in state_dict.items():
-        if name in SKIPPED_TENSORS:
+        if name in skipped:
             continue
         arr = np.ascontiguousarray(np.asarray(data), dtype=np.float32)
         if arr.ndim > 2:
@@ -211,6 +222,15 @@ def load_hf_dir(model_dir: str | os.PathLike):
         "RobertaModel", "RobertaForMaskedLM",
         "XLMRobertaModel", "XLMRobertaForMaskedLM", "CamembertModel",
         "MPNetModel", "MPNetForMaskedLM",
+        # cross-encoder rerankers (sequence-classification heads): the
+        # reference converts none of these; we map them to the same encoder
+        # schema plus head tensors (schema.head_tensors)
+        "BertForSequenceClassification",
+        "DistilBertForSequenceClassification",
+        "RobertaForSequenceClassification",
+        "XLMRobertaForSequenceClassification",
+        "CamembertForSequenceClassification",
+        "MPNetForSequenceClassification",
     )
     if archs and archs[0] not in _SUPPORTED:
         raise ValueError(f"unsupported architecture: {archs[0]}")
@@ -245,6 +265,21 @@ def load_hf_dir(model_dir: str | os.PathLike):
             config, dense_out=out_features, dense_activation=activation
         )
         state_dict.update(tensors)
+
+    if archs and archs[0].endswith("ForSequenceClassification"):
+        # cross-encoder reranker: record the head geometry (the tensor-name
+        # mapping per family lives in schema.head_tensors).  n_labels comes
+        # from the out-projection's rows — the checkpoint's ground truth.
+        out_name = (
+            "classifier.out_proj.weight"
+            if "classifier.out_proj.weight" in state_dict
+            else "classifier.weight"
+        )
+        config = dataclasses.replace(
+            config,
+            n_labels=int(np.asarray(state_dict[out_name]).shape[0]),
+            head_activation="relu" if config.arch == "distilbert" else "tanh",
+        )
 
     overrides = _special_overrides(model_dir)
     return config, state_dict, tokenizer_json, overrides, hf_config.get(

@@ -223,6 +223,22 @@ def build_params(
             else:
                 dense["b"] = source.dense(name, shape, f32)
         params["dense"] = dense
+    if config.n_labels:
+        # sequence-classification head (cross-encoder rerankers): two tiny
+        # linears computed in f32 on the CLS hidden state — dense at load
+        # regardless of file quantization (same policy as the Dense head)
+        head = {}
+        for name, (key, shape_fn) in schema.head_tensors(config).items():
+            shape = shape_fn(config)
+            if key.endswith("_w"):
+                head[key.removeprefix("head_")] = source.dense_t(
+                    name, shape, f32
+                )
+            else:
+                head[key.removeprefix("head_")] = source.dense(
+                    name, shape, f32
+                )
+        params["head"] = head
     return params
 
 
@@ -313,6 +329,10 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
     if config.dense_out:
         for name, (key, shape_fn) in schema.DENSE_TENSORS.items():
             sd[name] = init(shape_fn(config))
+    for name, (key, shape_fn) in schema.head_tensors(config).items():
+        # head biases stay random (unlike encoder biases) so parity tests
+        # exercise the bias adds of both head linears
+        sd[name] = init(shape_fn(config))
     return sd
 
 

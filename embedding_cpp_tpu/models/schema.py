@@ -183,6 +183,50 @@ DENSE_TENSORS = {
     "dense.linear.bias": ("dense_b", lambda c: (c.dense_out,)),
 }
 
+# --- sequence-classification heads (cross-encoder rerankers) ------------------
+# Present only when config.n_labels > 0.  Every family computes
+# logits = out(act(dense(h_cls))); only the HF state-dict names differ:
+#   bert        — BertPooler (tanh) + classifier
+#                 (HF BertForSequenceClassification.forward);
+#   roberta     — RobertaClassificationHead: dense + tanh + out_proj on the
+#                 first token (XLM-R rerankers, e.g. bge-reranker, share it);
+#   mpnet       — MPNetClassificationHead, identical names to roberta;
+#   distilbert  — pre_classifier + ReLU + classifier
+#                 (HF DistilBertForSequenceClassification.forward).
+# The reference has no classification support at all (bert.h:41-92 is
+# embeddings-only); this is a framework extension.
+_BERT_HEAD_TENSORS = {
+    "pooler.dense.weight": ("head_dense_w", lambda c: (c.n_embd, c.n_embd)),
+    "pooler.dense.bias": ("head_dense_b", lambda c: (c.n_embd,)),
+    "classifier.weight": ("head_out_w", lambda c: (c.n_labels, c.n_embd)),
+    "classifier.bias": ("head_out_b", lambda c: (c.n_labels,)),
+}
+_ROBERTA_HEAD_TENSORS = {
+    "classifier.dense.weight": ("head_dense_w", lambda c: (c.n_embd, c.n_embd)),
+    "classifier.dense.bias": ("head_dense_b", lambda c: (c.n_embd,)),
+    "classifier.out_proj.weight": ("head_out_w", lambda c: (c.n_labels, c.n_embd)),
+    "classifier.out_proj.bias": ("head_out_b", lambda c: (c.n_labels,)),
+}
+_DISTILBERT_HEAD_TENSORS = {
+    "pre_classifier.weight": ("head_dense_w", lambda c: (c.n_embd, c.n_embd)),
+    "pre_classifier.bias": ("head_dense_b", lambda c: (c.n_embd,)),
+    "classifier.weight": ("head_out_w", lambda c: (c.n_labels, c.n_embd)),
+    "classifier.bias": ("head_out_b", lambda c: (c.n_labels,)),
+}
+_HEAD_TENSORS_BY_ARCH = {
+    "bert": _BERT_HEAD_TENSORS,
+    "roberta": _ROBERTA_HEAD_TENSORS,
+    "mpnet": _ROBERTA_HEAD_TENSORS,
+    "distilbert": _DISTILBERT_HEAD_TENSORS,
+}
+
+
+def head_tensors(config) -> dict:
+    """Classification-head tensor map (empty for embedding models)."""
+    if not getattr(config, "n_labels", 0):
+        return {}
+    return _HEAD_TENSORS_BY_ARCH[config.arch]
+
 # Tensors the converter intentionally drops (convert-to-gguf.py:294-321),
 # plus the same-role buffers of the sibling families (token_type_ids is a
 # registered non-persistent buffer in newer transformers checkpoints).
@@ -261,4 +305,5 @@ def all_tensor_names(n_layer: int, config=None) -> list[str]:
         names.extend(layer_tensor_names(i, config))
     if config is not None:
         names.extend(extra_tensors(config))
+        names.extend(head_tensors(config))
     return names

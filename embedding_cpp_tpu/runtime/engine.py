@@ -21,10 +21,10 @@ import numpy as np
 
 from ..gguf.constants import Keys
 from ..gguf.reader import GGUFReader
-from ..models.bert import ComputeOptions, bert_embed_batch
+from ..models.bert import ComputeOptions, bert_embed_batch, bert_score_batch
 from ..models.config import BertConfig
 from ..models.params import load_params, random_params
-from ..tokenizer import SpecialIds, frame_ids, load_tokenizer
+from ..tokenizer import SpecialIds, frame_ids, frame_pair_ids, load_tokenizer
 from .batching import (
     DEFAULT_BATCH_BUCKETS,
     DEFAULT_PACK_SEQ,
@@ -256,6 +256,29 @@ class Engine:
         return [
             frame_ids(ids, self.special_ids, self.config.n_ctx) for ids in raw
         ]
+
+    def tokenize_pairs(
+        self, pairs: Sequence[tuple[str, str]]
+    ) -> tuple[list[list[int]], list[list[int]]]:
+        """Cross-encoder pair framing: [(text_a, text_b), ...] ->
+        (framed id lists, parallel token-type-id lists).  BERT/DistilBERT
+        frame [CLS] a [SEP] b [SEP] with segments 0/1; the BPE families
+        (RoBERTa/XLM-R/MPNet) use the <s> a </s></s> b </s> template with a
+        single segment (tokenizer/base.frame_pair_ids)."""
+        if self.tokenizer is None:
+            raise RuntimeError("engine has no tokenizer (model without blob kv)")
+        flat = [t for pair in pairs for t in pair]
+        raw = self.tokenizer.encode_batch(flat)
+        double_sep = self.config.arch in ("roberta", "mpnet")
+        ids, types = [], []
+        for i in range(0, len(raw), 2):
+            fi, ft = frame_pair_ids(
+                raw[i], raw[i + 1], self.special_ids, self.config.n_ctx,
+                double_sep=double_sep,
+            )
+            ids.append(fi)
+            types.append(ft)
+        return ids, types
 
     # --- forward ------------------------------------------------------------
     def _opts_for(self, float_out: bool) -> ComputeOptions:
@@ -573,6 +596,120 @@ class Engine:
                     )
         self._count_stats(token_lists, len(pending), t0)
         return out
+
+    # --- cross-encoder scoring (classification-head models) -----------------
+    def _score_forward(self, shape: tuple[int, int]):
+        """jitted scoring forward per static (batch, seq) shape.  Under a
+        single-process GSPMD mesh the sharded params drive partitioning
+        (resolve_impls pins the kernels to the XLA paths there); plain jit
+        otherwise."""
+        key = ("score", shape)
+        fwd = self._fwd_cache.get(key)
+        if fwd is None:
+            config, opts = self.config, self.opts
+
+            @jax.jit
+            def fwd(params, ids, mask, type_ids):
+                return bert_score_batch(
+                    params, ids, mask, config, opts, type_ids=type_ids
+                )
+
+            self._fwd_cache[key] = fwd
+        return fwd
+
+    def score_token_pairs(
+        self,
+        token_lists: Sequence[Sequence[int]],
+        type_lists: Sequence[Sequence[int]],
+    ) -> np.ndarray:
+        """Framed pair-id lists (+ parallel type-id lists) -> [n] f32 logits
+        (or [n, n_labels] for multi-label heads).  Same bucketed batching
+        and lock discipline as embed_tokens; the result fetch is tiny
+        (n_labels floats per pair), so scoring is compute-bound, not
+        transfer-bound."""
+        if self.config.n_labels == 0:
+            raise RuntimeError(
+                "model has no classification head (embedding model); "
+                "rerank/score needs a *ForSequenceClassification checkpoint"
+            )
+        if self._multiprocess:
+            raise RuntimeError(
+                "cross-encoder scoring on a multi-host mesh is not supported"
+            )
+        from ..utils.metrics import GLOBAL as metrics
+
+        out = np.empty((len(token_lists), self.config.n_labels), np.float32)
+        t0 = time.perf_counter()
+        with metrics.timer("eval"):
+            with self._lock:
+                batches = pack_batches(
+                    token_lists,
+                    self.special_ids.pad,
+                    seq_buckets=self.seq_buckets,
+                    batch_buckets=self.batch_buckets,
+                    max_seq=self.config.n_ctx,
+                    max_tokens=self.max_batch_tokens,
+                )
+                pending = []
+                for batch in batches:
+                    types = np.zeros_like(batch.ids)
+                    for row, idx in enumerate(batch.positions):
+                        t = type_lists[idx]
+                        types[row, : len(t)] = t
+                    fwd = self._score_forward(batch.ids.shape)
+                    pending.append(
+                        (batch, fwd(self.params, batch.ids, batch.mask, types))
+                    )
+            for batch, scores in pending:
+                out[batch.positions] = np.asarray(scores)[
+                    : len(batch.positions)
+                ]
+        self._count_stats(token_lists, len(pending), t0)
+        return out[:, 0] if self.config.n_labels == 1 else out
+
+    def score_pairs(
+        self, pairs: Sequence[tuple[str, str]], *, activation: str | None = None
+    ) -> np.ndarray:
+        """(text_a, text_b) pairs -> relevance scores.  Raw logits by
+        default (what HF *ForSequenceClassification returns);
+        activation="sigmoid" maps to (0, 1) — sentence-transformers
+        CrossEncoder.predict's default for single-label heads."""
+        ids, types = self.tokenize_pairs(pairs)
+        scores = self.score_token_pairs(ids, types)
+        if activation == "sigmoid":
+            scores = 1.0 / (1.0 + np.exp(-scores))
+        elif activation is not None:
+            raise ValueError(f"unknown activation {activation!r}")
+        return scores
+
+    def rerank(
+        self,
+        query: str,
+        documents: Sequence[str],
+        *,
+        top_n: int | None = None,
+        activation: str | None = "sigmoid",
+    ) -> list[dict]:
+        """Rank documents by cross-encoder relevance to the query:
+        [{"index": int, "relevance_score": float}, ...] sorted descending,
+        truncated to top_n.  The standard rerank-API shape (Jina/Cohere
+        /v1/rerank); scores default to sigmoid like sentence-transformers'
+        CrossEncoder for single-label heads."""
+        if self.config.n_labels > 1:
+            raise RuntimeError(
+                f"rerank needs a single-label head (n_labels="
+                f"{self.config.n_labels}); use score_pairs for multi-label"
+            )
+        scores = self.score_pairs(
+            [(query, d) for d in documents], activation=activation
+        )
+        order = np.argsort(-scores, kind="stable")
+        if top_n is not None:
+            order = order[:top_n]
+        return [
+            {"index": int(i), "relevance_score": float(scores[i])}
+            for i in order
+        ]
 
     def encode(
         self, texts: str | Sequence[str], *, dimensions: int | None = None

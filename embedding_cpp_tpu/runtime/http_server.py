@@ -20,6 +20,11 @@ the same device batches) as the TCP protocol.
     POST /v1/search       {"input": ["queries"...], "k": 10}
       -> {"results": [[{"index": id, "score": s}, ...k], ...]}
                           (top-k over the index; vectors never leave HBM)
+    POST /v1/rerank       {"query": "...", "documents": ["texts"...],
+                           "top_n": N, "return_documents": false}
+      -> {"results": [{"index": i, "relevance_score": s}, ...]}
+                          (cross-encoder scoring; needs a model converted
+                          from a *ForSequenceClassification checkpoint)
     GET  /healthz         -> 200 "ok"
     GET  /metrics         -> JSON metrics snapshot (same payload as TPES)
     GET  /v1/models       -> model listing
@@ -332,6 +337,74 @@ async def handle_http(reader, writer, batcher, model_name: str,
                              for i, sc in zip(row_i, row_s) if i >= 0]
                             for row_i, row_s in zip(idx, scores)
                         ],
+                    })
+                    b.stats.requests += 1
+                elif path == "/v1/rerank":
+                    # cross-encoder reranking (Jina/Cohere-style API); the
+                    # engine refuses cleanly when the model has no
+                    # classification head (-> 400, a client-config error)
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    try:
+                        payload = json.loads(body or b"{}")
+                    except json.JSONDecodeError as e:
+                        raise HttpError(400, f"invalid JSON: {e}")
+                    if not isinstance(payload, dict):
+                        raise HttpError(400, "body must be a JSON object")
+                    query = payload.get("query")
+                    docs = payload.get("documents")
+                    if not isinstance(query, str) or not query:
+                        raise HttpError(400, "'query' must be a string")
+                    if (
+                        not isinstance(docs, list)
+                        or not docs
+                        or not all(isinstance(d, str) for d in docs)
+                    ):
+                        raise HttpError(
+                            400, "'documents' must be a list of strings"
+                        )
+                    max_items = _caps()[1]
+                    if len(docs) > max_items:
+                        raise HttpError(
+                            413,
+                            f"too many documents ({len(docs)} > {max_items})",
+                        )
+                    top_n = payload.get("top_n")
+                    if top_n is not None and (
+                        not isinstance(top_n, int) or isinstance(top_n, bool)
+                        or top_n < 1
+                    ):
+                        raise HttpError(400, "top_n must be a positive integer")
+                    b, req_model = pick(payload)
+                    req_batcher = b
+                    if b.engine.config.n_labels == 0:
+                        raise HttpError(
+                            400,
+                            f"model {req_model!r} has no classification head "
+                            "(embedding model); /v1/rerank needs a reranker",
+                        )
+                    loop = asyncio.get_running_loop()
+                    # scoring runs on an executor thread, bypassing
+                    # ContinuousBatcher.encode — reserve against the same
+                    # --max-pending budget as index/search
+                    try:
+                        b.try_reserve(len(docs))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        ranked = await loop.run_in_executor(
+                            None,
+                            lambda: b.engine.rerank(query, docs, top_n=top_n),
+                        )
+                    finally:
+                        b.release(len(docs))
+                    if payload.get("return_documents"):
+                        for r in ranked:
+                            r["document"] = {"text": docs[r["index"]]}
+                    out = _json_response(200, {
+                        "object": "rerank",
+                        "model": req_model,
+                        "results": ranked,
                     })
                     b.stats.requests += 1
                 elif path == "/v1/embeddings":

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json as _json
 
-from .base import SpecialIds, Tokenizer, frame_ids
+from .base import SpecialIds, Tokenizer, frame_ids, frame_pair_ids
 from .bpe import ByteLevelBPETokenizer
 from .unigram import UnigramTokenizer
 from .wordpiece import WordPieceTokenizer
@@ -24,6 +24,7 @@ __all__ = [
     "SpecialIds",
     "Tokenizer",
     "frame_ids",
+    "frame_pair_ids",
     "WordPieceTokenizer",
     "ByteLevelBPETokenizer",
     "UnigramTokenizer",

@@ -182,3 +182,70 @@ def frame_ids(
     else:
         out.append(special.sep)
     return out
+
+
+def _strip_pad(ids: Sequence[int], pad: int) -> list[int]:
+    """Stop at the first pad id (padding injected by the json config) —
+    the same sanitization frame_ids applies (bert.cpp:752-755)."""
+    out = []
+    for i in ids:
+        if i == pad:
+            break
+        out.append(int(i))
+    return out
+
+
+def truncate_longest_first(
+    la: int, lb: int, budget: int
+) -> tuple[int, int]:
+    """HF tokenizers LongestFirst truncation: kept lengths for a pair.
+
+    Verified against tokenizers.Tokenizer.enable_truncation(strategy=
+    "longest_first"): the longest sequence is trimmed down to the other's
+    length, then the remaining budget splits ceil-to-longest; on equal
+    input lengths the SECOND sequence counts as the longest (so it keeps
+    the ceil half).  `budget` is the token budget excluding specials."""
+    budget = max(0, budget)
+    if la + lb <= budget:
+        return la, lb
+    a_longest = la > lb
+    lng, oth = (la, lb) if a_longest else (lb, la)
+    to_remove = lng + oth - budget
+    if lng - oth >= to_remove:  # trimming the longest alone suffices
+        lng -= to_remove
+    else:
+        lng = budget - budget // 2
+        oth = budget // 2
+    return (lng, oth) if a_longest else (oth, lng)
+
+
+def frame_pair_ids(
+    a_ids: Sequence[int],
+    b_ids: Sequence[int],
+    special: SpecialIds,
+    n_max_tokens: int,
+    *,
+    double_sep: bool = False,
+) -> tuple[list[int], list[int]]:
+    """Cross-encoder pair framing: (ids, token_type_ids).
+
+    BERT/DistilBERT template: [CLS] a [SEP] b [SEP] with segment ids
+    0...0 1...1 (the [SEP] after `a` belongs to segment 0, exactly HF's
+    create_token_type_ids_from_sequences).  RoBERTa/XLM-R/MPNet
+    (`double_sep=True`): <s> a </s></s> b </s>, all segment 0 (their
+    token-type table has a single row).  Truncation is HF's
+    longest_first over the pair (see truncate_longest_first); the
+    reference has no pair surface at all (bert_tokenize is
+    single-sequence, bert.cpp:738-781)."""
+    a = _strip_pad(a_ids, special.pad)
+    b = _strip_pad(b_ids, special.pad)
+    n_special = 4 if double_sep else 3
+    la, lb = truncate_longest_first(len(a), len(b), n_max_tokens - n_special)
+    a, b = a[:la], b[:lb]
+    if double_sep:
+        ids = [special.cls, *a, special.sep, special.sep, *b, special.sep]
+        types = [0] * len(ids)
+    else:
+        ids = [special.cls, *a, special.sep, *b, special.sep]
+        types = [0] * (la + 2) + [1] * (lb + 1)
+    return ids, types

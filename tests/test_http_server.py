@@ -433,3 +433,87 @@ def test_http_tokenize(http_server):
     # single string form
     status, body = _post(port, "/v1/tokenize", {"input": "hello"})
     assert status == 200 and len(body["ids"]) == 1
+
+
+def test_http_rerank(http_server):
+    """POST /v1/rerank: a cross-encoder reranker behind the same port (via
+    the model registry) returns a descending ranking; the embedding-only
+    default model is refused with a clear 400."""
+    port, _, engine = http_server
+    # the fixture's default model has no head -> client-config error
+    status, body = _post(port, "/v1/rerank",
+                         {"query": "q", "documents": ["a", "b"]})
+    assert status == 400
+    assert "no classification head" in body["error"]["message"]
+
+    # validation errors
+    status, body = _post(port, "/v1/rerank", {"documents": ["a"]})
+    assert status == 400 and "query" in body["error"]["message"]
+    status, body = _post(port, "/v1/rerank", {"query": "q", "documents": []})
+    assert status == 400 and "documents" in body["error"]["message"]
+    status, body = _post(port, "/v1/rerank",
+                         {"query": "q", "documents": ["a"], "top_n": 0})
+    assert status == 400 and "top_n" in body["error"]["message"]
+
+
+def test_http_rerank_end_to_end():
+    """A reranker engine (classification head) served over HTTP: scores
+    match Engine.rerank, ordering is descending, top_n/return_documents
+    honored."""
+    pytest.importorskip("tokenizers")
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, n_labels=1, name="tiny-reranker")
+    engine = Engine.synthetic(cfg, opts=ComputeOptions(dtype="float32"))
+    tcp_port, http_port = _free_port(), _free_port()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(
+            serve(engine, "127.0.0.1", tcp_port, window_ms=1.0,
+                  http_port=http_port)
+        )
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", http_port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    try:
+        docs = ["the dog sat on the mat", "cats drink milk", "dogs run far"]
+        status, body = _post(http_port, "/v1/rerank", {
+            "query": "where is the dog", "documents": docs,
+            "top_n": 2, "return_documents": True,
+        })
+        assert status == 200
+        assert body["object"] == "rerank"
+        assert len(body["results"]) == 2
+        scores = [r["relevance_score"] for r in body["results"]]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0.0 < s < 1.0 for s in scores)
+        for r in body["results"]:
+            assert r["document"]["text"] == docs[r["index"]]
+        want = engine.rerank("where is the dog", docs, top_n=2)
+        assert [r["index"] for r in body["results"]] == \
+            [w["index"] for w in want]
+        np.testing.assert_allclose(
+            scores, [w["relevance_score"] for w in want], rtol=1e-6
+        )
+    finally:
+        loop.call_soon_threadsafe(holder["task"].cancel)
+        t.join(timeout=5)

@@ -1,0 +1,399 @@
+"""Cross-encoder reranking: classification heads + pair framing + Engine
+scoring surface.
+
+The reference has no classification/rerank support at all (bert.h:41-92 is
+embeddings-only); this extension is gated the same way the encoder families
+are (SURVEY.md §7): exact-math parity vs HF torch
+*ForSequenceClassification on identical random weights, and pair-framing
+parity vs the HF tokenizers truncation/template semantics.
+"""
+import json
+
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.models import (
+    BertConfig,
+    ComputeOptions,
+    bert_score_batch,
+    random_state_dict,
+)
+from embedding_cpp_tpu.models.params import build_params, source_from_arrays
+from embedding_cpp_tpu.tokenizer import SpecialIds, frame_pair_ids
+from embedding_cpp_tpu.tokenizer.base import truncate_longest_first
+
+F32 = ComputeOptions(dtype="float32")
+SP = SpecialIds(cls=2, sep=3, pad=0, unk=1)
+
+BERT_CLS_CFG = BertConfig(
+    n_vocab=160, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+    n_labels=1, name="tiny-bert-rerank",
+)
+XLMR_CLS_CFG = BertConfig(
+    n_vocab=160, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+    layer_norm_eps=1e-5, n_token_types=1, arch="roberta", pos_offset=2,
+    n_labels=1, name="tiny-xlmr-rerank",
+)
+DISTIL_CLS_CFG = BertConfig(
+    n_vocab=160, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+    n_token_types=0, arch="distilbert", n_labels=3,
+    head_activation="relu", name="tiny-distil-cls",
+)
+
+
+# --- pair framing -------------------------------------------------------------
+
+def test_truncate_longest_first_matches_hf():
+    """Kept-length arithmetic vs the tokenizers crate's LongestFirst
+    strategy, fuzzed over pair lengths and budgets."""
+    pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "a": 4, "k": 5}
+    tok = Tokenizer(models.WordPiece(vocab=vocab, unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.post_processor = processors.TemplateProcessing(
+        single="[CLS] $A [SEP]",
+        pair="[CLS] $A:0 [SEP]:0 $B:1 [SEP]:1",
+        special_tokens=[("[CLS]", 2), ("[SEP]", 3)],
+    )
+    for la in (0, 1, 2, 5, 9, 17):
+        for lb in (0, 1, 2, 5, 9, 17):
+            for maxlen in (3, 5, 8, 12, 40):
+                tok.enable_truncation(max_length=maxlen,
+                                      strategy="longest_first")
+                e = tok.encode(" ".join(["a"] * la) if la else "",
+                               " ".join(["k"] * lb) if lb else "")
+                want = (sum(1 for t in e.tokens if t == "a"),
+                        sum(1 for t in e.tokens if t == "k"))
+                got = truncate_longest_first(la, lb, maxlen - 3)
+                assert got == want, (la, lb, maxlen, got, want)
+
+
+def test_frame_pair_ids_bert_template():
+    ids, types = frame_pair_ids([10, 11], [20, 21, 22], SP, 64)
+    assert ids == [2, 10, 11, 3, 20, 21, 22, 3]
+    assert types == [0, 0, 0, 0, 1, 1, 1, 1]
+    # truncation: longest trimmed first, SEP slots preserved
+    ids, types = frame_pair_ids(list(range(10, 20)), [20, 21], SP, 10)
+    assert len(ids) == 10 and ids[0] == 2 and ids[-1] == 3
+    assert ids.count(3) == 2
+    assert types == [0] * (ids.index(3) + 1) + [1] * (9 - ids.index(3))
+    # pad stripping mirrors frame_ids (stop at the json config's padding)
+    ids, _ = frame_pair_ids([10, SP.pad, 11], [20], SP, 64)
+    assert ids == [2, 10, 3, 20, 3]
+
+
+def test_frame_pair_ids_double_sep_template():
+    """RoBERTa/XLM-R/MPNet: <s> a </s></s> b </s>, single segment."""
+    ids, types = frame_pair_ids([10], [20, 21], SP, 64, double_sep=True)
+    assert ids == [2, 10, 3, 3, 20, 21, 3]
+    assert types == [0] * 7
+    # budget accounts for 4 specials
+    ids, _ = frame_pair_ids(list(range(10, 20)), list(range(30, 40)), SP, 12,
+                            double_sep=True)
+    assert len(ids) == 12 and ids.count(3) == 3
+
+
+# --- HF head parity -----------------------------------------------------------
+
+def _pair_batch(rng, cfg, batch, max_each):
+    """Random framed pairs: ids, mask, type_ids (numpy, padded)."""
+    from embedding_cpp_tpu.tokenizer.base import frame_pair_ids as fp
+
+    rows = []
+    for _ in range(batch):
+        la = int(rng.integers(1, max_each))
+        lb = int(rng.integers(1, max_each))
+        a = rng.integers(4, cfg.n_vocab, size=la).tolist()
+        b = rng.integers(4, cfg.n_vocab, size=lb).tolist()
+        rows.append(fp(a, b, SP, cfg.n_ctx,
+                       double_sep=cfg.arch in ("roberta", "mpnet")))
+    s = max(len(r[0]) for r in rows)
+    ids = np.zeros((batch, s), np.int32)
+    mask = np.zeros((batch, s), np.int32)
+    types = np.zeros((batch, s), np.int32)
+    for i, (fi, ft) in enumerate(rows):
+        ids[i, : len(fi)] = fi
+        mask[i, : len(fi)] = 1
+        types[i, : len(ft)] = ft
+    return ids, mask, types
+
+
+def test_bert_seq_cls_hf_parity():
+    """BertForSequenceClassification (pooler tanh + classifier) vs HF torch
+    on identical random weights, with real 0/1 segment ids."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = BERT_CLS_CFG
+    sd = random_state_dict(cfg, seed=21)
+    hf_config = transformers.BertConfig(
+        vocab_size=cfg.n_vocab, hidden_size=cfg.n_embd,
+        num_hidden_layers=cfg.n_layer, num_attention_heads=cfg.n_head,
+        intermediate_size=cfg.n_ff, max_position_embeddings=cfg.n_ctx,
+        type_vocab_size=2, layer_norm_eps=cfg.layer_norm_eps,
+        hidden_act="gelu", num_labels=cfg.n_labels,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        classifier_dropout=0.0,
+    )
+    model = transformers.BertForSequenceClassification(hf_config)
+    model.eval()
+    hf_sd = {
+        (k if k.startswith("classifier.") else "bert." + k):
+            torch.from_numpy(v)
+        for k, v in sd.items()
+    }
+    missing, unexpected = model.load_state_dict(hf_sd, strict=False)
+    assert not unexpected
+    assert all("position_ids" in m or "token_type_ids" in m for m in missing)
+
+    rng = np.random.default_rng(22)
+    ids, mask, types = _pair_batch(rng, cfg, 5, 20)
+    with torch.no_grad():
+        expected = model(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+            token_type_ids=torch.from_numpy(types).long(),
+        ).logits.numpy()
+
+    params = build_params(source_from_arrays(sd), cfg)
+    got = np.asarray(
+        bert_score_batch(params, ids, mask, cfg, F32, type_ids=types)
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+def test_xlmr_seq_cls_hf_parity():
+    """XLMRobertaForSequenceClassification (ClassificationHead:
+    dense+tanh+out_proj on the first token) vs HF torch — the bge-reranker
+    family's architecture."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = XLMR_CLS_CFG
+    sd = random_state_dict(cfg, seed=23)
+    hf_config = transformers.XLMRobertaConfig(
+        vocab_size=cfg.n_vocab, hidden_size=cfg.n_embd,
+        num_hidden_layers=cfg.n_layer, num_attention_heads=cfg.n_head,
+        intermediate_size=cfg.n_ff,
+        max_position_embeddings=cfg.n_ctx + cfg.pos_offset,
+        type_vocab_size=1, layer_norm_eps=cfg.layer_norm_eps,
+        pad_token_id=1, hidden_act="gelu", num_labels=cfg.n_labels,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        classifier_dropout=0.0,
+    )
+    model = transformers.XLMRobertaForSequenceClassification(hf_config)
+    model.eval()
+    hf_sd = {
+        (k if k.startswith("classifier.") else "roberta." + k):
+            torch.from_numpy(v)
+        for k, v in sd.items()
+    }
+    missing, unexpected = model.load_state_dict(hf_sd, strict=False)
+    assert not unexpected
+    assert all("position_ids" in m or "token_type_ids" in m for m in missing)
+
+    rng = np.random.default_rng(24)
+    ids, mask, types = _pair_batch(rng, cfg, 5, 20)
+    assert not types.any()  # single-segment family
+    with torch.no_grad():
+        expected = model(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        ).logits.numpy()
+
+    params = build_params(source_from_arrays(sd), cfg)
+    got = np.asarray(
+        bert_score_batch(params, ids, mask, cfg, F32, type_ids=types)
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+def test_distilbert_seq_cls_hf_parity():
+    """DistilBertForSequenceClassification (pre_classifier ReLU +
+    classifier, multi-label) vs HF torch."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = DISTIL_CLS_CFG
+    sd = random_state_dict(cfg, seed=25)
+    hf_config = transformers.DistilBertConfig(
+        vocab_size=cfg.n_vocab, dim=cfg.n_embd, n_layers=cfg.n_layer,
+        n_heads=cfg.n_head, hidden_dim=cfg.n_ff,
+        max_position_embeddings=cfg.n_ctx, activation="gelu",
+        num_labels=cfg.n_labels, dropout=0.0, attention_dropout=0.0,
+        seq_classif_dropout=0.0,
+    )
+    model = transformers.DistilBertForSequenceClassification(hf_config)
+    model.eval()
+    hf_sd = {
+        (k if k.startswith(("classifier.", "pre_classifier."))
+         else "distilbert." + k): torch.from_numpy(v)
+        for k, v in sd.items()
+    }
+    missing, unexpected = model.load_state_dict(hf_sd, strict=False)
+    assert not unexpected
+    assert all("position_ids" in m for m in missing)
+
+    rng = np.random.default_rng(26)
+    ids, mask, types = _pair_batch(rng, cfg, 4, 16)
+    with torch.no_grad():
+        expected = model(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        ).logits.numpy()
+
+    params = build_params(source_from_arrays(sd), cfg)
+    got = np.asarray(
+        bert_score_batch(params, ids, mask, cfg, F32, type_ids=types)
+    )
+    assert got.shape == (4, 3)
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+# --- conversion + engine ------------------------------------------------------
+
+def _build_reranker_dir(tmp_path, torch, transformers, n_labels=1):
+    """A local HF BertForSequenceClassification checkpoint dir over the
+    hermetic test WordPiece vocab."""
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    tokenizer_json = build_tokenizer_json(256)
+    n_vocab = 256
+    hf_config = transformers.BertConfig(
+        vocab_size=n_vocab, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_act="gelu", num_labels=n_labels,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        classifier_dropout=0.0,
+        architectures=["BertForSequenceClassification"],
+    )
+    torch.manual_seed(7)
+    model = transformers.BertForSequenceClassification(hf_config)
+    model.eval()
+    src = tmp_path / "hf-reranker"
+    src.mkdir()
+    cfg_json = json.loads(hf_config.to_json_string())
+    cfg_json["architectures"] = ["BertForSequenceClassification"]
+    (src / "config.json").write_text(json.dumps(cfg_json))
+    torch.save(model.state_dict(), src / "pytorch_model.bin")
+    (src / "tokenizer.json").write_bytes(tokenizer_json)
+    return src, model
+
+
+def test_engine_rerank_end_to_end(tmp_path):
+    """HF reranker checkpoint dir -> convert_hf_dir -> Engine: score_pairs
+    matches torch logits on the engine's own pair tokenization, and rerank
+    returns a descending, sigmoid-scored ranking."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    src, model = _build_reranker_dir(tmp_path, torch, transformers)
+    out = tmp_path / "reranker.gguf"
+    convert_hf_dir(src, out)
+
+    eng = Engine.from_gguf(str(out), opts=F32)
+    assert eng.config.n_labels == 1
+    assert eng.config.head_activation == "tanh"
+
+    query = "where is the dog"
+    docs = ["the dog sat on the mat", "cats drink milk",
+            "a dog runs in the park", "quantum field theory"]
+    pairs = [(query, d) for d in docs]
+    scores = eng.score_pairs(pairs)
+    assert scores.shape == (4,)
+
+    # torch reference on the engine's own framing (tokenizer-independent)
+    ids, types = eng.tokenize_pairs(pairs)
+    s = max(len(t) for t in ids)
+    np_ids = np.zeros((4, s), np.int64)
+    np_mask = np.zeros((4, s), np.int64)
+    np_types = np.zeros((4, s), np.int64)
+    for i, (fi, ft) in enumerate(zip(ids, types)):
+        np_ids[i, : len(fi)] = fi
+        np_mask[i, : len(fi)] = 1
+        np_types[i, : len(ft)] = ft
+    with torch.no_grad():
+        expected = model(
+            input_ids=torch.from_numpy(np_ids),
+            attention_mask=torch.from_numpy(np_mask),
+            token_type_ids=torch.from_numpy(np_types),
+        ).logits.numpy()[:, 0]
+    np.testing.assert_allclose(scores, expected, atol=2e-4, rtol=1e-3)
+
+    ranked = eng.rerank(query, docs, top_n=3)
+    assert len(ranked) == 3
+    rs = [r["relevance_score"] for r in ranked]
+    assert rs == sorted(rs, reverse=True)
+    assert all(0.0 < s < 1.0 for s in rs)  # sigmoid default
+    want_order = list(np.argsort(-expected, kind="stable")[:3])
+    assert [r["index"] for r in ranked] == [int(i) for i in want_order]
+
+
+def test_engine_rerank_q4(tmp_path):
+    """Quantized reranker GGUF loads and scores (head stays f32 at load)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    src, model = _build_reranker_dir(tmp_path, torch, transformers)
+    out = tmp_path / "reranker-q4.gguf"
+    convert_hf_dir(src, out, "q4_0")
+    eng = Engine.from_gguf(str(out), opts=F32)
+    scores = eng.score_pairs([("a dog", "the dog sat"), ("a dog", "milk")])
+    assert scores.shape == (2,) and np.isfinite(scores).all()
+
+
+def test_no_head_errors():
+    from embedding_cpp_tpu.models.config import BertConfig as BC
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    cfg = BC(n_vocab=64, n_ctx=32, n_embd=32, n_layer=1, n_head=2, n_ff=64)
+    eng = Engine.synthetic(cfg)
+    with pytest.raises(RuntimeError, match="no classification head"):
+        eng.score_token_pairs([[2, 5, 3]], [[0, 0, 0]])
+    with pytest.raises(ValueError, match="no classification head"):
+        from embedding_cpp_tpu.models.params import random_params
+
+        bert_score_batch(
+            random_params(cfg), np.zeros((1, 4), np.int32),
+            np.ones((1, 4), np.int32), cfg, F32,
+        )
+
+
+def test_gguf_head_roundtrip():
+    """Head kv + tensors roundtrip through write/read; scores stay equal."""
+    import tempfile
+
+    from embedding_cpp_tpu.models.convert import write_bert_gguf
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=32, n_embd=32, n_layer=1, n_head=2, n_ff=64,
+        n_labels=2, name="tiny-head-rt",
+    )
+    sd = random_state_dict(cfg, seed=31)
+    params = build_params(source_from_arrays(sd), cfg)
+    ids = np.array([[2, 10, 3, 20, 3, 0, 0, 0]], np.int32)
+    mask = (ids != 0).astype(np.int32)
+    types = np.array([[0, 0, 0, 1, 1, 0, 0, 0]], np.int32)
+    direct = np.asarray(
+        bert_score_batch(params, ids, mask, cfg, F32, type_ids=types)
+    )
+
+    with tempfile.NamedTemporaryFile(suffix=".gguf") as f:
+        write_bert_gguf(f.name, cfg, sd, build_tokenizer_json(256))
+        eng = Engine.from_gguf(f.name, opts=F32)
+        assert eng.config.n_labels == 2
+        got = eng.score_token_pairs(
+            [[2, 10, 3, 20, 3]], [[0, 0, 0, 1, 1]]
+        )
+    np.testing.assert_allclose(got[0], direct[0], atol=2e-5, rtol=1e-4)

@@ -12,7 +12,13 @@ from typing import Sequence
 
 import numpy as np
 
-from .server import MAGIC, MAGIC_ENCODE_I8, MAGIC_INDEX, MAGIC_SEARCH
+from .server import (
+    MAGIC,
+    MAGIC_ENCODE_I8,
+    MAGIC_INDEX,
+    MAGIC_RERANK,
+    MAGIC_SEARCH,
+)
 
 
 class EmbeddingClient:
@@ -89,6 +95,23 @@ class EmbeddingClient:
         scores = np.frombuffer(
             self._read_exactly(4 * n * kk), np.float32
         ).reshape(n, kk).copy()
+        return idx, scores
+
+    def rerank(self, query: str, documents: Sequence[str],
+               top_n: int | None = None):
+        """Cross-encoder rerank against a classification-head model:
+        returns (indices [m] int32 descending by relevance, scores [m] f32
+        sigmoid).  The server refuses cleanly (error frame) when its model
+        has no head."""
+        q = query.encode("utf-8")
+        self._send_texts(
+            MAGIC_RERANK, list(documents),
+            struct.pack("<II", top_n or 0, len(q)) + q,
+        )
+        (m,) = struct.unpack("<I", self._read_exactly(4))
+        self._check_error(m)
+        idx = np.frombuffer(self._read_exactly(4 * m), np.int32).copy()
+        scores = np.frombuffer(self._read_exactly(4 * m), np.float32).copy()
         return idx, scores
 
     def stats(self) -> dict:

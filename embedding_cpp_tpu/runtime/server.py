@@ -57,6 +57,11 @@ MAGIC_ENCODE_I8 = b"\x01TP8"
 #    e.g. k beyond the corpus size, or unfilled approximate-mode bins)
 MAGIC_INDEX = b"\x01TPB"
 MAGIC_SEARCH = b"\x01TPS"
+# cross-encoder rerank (needs a classification-head model; runtime/engine
+# .rerank): u32 top_n (0 = all) | u32 len | query utf8 |
+#           u32 n | n*(u32 len | utf8 doc)
+#        -> u32 m | m i32 idx | m f32 sigmoid score (descending)
+MAGIC_RERANK = b"\x01TPR"
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 # protocol sanity caps: a malformed/hostile frame must not drive unbounded
 # reads or allocations (the reference has no framing at all to validate)
@@ -285,7 +290,7 @@ async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
 
 _MAGICS = (MAGIC, MAGIC_STATS, MAGIC_HEALTH, MAGIC_TOKENIZE, MAGIC_EVAL,
            MAGIC_META, MAGIC_VOCAB, MAGIC_ENCODE_I8, MAGIC_INDEX,
-           MAGIC_SEARCH)
+           MAGIC_SEARCH, MAGIC_RERANK)
 
 
 def _quantize_i8_np(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -476,6 +481,38 @@ async def handle_client(
                 writer.write(
                     np.ascontiguousarray(scores, np.float32).tobytes()
                 )
+            elif head == MAGIC_RERANK:
+                (top_n,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                _check(top_n <= MAX_ITEMS, f"top_n {top_n}")
+                (qlen,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                _check(0 < qlen <= MAX_TEXT_BYTES, f"query length {qlen}")
+                query = (await _read_exactly(reader, qlen)).decode("utf-8")
+                docs = await _read_texts(reader)
+                loop = asyncio.get_running_loop()
+                try:
+                    _check(len(docs) > 0, "no documents")
+                    # scoring runs on an executor thread, bypassing
+                    # encode()'s queue — same admission control as index
+                    batcher.try_reserve(len(docs))
+                    try:
+                        ranked = await loop.run_in_executor(
+                            None,
+                            lambda: batcher.engine.rerank(
+                                query, docs,
+                                top_n=int(top_n) if top_n else None,
+                            ),
+                        )
+                    finally:
+                        batcher.release(len(docs))
+                except Exception as e:
+                    await _request_failed(e)
+                    continue
+                writer.write(struct.pack("<I", len(ranked)))
+                writer.write(np.asarray(
+                    [r["index"] for r in ranked], np.int32).tobytes())
+                writer.write(np.asarray(
+                    [r["relevance_score"] for r in ranked],
+                    np.float32).tobytes())
             elif head == MAGIC or head == MAGIC_ENCODE_I8:
                 texts = await _read_texts(reader)
                 try:

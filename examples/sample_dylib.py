@@ -67,6 +67,12 @@ class TpuEmbedModel:
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
         ]
+        self.lib.tpe_rerank.restype = ctypes.c_int32
+        self.lib.tpe_rerank.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
 
         if model_path is not None:
             self.ctx = self.lib.tpe_load_from_file(model_path.encode())
@@ -147,6 +153,23 @@ class TpuEmbedModel:
         # entries are packed for k' columns; reshape accordingly
         return (idx.reshape(-1)[: n * kr].reshape(n, kr),
                 scores.reshape(-1)[: n * kr].reshape(n, kr))
+
+    def rerank(self, query, documents, top_n=None):
+        """Cross-encoder rerank (tpe_rerank; needs a classification-head
+        model): returns (indices [m], sigmoid scores [m]) descending."""
+        n = len(documents)
+        texts = (ctypes.c_char_p * n)(*[d.encode() for d in documents])
+        cap = min(top_n, n) if top_n else n
+        idx = np.zeros(cap, dtype=np.int32)
+        scores = np.zeros(cap, dtype=np.float32)
+        m = self.lib.tpe_rerank(
+            self.ctx, query.encode(), n, texts, top_n or 0,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if m < 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return idx[:m], scores[:m]
 
     def encode(self, sentences):
         one = isinstance(sentences, str)

@@ -71,6 +71,16 @@ int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts);
 int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
                    int32_t k, int32_t* out_idx, float* out_scores);
 
+// Cross-encoder rerank (needs a classification-head model; the reference
+// has no rerank surface).  Scores each document against the query and
+// ranks descending: out_idx/out_scores must hold min(top_n, n_docs)
+// entries (top_n <= 0 means all documents).  Scores are sigmoid
+// relevances in (0, 1).  Returns the result count, or -1 on error (e.g.
+// the served model has no classification head — see tpe_last_error).
+int32_t tpe_rerank(tpe_ctx* ctx, const char* query, int32_t n_docs,
+                   const char** docs, int32_t top_n, int32_t* out_idx,
+                   float* out_scores);
+
 // Requantize a GGUF model file (bert_model_quantize, bert.h:92).  ftype
 // uses the reference's numeric codes (2=q4_0, 3=q4_1) plus 7=q8_0 (our
 // extension).  Runs the quantize tool in a child process; returns 0 on

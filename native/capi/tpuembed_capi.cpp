@@ -476,6 +476,48 @@ int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
     return static_cast<int32_t>(kr);
 }
 
+// Cross-encoder rerank (the \x01TPR frame; runtime/engine.rerank).  The
+// reply is m ranked (index, sigmoid score) pairs, m = min(top_n, n_docs);
+// a model without a classification head fails with an error frame that
+// lands in last_error, stream intact.
+int32_t tpe_rerank(tpe_ctx* ctx, const char* query, int32_t n_docs,
+                   const char** docs, int32_t top_n, int32_t* out_idx,
+                   float* out_scores) {
+    if (!ctx || ctx->fd < 0 || !query || n_docs <= 0 || !out_idx ||
+        !out_scores)
+        return -1;
+    std::string req;
+    req.append("\x01TPR", 4);
+    uint32_t tn = top_n > 0 ? static_cast<uint32_t>(top_n) : 0;
+    req.append(reinterpret_cast<const char*>(&tn), 4);
+    uint32_t qlen = static_cast<uint32_t>(strlen(query));
+    req.append(reinterpret_cast<const char*>(&qlen), 4);
+    req.append(query, qlen);
+    append_texts(&req, n_docs, docs);
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+    uint32_t m = 0;
+    if (!read_reply_count(ctx, &m)) return -1;
+    uint32_t cap = tn ? (tn < static_cast<uint32_t>(n_docs)
+                             ? tn
+                             : static_cast<uint32_t>(n_docs))
+                      : static_cast<uint32_t>(n_docs);
+    if (m > cap) {
+        ctx->last_error = "bad rerank reply";
+        kill_conn(ctx);
+        return -1;
+    }
+    if (!read_exactly(ctx->fd, out_idx, 4ull * m) ||
+        !read_exactly(ctx->fd, out_scores, 4ull * m)) {
+        ctx->last_error = "recv failed";
+        kill_conn(ctx);
+        return -1;
+    }
+    return static_cast<int32_t>(m);
+}
+
 // Token id -> token string (bert_vocab_id_to_token, bert.h:90).  Writes a
 // NUL-terminated string into buf[cap]; returns the token byte length
 // (excluding NUL), or -1 on error.

@@ -261,3 +261,78 @@ def test_model_quantize_via_capi(model_path, tmp_path):
     # bad inputs fail cleanly
     assert lib.tpe_model_quantize(b"/nonexistent.gguf", b"/tmp/x.gguf", 2) == -1
     assert lib.tpe_model_quantize(None, b"/tmp/x.gguf", 2) == -1
+
+
+def test_rerank_via_capi(tmp_path):
+    """tpe_rerank against a reranker GGUF (classification head): descending
+    sigmoid scores matching Engine.rerank; top_n honored."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.cli.make_test_model import make_test_model
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.runtime.server import serve
+
+    path = tmp_path / "tiny-reranker.gguf"
+    make_test_model(str(path), "tiny-reranker", "f32")
+    engine = Engine.from_gguf(str(path))
+    port = _free_port()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        holder["task"] = loop.create_task(
+            serve(engine, "127.0.0.1", port))
+        try:
+            loop.run_until_complete(holder["task"])
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.1)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        docs = ["the dog sat on the mat", "cats drink milk", "dogs run"]
+        idx, scores = model.rerank("where is the dog", docs)
+        assert idx.shape == (3,) and np.all(np.diff(scores) <= 0)
+        want = engine.rerank("where is the dog", docs)
+        assert idx.tolist() == [w["index"] for w in want]
+        np.testing.assert_allclose(
+            scores, [w["relevance_score"] for w in want], rtol=1e-6
+        )
+        idx2, scores2 = model.rerank("where is the dog", docs, top_n=2)
+        assert idx2.tolist() == idx[:2].tolist()
+    finally:
+        model.close()
+        loop.call_soon_threadsafe(holder["task"].cancel)
+        t.join(timeout=5)
+
+
+def test_rerank_via_capi_no_head(running_server):
+    """tpe_rerank against an embedding-only model: -1 with the error in
+    tpe_last_error, and the connection stays usable."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    engine, port = running_server
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        with pytest.raises(RuntimeError, match="no classification head"):
+            model.rerank("q", ["a", "b"])
+        out = model.encode("still alive")  # error frame isolated the request
+        assert out.shape == (engine.n_embd,)
+    finally:
+        model.close()

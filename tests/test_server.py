@@ -491,3 +491,73 @@ def test_raw_text_with_magic_prefix(server):
     expected = engine.encode(["TPEncoding is fun"])[0]
     np.testing.assert_allclose(vec, expected, atol=1e-5)
     s.close()
+
+
+def test_rerank_frame():
+    """\\x01TPR: cross-encoder rerank over the wire — (idx, sigmoid scores)
+    descending, top_n honored, matching Engine.rerank; an embedding-only
+    model gets an error frame and the connection survives."""
+    pytest.importorskip("tokenizers")
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, n_labels=1, name="tcp-reranker")
+    engine = Engine.synthetic(cfg, opts=ComputeOptions(dtype="float32"))
+    loop = asyncio.new_event_loop()
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(serve(engine, "127.0.0.1", port, window_ms=1.0))
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    docs = ["the dog sat on the mat", "cats drink milk", "dogs run far",
+            "quantum chromodynamics"]
+    with EmbeddingClient("127.0.0.1", port) as c:
+        idx, scores = c.rerank("where is the dog", docs)
+        assert idx.shape == (4,) and scores.shape == (4,)
+        assert np.all(np.diff(scores) <= 0)  # descending
+        assert np.all((scores > 0) & (scores < 1))  # sigmoid
+        want = engine.rerank("where is the dog", docs)
+        assert idx.tolist() == [w["index"] for w in want]
+        np.testing.assert_allclose(
+            scores, [w["relevance_score"] for w in want], rtol=1e-6
+        )
+        # top_n truncates
+        idx2, scores2 = c.rerank("where is the dog", docs, top_n=2)
+        assert idx2.tolist() == idx[:2].tolist()
+        np.testing.assert_allclose(scores2, scores[:2], rtol=1e-6)
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)
+
+
+def test_rerank_frame_no_head_error(server):
+    """The module fixture's embedding model: rerank gets a per-request error
+    frame and the connection stays usable."""
+    port, _engine = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        with pytest.raises(RuntimeError, match="no classification head"):
+            c.rerank("q", ["a", "b"])
+        # connection survives the error frame
+        vecs = c.embed(["still alive"])
+        assert vecs.shape[0] == 1

@@ -530,6 +530,13 @@ def bert_score_batch(
     matvecs; accuracy over MXU throughput).  The reference has no
     classification surface at all (bert.h:41-92).
     """
+    if config.arch == "modernbert":
+        # pre-norm RoPE graph + PredictionHead (dense+gelu+norm), pooled
+        # cls/mean per config.pooling; no token-type table so type_ids are
+        # structurally unused (dispatched here like bert_embed_batch)
+        from .modernbert import modernbert_score_batch
+
+        return modernbert_score_batch(params, ids, mask, config, opts)
     if "head" not in params:
         raise ValueError("model has no classification head (n_labels == 0)")
     opts = resolve_impls(opts)

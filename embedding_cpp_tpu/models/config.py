@@ -80,9 +80,11 @@ class BertConfig:
     local_window: int = 0
     # sequence-classification head width (cross-encoder rerankers /
     # *ForSequenceClassification checkpoints; 0 = embedding model, no head).
-    # Every HF family computes logits = out_proj(act(dense(h_cls))): BERT's
-    # pooler(tanh)+classifier, RoBERTa/MPNet's ClassificationHead
-    # (dense+tanh+out_proj), DistilBERT's pre_classifier(ReLU)+classifier —
+    # Every HF family computes logits = out_proj(act(dense(h_pooled))):
+    # BERT's pooler(tanh)+classifier, RoBERTa/MPNet's ClassificationHead
+    # (dense+tanh+out_proj), DistilBERT's pre_classifier(ReLU)+classifier,
+    # ModernBERT's PredictionHead (bias-free dense + gelu + bias-free
+    # LayerNorm, pooled per `pooling` cls/mean) + classifier —
     # head_activation selects the act, the tensor names live in schema.py.
     n_labels: int = 0
     head_activation: str = "tanh"  # "tanh" | "relu"
@@ -102,14 +104,12 @@ class BertConfig:
                 f"unsupported architecture {self.arch!r} "
                 f"(supported: {sorted(_ARCH_DEFAULTS)})"
             )
-        if self.n_labels and self.head_activation not in ("tanh", "relu"):
+        if self.n_labels and self.head_activation not in (
+            "tanh", "relu", "gelu"
+        ):
             raise ValueError(
                 f"unsupported head_activation {self.head_activation!r} "
-                "(supported: tanh, relu)"
-            )
-        if self.n_labels and self.arch == "modernbert":
-            raise ValueError(
-                "classification heads are not supported for modernbert yet"
+                "(supported: tanh, relu, gelu)"
             )
 
     @classmethod
@@ -154,8 +154,12 @@ class BertConfig:
             local_window=int(kv.get(Keys.LOCAL_ATTN_WINDOW, 0)),
             n_labels=int(kv.get(Keys.N_LABELS, 0)),
             head_activation=str(
-                kv.get(Keys.HEAD_ACTIVATION,
-                       "relu" if arch == "distilbert" else "tanh")
+                kv.get(
+                    Keys.HEAD_ACTIVATION,
+                    {"distilbert": "relu", "modernbert": "gelu"}.get(
+                        arch, "tanh"
+                    ),
+                )
             ),
             name=str(kv.get("general.name", "")),
         )

@@ -222,6 +222,7 @@ def load_hf_dir(model_dir: str | os.PathLike):
         "RobertaModel", "RobertaForMaskedLM",
         "XLMRobertaModel", "XLMRobertaForMaskedLM", "CamembertModel",
         "MPNetModel", "MPNetForMaskedLM",
+        "ModernBertModel", "ModernBertForMaskedLM",
         # cross-encoder rerankers (sequence-classification heads): the
         # reference converts none of these; we map them to the same encoder
         # schema plus head tensors (schema.head_tensors)
@@ -231,6 +232,7 @@ def load_hf_dir(model_dir: str | os.PathLike):
         "XLMRobertaForSequenceClassification",
         "CamembertForSequenceClassification",
         "MPNetForSequenceClassification",
+        "ModernBertForSequenceClassification",
     )
     if archs and archs[0] not in _SUPPORTED:
         raise ValueError(f"unsupported architecture: {archs[0]}")
@@ -251,10 +253,17 @@ def load_hf_dir(model_dir: str | os.PathLike):
 
     state_dict = _load_state_dict(model_dir)
     # strip the base-model prefix of *ForMaskedLM-style checkpoints and drop
-    # their task heads (cls.* for BERT, lm_head.* / vocab_* for the others)
-    _PREFIXES = ("bert.", "distilbert.", "roberta.", "mpnet.")
+    # their task heads (cls.* for BERT, lm_head.* / vocab_* for the others);
+    # "model." is ModernBERT's base prefix (ModernBertForSequenceClassification
+    # holds the encoder as self.model)
+    _PREFIXES = ("bert.", "distilbert.", "roberta.", "mpnet.", "model.")
     _HEADS = ("cls.", "lm_head.", "vocab_transform.", "vocab_layer_norm.",
-              "vocab_projector.")
+              "vocab_projector.", "decoder.")
+    is_seq_cls = bool(archs) and archs[0].endswith("ForSequenceClassification")
+    if not is_seq_cls:
+        # ModernBertForMaskedLM reuses the "head." prediction-head names the
+        # classification checkpoints carry — dead weight without a classifier
+        _HEADS = _HEADS + ("head.",)
     state_dict = {
         next((k[len(p):] for p in _PREFIXES if k.startswith(p)), k): v
         for k, v in state_dict.items()
@@ -266,7 +275,7 @@ def load_hf_dir(model_dir: str | os.PathLike):
         )
         state_dict.update(tensors)
 
-    if archs and archs[0].endswith("ForSequenceClassification"):
+    if is_seq_cls:
         # cross-encoder reranker: record the head geometry (the tensor-name
         # mapping per family lives in schema.head_tensors).  n_labels comes
         # from the out-projection's rows — the checkpoint's ground truth.
@@ -275,11 +284,24 @@ def load_hf_dir(model_dir: str | os.PathLike):
             if "classifier.out_proj.weight" in state_dict
             else "classifier.weight"
         )
-        config = dataclasses.replace(
-            config,
+        replacements = dict(
             n_labels=int(np.asarray(state_dict[out_name]).shape[0]),
-            head_activation="relu" if config.arch == "distilbert" else "tanh",
+            head_activation={"distilbert": "relu",
+                             "modernbert": "gelu"}.get(config.arch, "tanh"),
         )
+        if config.arch == "modernbert":
+            # the schema assumes the only published head configuration
+            # (bias-free dense, like the encoder's bias-free linears)
+            if bool(hf_config.get("classifier_bias", False)):
+                raise ValueError(
+                    "modernbert with classifier_bias=True is not supported "
+                    "(no published checkpoint uses it)"
+                )
+            # classification pools BEFORE the head, per classifier_pooling
+            replacements["pooling"] = str(
+                hf_config.get("classifier_pooling") or "cls"
+            )
+        config = dataclasses.replace(config, **replacements)
 
     overrides = _special_overrides(model_dir)
     return config, state_dict, tokenizer_json, overrides, hf_config.get(

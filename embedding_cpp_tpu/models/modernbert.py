@@ -258,6 +258,40 @@ def modernbert_embed_batch(params, ids, mask, config, opts,
     return _cast_output(out, opts)
 
 
+def modernbert_score_batch(params, ids, mask, config, opts):
+    """Sequence-classification forward (cross-encoder rerankers, e.g.
+    gte-reranker-modernbert-base): [B, S] ids -> [B, n_labels] f32 logits.
+
+    HF ModernBertForSequenceClassification.forward: pool the final-norm
+    hidden states per ``classifier_pooling`` (cls or mean — carried in
+    config.pooling), then PredictionHead ``norm(gelu(dense(x)))`` with
+    bias-free dense and LayerNorm, then a biased classifier.  ModernBERT
+    pairs frame [CLS] a [SEP] b [SEP] with no token-type table, so there
+    are no segment embeddings to add.
+    """
+    from .bert import resolve_impls, pool_normalize
+
+    if "head" not in params:
+        raise ValueError("model has no classification head (n_labels == 0)")
+    opts = resolve_impls(opts)
+    s = ids.shape[-1]
+    x = _embed(params, ids, config, opts)
+    pad = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
+    bias_global = pad[:, None, :]
+    win = jnp.asarray(_window_bias(s, config.local_window))
+    bias_local = bias_global + win[None, :, :]
+    pos = jnp.arange(s, dtype=jnp.int32)
+    aux = _layer_aux(config)
+    x = _run_layers(x, params, aux, bias_global, bias_local, pos, config,
+                    opts, pad=pad)
+    pooled = pool_normalize(x, mask, config.pooling, normalize=False)
+    head = params["head"]
+    y = pooled.astype(jnp.float32) @ head["dense_w"]  # classifier_bias=False
+    y = jax.nn.gelu(y, approximate=False)
+    y = _ln(y, head["norm_scale"], config.layer_norm_eps, jnp.float32)
+    return y @ head["out_w"] + head["out_b"]
+
+
 def modernbert_embed_packed(params, ids, seg, pos, config, opts, *,
                             n_seg, gather_idx=None, max_seg_len=None):
     """Sequence-packed forward: [B, S] packed rows -> [B, n_seg, n_embd]

@@ -213,11 +213,22 @@ _DISTILBERT_HEAD_TENSORS = {
     "classifier.weight": ("head_out_w", lambda c: (c.n_labels, c.n_embd)),
     "classifier.bias": ("head_out_b", lambda c: (c.n_labels,)),
 }
+# ModernBertPredictionHead: bias-free dense + gelu + bias-free LayerNorm
+# (classifier_bias = norm_bias = False, the only published configuration),
+# then a biased classifier; pooling per classifier_pooling (cls|mean) runs
+# BEFORE the head (ModernBertForSequenceClassification.forward).
+_MODERNBERT_HEAD_TENSORS = {
+    "head.dense.weight": ("head_dense_w", lambda c: (c.n_embd, c.n_embd)),
+    "head.norm.weight": ("head_norm_scale", lambda c: (c.n_embd,)),
+    "classifier.weight": ("head_out_w", lambda c: (c.n_labels, c.n_embd)),
+    "classifier.bias": ("head_out_b", lambda c: (c.n_labels,)),
+}
 _HEAD_TENSORS_BY_ARCH = {
     "bert": _BERT_HEAD_TENSORS,
     "roberta": _ROBERTA_HEAD_TENSORS,
     "mpnet": _ROBERTA_HEAD_TENSORS,
     "distilbert": _DISTILBERT_HEAD_TENSORS,
+    "modernbert": _MODERNBERT_HEAD_TENSORS,
 }
 
 

@@ -7,6 +7,7 @@ are (SURVEY.md §7): exact-math parity vs HF torch
 *ForSequenceClassification on identical random weights, and pair-framing
 parity vs the HF tokenizers truncation/template semantics.
 """
+import dataclasses
 import json
 
 import numpy as np
@@ -38,6 +39,17 @@ DISTIL_CLS_CFG = BertConfig(
     n_vocab=160, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
     n_token_types=0, arch="distilbert", n_labels=3,
     head_activation="relu", name="tiny-distil-cls",
+)
+# 4 layers cover the global/local alternation; the PredictionHead
+# (bias-free dense + gelu + bias-free LayerNorm) + biased classifier is the
+# gte-reranker-modernbert-base architecture
+MODERNBERT_CLS_CFG = BertConfig(
+    n_vocab=160, n_ctx=64, n_embd=64, n_layer=4, n_head=4, n_ff=128,
+    n_token_types=0, arch="modernbert", layer_norm_eps=1e-5,
+    rope_theta=160000.0, local_rope_theta=10000.0,
+    global_attn_every=3, local_window=8,
+    n_labels=1, head_activation="gelu", pooling="cls",
+    name="tiny-modernbert-rerank",
 )
 
 
@@ -252,6 +264,59 @@ def test_distilbert_seq_cls_hf_parity():
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("pooling", ["cls", "mean"])
+def test_modernbert_seq_cls_hf_parity(pooling):
+    """ModernBertForSequenceClassification (classifier_pooling cls|mean ->
+    PredictionHead norm(gelu(dense(x))) -> classifier) vs HF torch — the
+    gte-reranker-modernbert architecture.  type_ids are structurally unused
+    (no token-type table)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = dataclasses.replace(MODERNBERT_CLS_CFG, pooling=pooling)
+    sd = random_state_dict(cfg, seed=27)
+    hf_config = transformers.ModernBertConfig(
+        vocab_size=cfg.n_vocab, hidden_size=cfg.n_embd,
+        num_hidden_layers=cfg.n_layer, num_attention_heads=cfg.n_head,
+        intermediate_size=cfg.n_ff, max_position_embeddings=cfg.n_ctx,
+        global_attn_every_n_layers=cfg.global_attn_every,
+        local_attention=cfg.local_window,
+        global_rope_theta=cfg.rope_theta,
+        local_rope_theta=cfg.local_rope_theta,
+        norm_eps=cfg.layer_norm_eps,
+        num_labels=cfg.n_labels, classifier_pooling=pooling,
+        classifier_bias=False, classifier_activation="gelu",
+        classifier_dropout=0.0, attention_dropout=0.0, mlp_dropout=0.0,
+        embedding_dropout=0.0, reference_compile=False,
+        attn_implementation="sdpa", pad_token_id=0,
+    )
+    model = transformers.ModernBertForSequenceClassification(hf_config)
+    model.eval()
+    hf_sd = {
+        (k if k.startswith(("head.", "classifier.")) else "model." + k):
+            torch.from_numpy(v)
+        for k, v in sd.items()
+    }
+    missing, unexpected = model.load_state_dict(hf_sd, strict=False)
+    # our state dict covers the module tree exactly (layer 0 attn_norm is
+    # nn.Identity; inv_freq is a non-persistent buffer)
+    assert not missing and not unexpected, (missing, unexpected)
+
+    rng = np.random.default_rng(28)
+    ids, mask, types = _pair_batch(rng, cfg, 5, 20)
+    with torch.no_grad():
+        expected = model(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        ).logits.numpy()
+
+    params = build_params(source_from_arrays(sd), cfg)
+    got = np.asarray(
+        bert_score_batch(params, ids, mask, cfg, F32, type_ids=types)
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
 # --- conversion + engine ------------------------------------------------------
 
 def _build_reranker_dir(tmp_path, torch, transformers, n_labels=1):
@@ -397,3 +462,84 @@ def test_gguf_head_roundtrip():
             [[2, 10, 3, 20, 3]], [[0, 0, 0, 1, 1]]
         )
     np.testing.assert_allclose(got[0], direct[0], atol=2e-5, rtol=1e-4)
+
+
+def test_modernbert_reranker_conversion_end_to_end(tmp_path):
+    """A local ModernBertForSequenceClassification checkpoint dir through
+    convert_hf_dir -> Engine.score_pairs, vs torch logits on the engine's
+    own pair framing.  Checks the head kv (n_labels, gelu activation) and
+    the classifier_pooling -> pooling propagation."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    pytest.importorskip("tokenizers")
+
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.tokenizer.testvocab import build_bpe_tokenizer_json
+
+    tokenizer_json = build_bpe_tokenizer_json(600)
+    spec = json.loads(tokenizer_json)
+    ids = list(spec["model"]["vocab"].values()) + [
+        t["id"] for t in spec.get("added_tokens", [])
+    ]
+    n_vocab = max(ids) + 1
+
+    hf_config = transformers.ModernBertConfig(
+        vocab_size=n_vocab, hidden_size=64, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, global_attn_every_n_layers=3,
+        local_attention=16, global_rope_theta=160000.0,
+        local_rope_theta=10000.0, norm_eps=1e-5,
+        num_labels=1, classifier_pooling="mean",
+        classifier_bias=False, classifier_activation="gelu",
+        classifier_dropout=0.0, attention_dropout=0.0, mlp_dropout=0.0,
+        embedding_dropout=0.0, reference_compile=False,
+        attn_implementation="sdpa", pad_token_id=1,
+    )
+    torch.manual_seed(9)
+    model = transformers.ModernBertForSequenceClassification(hf_config)
+    model.eval()
+
+    src = tmp_path / "hf-modernbert-reranker"
+    src.mkdir()
+    cfg_json = json.loads(hf_config.to_json_string())
+    cfg_json["architectures"] = ["ModernBertForSequenceClassification"]
+    (src / "config.json").write_text(json.dumps(cfg_json))
+    torch.save(model.state_dict(), src / "pytorch_model.bin")
+    (src / "tokenizer.json").write_bytes(tokenizer_json)
+
+    out = tmp_path / "modernbert-reranker.gguf"
+    convert_hf_dir(src, out)
+    eng = Engine.from_gguf(str(out), opts=F32)
+    assert eng.config.arch == "modernbert"
+    assert eng.config.n_labels == 1
+    assert eng.config.head_activation == "gelu"
+    assert eng.config.pooling == "mean"  # classifier_pooling propagated
+
+    query = "where is the dog"
+    docs = ["the dog sat on the mat", "cats drink milk",
+            "a dog runs in the park"]
+    pairs = [(query, d) for d in docs]
+    scores = eng.score_pairs(pairs)
+    assert scores.shape == (3,)
+
+    # torch reference on the engine's own framing ([CLS] q [SEP] d [SEP];
+    # ModernBERT takes no token_type_ids)
+    tok_ids, _types = eng.tokenize_pairs(pairs)
+    s = max(len(t) for t in tok_ids)
+    np_ids = np.full((3, s), eng.special_ids.pad, np.int64)
+    np_mask = np.zeros((3, s), np.int64)
+    for i, fi in enumerate(tok_ids):
+        np_ids[i, : len(fi)] = fi
+        np_mask[i, : len(fi)] = 1
+    with torch.no_grad():
+        expected = model(
+            input_ids=torch.from_numpy(np_ids),
+            attention_mask=torch.from_numpy(np_mask),
+        ).logits.numpy()[:, 0]
+    np.testing.assert_allclose(scores, expected, atol=2e-4, rtol=1e-3)
+
+    ranked = eng.rerank(query, docs, top_n=2)
+    assert [r["index"] for r in ranked] == [
+        int(i) for i in np.argsort(-expected, kind="stable")[:2]
+    ]

@@ -1,7 +1,7 @@
 """Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base]\
+           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-reranker|tiny-modernbert-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
            [--ftype f32] [--seed 0]
 
 The roberta preset carries a trained byte-level BPE tokenizer; xlmr a trained
@@ -73,6 +73,16 @@ PRESETS = {
     "tiny-reranker": BertConfig(
         n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
         n_labels=1, name="tiny-reranker-test",
+    ),
+    # ModernBERT reranker (gte-reranker-modernbert shape): PredictionHead
+    # (bias-free dense + gelu + bias-free norm) + biased classifier
+    "tiny-modernbert-reranker": BertConfig(
+        n_vocab=600, n_ctx=128, n_embd=64, n_layer=4, n_head=4, n_ff=128,
+        n_token_types=0, arch="modernbert", layer_norm_eps=1e-5,
+        rope_theta=160000.0, local_rope_theta=10000.0,
+        global_attn_every=3, local_window=16,
+        n_labels=1, head_activation="gelu", pooling="cls",
+        name="tiny-modernbert-reranker-test",
     ),
     "minilm-l6": replace(MINILM_L6, n_vocab=1000, name="minilm-l6-synthetic"),
     "minilm-l12": replace(MINILM_L12, n_vocab=1000, name="minilm-l12-synthetic"),

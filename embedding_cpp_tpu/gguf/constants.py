@@ -161,6 +161,12 @@ class Keys:
     # *ForSequenceClassification checkpoints; 0 = embedding model, no head)
     N_LABELS = f"{ARCH}.classifier.n_labels"
     HEAD_ACTIVATION = f"{ARCH}.classifier.activation"
+    # sentence-transformers named prompt prefixes (our extension; prefix
+    # models — e5's "query: "/"passage: ", bge/gte instructions — silently
+    # degrade without them).  PROMPTS is a JSON object {name: prefix};
+    # DEFAULT_PROMPT names the prefix applied when the caller names none.
+    PROMPTS = f"{ARCH}.prompts"
+    DEFAULT_PROMPT = f"{ARCH}.default_prompt_name"
 
     # tokenizer
     TOKENIZER_MODEL = "tokenizer.ggml.model"

@@ -75,6 +75,8 @@ def write_bert_gguf(
     *,
     special_ids: dict | None = None,
     source_hf_repo: str = "",
+    prompts: dict[str, str] | None = None,
+    default_prompt_name: str = "",
 ) -> None:
     """Write a reference-compatible BERT GGUF file."""
     tok = json.loads(tokenizer_json)
@@ -134,6 +136,14 @@ def write_bert_gguf(
     if config.n_labels:
         w.add_uint32(Keys.N_LABELS, config.n_labels)
         w.add_string(Keys.HEAD_ACTIVATION, config.head_activation)
+    if prompts:
+        # named prompt prefixes (config_sentence_transformers.json); JSON
+        # object so arbitrary names/unicode survive the kv string type
+        w.add_string(
+            Keys.PROMPTS, json.dumps(prompts, ensure_ascii=False)
+        )
+        if default_prompt_name:
+            w.add_string(Keys.DEFAULT_PROMPT, default_prompt_name)
     if config.arch != "bert":
         # shape deltas of the non-bert families (config.py _ARCH_DEFAULTS);
         # written explicitly so the reader needs no arch-specific guessing
@@ -304,8 +314,9 @@ def load_hf_dir(model_dir: str | os.PathLike):
         config = dataclasses.replace(config, **replacements)
 
     overrides = _special_overrides(model_dir)
-    return config, state_dict, tokenizer_json, overrides, hf_config.get(
-        "_name_or_path", ""
+    return (
+        config, state_dict, tokenizer_json, overrides,
+        hf_config.get("_name_or_path", ""), _read_st_prompts(model_dir),
     )
 
 
@@ -318,7 +329,9 @@ def convert_hf_dir(
     (the reference's models/convert-to-gguf.py)."""
     if isinstance(ftype, str):
         ftype = FTYPE_NAMES[ftype]
-    config, state_dict, tokenizer_json, overrides, repo = load_hf_dir(model_dir)
+    config, state_dict, tokenizer_json, overrides, repo, prompts = (
+        load_hf_dir(model_dir)
+    )
     write_bert_gguf(
         out_path,
         config,
@@ -327,6 +340,8 @@ def convert_hf_dir(
         ftype,
         special_ids=overrides,
         source_hf_repo=repo,
+        prompts=prompts[0],
+        default_prompt_name=prompts[1],
     )
 
 
@@ -339,7 +354,7 @@ def convert_hf_dir_to_legacy(
     (the reference's models/convert-to-ggml.py; f32/f16 only)."""
     from ..gguf.legacy import write_legacy_bin
 
-    config, state_dict, tokenizer_json, _, _ = load_hf_dir(model_dir)
+    config, state_dict, tokenizer_json, _, _, _ = load_hf_dir(model_dir)
     write_legacy_bin(out_path, config, state_dict, tokenizer_json, ftype)
 
 
@@ -411,6 +426,32 @@ def _read_st_dense(model_dir: Path):
         ),
     }
     return int(cfg["out_features"]), activation, tensors
+
+
+def _read_st_prompts(model_dir: Path) -> tuple[dict[str, str], str]:
+    """Read named prompt prefixes from config_sentence_transformers.json.
+
+    Prefix models (e5's "query: "/"passage: ", bge/gte instruction
+    prompts) publish them there as {"prompts": {name: prefix},
+    "default_prompt_name": name|null}; encoding without the prefix
+    silently degrades retrieval quality, so the converter carries them
+    into the GGUF kv.  The reference ignores the file entirely (its
+    convert-to-gguf.py reads only config.json/tokenizer.json)."""
+    path = model_dir / "config_sentence_transformers.json"
+    if not path.is_file():
+        return {}, ""
+    with open(path) as f:
+        cfg = json.load(f)
+    raw = cfg.get("prompts") or {}
+    prompts = {
+        str(name): str(prefix)
+        for name, prefix in raw.items()
+        if isinstance(prefix, str) and prefix
+    }
+    default = cfg.get("default_prompt_name") or ""
+    if default and default not in prompts:
+        default = ""  # dangling name (or its prefix was empty) — drop it
+    return prompts, str(default)
 
 
 def _read_st_pooling(model_dir: Path) -> str | None:

@@ -66,6 +66,8 @@ class Engine:
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         packing: str = "auto",
         pack_seq: int | None = None,
+        prompts: dict[str, str] | None = None,
+        default_prompt_name: str = "",
     ):
         from ..utils import compile_cache
 
@@ -75,6 +77,16 @@ class Engine:
         self.config = config
         self.opts = opts or ComputeOptions()
         self.tokenizer = tokenizer
+        # named prompt prefixes (sentence-transformers semantics: e5-style
+        # "query: "/"passage: ", instruction prompts).  Resolved once per
+        # encode call (resolve_prompt); embed_tokens never re-applies them.
+        self.prompts = dict(prompts or {})
+        if default_prompt_name and default_prompt_name not in self.prompts:
+            raise ValueError(
+                f"default_prompt_name {default_prompt_name!r} is not in "
+                f"prompts {sorted(self.prompts)}"
+            )
+        self.default_prompt_name = default_prompt_name or ""
         self.special_ids = special_ids or SpecialIds(cls=101, sep=102, pad=0, unk=100)
         self.mesh = mesh
         self.seq_buckets = tuple(b for b in seq_buckets if b <= config.n_ctx) or (
@@ -163,6 +175,14 @@ class Engine:
                 load_tokenizer(blob, tokenizer_backend) if blob else None
             )
             special = SpecialIds.from_gguf_kv(r.kv)
+            prompts_kv = r.kv.get(Keys.PROMPTS)
+            if prompts_kv and "prompts" not in kw:
+                import json as _json
+
+                kw["prompts"] = _json.loads(prompts_kv)
+                kw["default_prompt_name"] = str(
+                    r.kv.get(Keys.DEFAULT_PROMPT, "")
+                )
         return cls(
             params, config, tokenizer, special, opts=opts, mesh=mesh, **kw
         )
@@ -711,8 +731,38 @@ class Engine:
             for i in order
         ]
 
+    def resolve_prompt(
+        self, prompt_name: str | None = None, prompt: str | None = None
+    ) -> str:
+        """Resolve the prefix string an encode call should prepend
+        (sentence-transformers prompt semantics; the reference has no
+        prompt concept — prefix models like e5 silently degrade through
+        it).  `prompt` is a literal prefix and wins; `prompt_name` picks a
+        named prefix from the model's prompts (converted out of
+        config_sentence_transformers.json); None falls back to the model's
+        default_prompt_name; "" explicitly disables the default."""
+        if prompt is not None:
+            if not isinstance(prompt, str):
+                raise ValueError("prompt must be a string")
+            return prompt
+        if prompt_name is None:
+            prompt_name = self.default_prompt_name
+        if prompt_name == "":
+            return ""
+        if not isinstance(prompt_name, str) or prompt_name not in self.prompts:
+            raise ValueError(
+                f"unknown prompt_name {prompt_name!r} "
+                f"(model prompts: {sorted(self.prompts)})"
+            )
+        return self.prompts[prompt_name]
+
     def encode(
-        self, texts: str | Sequence[str], *, dimensions: int | None = None
+        self,
+        texts: str | Sequence[str],
+        *,
+        dimensions: int | None = None,
+        prompt_name: str | None = None,
+        prompt: str | None = None,
     ) -> np.ndarray:
         """Texts -> [n, n_embd] L2-normalized f32 embeddings
         (the reference's bert_encode_batch, bert.h:54-62).
@@ -720,18 +770,63 @@ class Engine:
         dimensions: optional Matryoshka-style truncation — keep the first
         `dimensions` components and re-L2-normalize (OpenAI embeddings-API
         semantics; the reference has no equivalent, its wire is always the
-        full n_embd, bert.h:46)."""
-        return self.encode_with_counts(texts, dimensions=dimensions)[0]
+        full n_embd, bert.h:46).
+
+        prompt_name/prompt: named or literal prefix prepended to every
+        text before tokenization (resolve_prompt)."""
+        return self.encode_with_counts(
+            texts, dimensions=dimensions, prompt_name=prompt_name,
+            prompt=prompt,
+        )[0]
+
+    def query_prompt_prefix(self) -> str:
+        """The resolved prefix for search queries: prompt "query" when the
+        model declares one (sentence-transformers encode_query), else the
+        default prompt, else ""."""
+        return self.resolve_prompt(
+            "query" if "query" in self.prompts else None
+        )
+
+    def document_prompt_prefix(self) -> str:
+        """The resolved prefix for corpus documents: the first of
+        "document"/"passage" the model declares (sentence-transformers
+        encode_document), else the default prompt, else ""."""
+        return self.resolve_prompt(
+            next((n for n in ("document", "passage") if n in self.prompts),
+                 None)
+        )
+
+    def encode_queries(
+        self, texts: str | Sequence[str], **kw
+    ) -> np.ndarray:
+        """encode() with the model's query prefix (query_prompt_prefix)."""
+        return self.encode(texts, prompt=self.query_prompt_prefix(), **kw)
+
+    def encode_documents(
+        self, texts: str | Sequence[str], **kw
+    ) -> np.ndarray:
+        """encode() with the model's document/corpus prefix
+        (document_prompt_prefix)."""
+        return self.encode(texts, prompt=self.document_prompt_prefix(), **kw)
 
     def encode_with_counts(
-        self, texts: str | Sequence[str], *, dimensions: int | None = None
+        self,
+        texts: str | Sequence[str],
+        *,
+        dimensions: int | None = None,
+        prompt_name: str | None = None,
+        prompt: str | None = None,
     ) -> tuple[np.ndarray, list[int]]:
         """encode() plus the per-text framed token counts (CLS/SEP included)
         — consumers that report usage (the HTTP /v1/embeddings envelope) get
         the counts from the tokenization that fed the forward pass instead
-        of re-tokenizing."""
+        of re-tokenizing.  Prompt-prefix tokens count toward usage (they go
+        through the model)."""
         if isinstance(texts, str):
             texts = [texts]
+        prefix = self.resolve_prompt(prompt_name, prompt)
+        if prefix:
+            texts = [prefix + t for t in texts]
         ids = self.tokenize_batch(texts)
         out = self.embed_tokens(ids)
         if dimensions is not None:

@@ -10,16 +10,22 @@ the same device batches) as the TCP protocol.
                            "encoding_format": "float" (default) | "base64",
                            "dimensions": N (optional: truncate to the first
                            N components and re-L2-normalize, OpenAI
-                           Matryoshka semantics)}
+                           Matryoshka semantics),
+                           "prompt_name": name | "prompt": "prefix "
+                           (optional: sentence-transformers prompt prefix —
+                           named from the model's converted prompts, or a
+                           literal; absent = the model's default prompt)}
       -> {"object": "list", "data": [{"object": "embedding", "index": i,
           "embedding": [...]}], "model": ..., "usage": {...}}
     POST /v1/tokenize     {"input": "text" | ["texts"...]}
                           -> {"ids": [[...]], "tokens": [[...]]}
     POST /v1/index        {"input": ["texts"...]} -> {"total": N}
-                          (embed into the on-device vector index)
+                          (embed into the on-device vector index; applies
+                          the model's document/passage prompt if declared)
     POST /v1/search       {"input": ["queries"...], "k": 10}
       -> {"results": [[{"index": id, "score": s}, ...k], ...]}
-                          (top-k over the index; vectors never leave HBM)
+                          (top-k over the index; vectors never leave HBM;
+                          applies the model's query prompt if declared)
     POST /v1/rerank       {"query": "...", "documents": ["texts"...],
                            "top_n": N, "return_documents": false}
       -> {"results": [{"index": i, "relevance_score": s}, ...]}
@@ -414,8 +420,20 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     b, req_model = pick(payload)
                     req_batcher = b
                     dims = _parse_dimensions(payload, b.engine.n_embd)
+                    # prompt_name / prompt (sentence-transformers prompt
+                    # semantics; our extension over the OpenAI schema):
+                    # resolve per request, before micro-batch merging
                     try:
-                        vecs, counts = await b.encode_with_counts(texts)
+                        prefix = b.engine.resolve_prompt(
+                            payload.get("prompt_name"),
+                            payload.get("prompt"),
+                        )
+                    except ValueError as e:
+                        raise HttpError(400, str(e))
+                    try:
+                        vecs, counts = await b.encode_with_counts(
+                            texts, prefix
+                        )
                     except OverloadedError as e:
                         raise HttpError(429, str(e))
                     vecs = np.ascontiguousarray(vecs, np.float32)

@@ -196,8 +196,13 @@ class VectorIndex:
         Mesh/multi-host/int8 configurations fall back to the host path.
         """
         texts = list(texts)
+        # document prompt prefix (e5-style "passage: "); applied here so
+        # the device-ingest path below (which bypasses encode) gets it too
+        prefix = self.engine.document_prompt_prefix()
+        if prefix:
+            texts = [prefix + t for t in texts]
         if not self._device_ingest_ok():
-            return self.add_vectors(self.engine.encode(texts))
+            return self.add_vectors(self.engine.encode(texts, prompt=""))
         token_lists = self.engine.tokenize_batch(texts)
         with self._lock:
             base = self._n
@@ -317,7 +322,7 @@ class VectorIndex:
         clustered into few of approx_max_k's bins).  Exact mode with
         k <= len(index) always fills all k.
         """
-        qvecs = self.engine.encode(list(queries))
+        qvecs = self.engine.encode_queries(list(queries))
         return self.search_vectors(qvecs, k)
 
     def search_vectors(self, qvecs: np.ndarray, k: int = 10):

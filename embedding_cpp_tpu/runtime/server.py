@@ -205,15 +205,26 @@ class ContinuousBatcher:
             except asyncio.CancelledError:
                 pass
 
-    async def encode(self, texts: list[str]) -> np.ndarray:
-        return (await self.encode_with_counts(texts))[0]
+    async def encode(
+        self, texts: list[str], prefix: str | None = None
+    ) -> np.ndarray:
+        return (await self.encode_with_counts(texts, prefix))[0]
 
     async def encode_with_counts(
-        self, texts: list[str]
+        self, texts: list[str], prefix: str | None = None
     ) -> tuple[np.ndarray, list[int]]:
         """encode() plus per-text token counts from the same tokenization
         pass (lets /v1/embeddings fill its usage field without
-        re-tokenizing the request)."""
+        re-tokenizing the request).
+
+        prefix: resolved prompt prefix for THIS request (None = the
+        engine's default prompt).  Applied here, before micro-batching,
+        because one merged batch can carry requests with different
+        prompts; _run_batch then encodes with the prompt disabled."""
+        if prefix is None:
+            prefix = self.engine.resolve_prompt()
+        if prefix:
+            texts = [prefix + t for t in texts]
         self.try_reserve(len(texts))
         try:
             fut = asyncio.get_running_loop().create_future()
@@ -264,7 +275,11 @@ class ContinuousBatcher:
             flat.extend(t)
         try:
             vecs, counts = await asyncio.get_running_loop().run_in_executor(
-                None, self.engine.encode_with_counts, flat
+                None,
+                # prompts were applied per-request at enqueue time
+                # (encode_with_counts prefix) — prompt="" stops the
+                # engine's default from being applied a second time
+                lambda: self.engine.encode_with_counts(flat, prompt=""),
             )
             off = 0
             for t, f in jobs:

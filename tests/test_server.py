@@ -155,10 +155,10 @@ def test_error_frame_isolates_request():
     engine.warmup()
     real_encode = engine.encode_with_counts
 
-    def flaky_encode(texts):
+    def flaky_encode(texts, **kw):
         if any("BOOM" in t for t in texts):
             raise ValueError("injected failure")
-        return real_encode(texts)
+        return real_encode(texts, **kw)
 
     # the batcher drives encode_with_counts (the usage-count path)
     engine.encode_with_counts = flaky_encode

@@ -269,10 +269,30 @@ class Engine:
             self.tokenizer.encode(text), self.special_ids, self.config.n_ctx
         )
 
-    def tokenize_batch(self, texts: Sequence[str]) -> list[list[int]]:
+    def tokenize_batch(
+        self, texts: Sequence[str], *, truncate: bool = True
+    ) -> list[list[int]]:
+        """Tokenize + frame each text ([CLS]..[SEP], capped at n_ctx).
+
+        truncate=True (default) silently cuts over-length inputs — the
+        reference's behavior (bert.cpp:756-780).  truncate=False raises
+        instead, naming the first offending text, for callers that must
+        not embed a silently-amputated document."""
         if self.tokenizer is None:
             raise RuntimeError("engine has no tokenizer (model without blob kv)")
         raw = self.tokenizer.encode_batch(list(texts))
+        if not truncate:
+            from ..tokenizer.base import _strip_pad
+
+            cap = self.config.n_ctx
+            for i, ids in enumerate(raw):
+                need = len(_strip_pad(ids, self.special_ids.pad)) + 2
+                if need > cap:
+                    raise ValueError(
+                        f"input {i} is {need} tokens framed, over the "
+                        f"model's {cap}-token context (set truncate=true "
+                        f"to cut, or split the text)"
+                    )
         return [
             frame_ids(ids, self.special_ids, self.config.n_ctx) for ids in raw
         ]
@@ -763,6 +783,7 @@ class Engine:
         dimensions: int | None = None,
         prompt_name: str | None = None,
         prompt: str | None = None,
+        truncate: bool = True,
     ) -> np.ndarray:
         """Texts -> [n, n_embd] L2-normalized f32 embeddings
         (the reference's bert_encode_batch, bert.h:54-62).
@@ -773,10 +794,13 @@ class Engine:
         full n_embd, bert.h:46).
 
         prompt_name/prompt: named or literal prefix prepended to every
-        text before tokenization (resolve_prompt)."""
+        text before tokenization (resolve_prompt).
+
+        truncate=False: raise instead of silently cutting inputs past the
+        model context (tokenize_batch)."""
         return self.encode_with_counts(
             texts, dimensions=dimensions, prompt_name=prompt_name,
-            prompt=prompt,
+            prompt=prompt, truncate=truncate,
         )[0]
 
     def query_prompt_prefix(self) -> str:
@@ -816,6 +840,7 @@ class Engine:
         dimensions: int | None = None,
         prompt_name: str | None = None,
         prompt: str | None = None,
+        truncate: bool = True,
     ) -> tuple[np.ndarray, list[int]]:
         """encode() plus the per-text framed token counts (CLS/SEP included)
         — consumers that report usage (the HTTP /v1/embeddings envelope) get
@@ -827,7 +852,7 @@ class Engine:
         prefix = self.resolve_prompt(prompt_name, prompt)
         if prefix:
             texts = [prefix + t for t in texts]
-        ids = self.tokenize_batch(texts)
+        ids = self.tokenize_batch(texts, truncate=truncate)
         out = self.embed_tokens(ids)
         if dimensions is not None:
             out = truncate_normalize(out, dimensions)

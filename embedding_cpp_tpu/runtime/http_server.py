@@ -14,7 +14,9 @@ the same device batches) as the TCP protocol.
                            "prompt_name": name | "prompt": "prefix "
                            (optional: sentence-transformers prompt prefix —
                            named from the model's converted prompts, or a
-                           literal; absent = the model's default prompt)}
+                           literal; absent = the model's default prompt),
+                           "truncate": true (default; false = 400 on inputs
+                           past the model context instead of silent cut)}
       -> {"object": "list", "data": [{"object": "embedding", "index": i,
           "embedding": [...]}], "model": ..., "usage": {...}}
     POST /v1/tokenize     {"input": "text" | ["texts"...]}
@@ -430,10 +432,16 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         )
                     except ValueError as e:
                         raise HttpError(400, str(e))
+                    truncate = payload.get("truncate", True)
+                    if not isinstance(truncate, bool):
+                        raise HttpError(400, "truncate must be a boolean")
                     try:
                         vecs, counts = await b.encode_with_counts(
-                            texts, prefix
+                            texts, prefix, truncate
                         )
+                    except ValueError as e:
+                        # truncate=false over-length rejection
+                        raise HttpError(400, str(e))
                     except OverloadedError as e:
                         raise HttpError(429, str(e))
                     vecs = np.ascontiguousarray(vecs, np.float32)

@@ -211,7 +211,8 @@ class ContinuousBatcher:
         return (await self.encode_with_counts(texts, prefix))[0]
 
     async def encode_with_counts(
-        self, texts: list[str], prefix: str | None = None
+        self, texts: list[str], prefix: str | None = None,
+        truncate: bool = True,
     ) -> tuple[np.ndarray, list[int]]:
         """encode() plus per-text token counts from the same tokenization
         pass (lets /v1/embeddings fill its usage field without
@@ -225,6 +226,14 @@ class ContinuousBatcher:
             prefix = self.engine.resolve_prompt()
         if prefix:
             texts = [prefix + t for t in texts]
+        if not truncate:
+            # strict mode: surface over-length inputs as THIS request's
+            # error before the texts merge into a shared device batch
+            # (double tokenization, but only on explicit truncate=false)
+            await asyncio.get_running_loop().run_in_executor(
+                None,
+                lambda: self.engine.tokenize_batch(texts, truncate=False),
+            )
         self.try_reserve(len(texts))
         try:
             fut = asyncio.get_running_loop().create_future()

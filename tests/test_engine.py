@@ -361,3 +361,26 @@ def test_long_context_engine_no_truncation():
     mask[0, : len(long_ids)] = 1
     direct = np.asarray(bert_embed_batch(params, ids, mask, cfg, opts))
     np.testing.assert_allclose(out[0], direct[0], atol=2e-5, rtol=1e-4)
+
+
+def test_truncate_false_rejects_overlength():
+    """encode(truncate=False) raises on inputs past the model context
+    instead of silently cutting them (the reference always cuts,
+    bert.cpp:756-780); truncate=True (default) keeps that behavior."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.models.config import BertConfig
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=16, n_embd=32, n_layer=1, n_head=2, n_ff=64,
+        name="tiny-ctx16",
+    )
+    eng = Engine.synthetic(cfg, opts=ComputeOptions(dtype="float32"))
+    long_text = " ".join(["tokenizers"] * 40)
+    # default: silently truncated, embeds fine
+    out = eng.encode([long_text, "short"])
+    assert out.shape[0] == 2
+    with pytest.raises(ValueError, match="over the model's 16-token"):
+        eng.encode([long_text], truncate=False)
+    # in-budget texts pass strict mode and match the default path
+    strict = eng.encode(["short text"], truncate=False)
+    np.testing.assert_allclose(strict, eng.encode(["short text"]), atol=1e-6)

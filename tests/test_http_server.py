@@ -517,3 +517,22 @@ def test_http_rerank_end_to_end():
     finally:
         loop.call_soon_threadsafe(holder["task"].cancel)
         t.join(timeout=5)
+
+
+def test_http_truncate_false(http_server):
+    """truncate:false turns silent over-length cutting into a 400; the
+    default (true) keeps the reference's cut-at-context behavior."""
+    port, _, _ = http_server
+    long_text = " ".join(["tokenizers"] * 200)  # >> n_ctx=64
+    status, body = _post(port, "/v1/embeddings", {"input": long_text})
+    assert status == 200  # default truncates
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": long_text, "truncate": False})
+    assert status == 400
+    assert "over the model's" in body["error"]["message"]
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": "short", "truncate": False})
+    assert status == 200
+    status, body = _post(port, "/v1/embeddings",
+                         {"input": "x", "truncate": "no"})
+    assert status == 400 and "boolean" in body["error"]["message"]

@@ -553,7 +553,12 @@ def bert_score_batch(
     h = x[..., 0, :].astype(jnp.float32)  # CLS hidden state
     head = params["head"]
     y = h @ head["dense_w"] + head["dense_b"]
-    y = jnp.tanh(y) if config.head_activation == "tanh" else jax.nn.relu(y)
+    if config.head_activation == "tanh":
+        y = jnp.tanh(y)
+    elif config.head_activation == "relu":
+        y = jax.nn.relu(y)
+    else:  # "gelu" — config validation admits exactly these three
+        y = jax.nn.gelu(y, approximate=False)
     return y @ head["out_w"] + head["out_b"]
 
 

@@ -30,7 +30,7 @@ _ARCH_DEFAULTS = {
     "bert": (2, 0, 1e-12, 0),
     "roberta": (1, 2, 1e-5, 0),
     "distilbert": (0, 0, 1e-12, 0),
-    "mpnet": (0, 2, 1e-12, 32),
+    "mpnet": (0, 2, 1e-5, 32),  # HF MPNetConfig layer_norm_eps default
     # ModernBERT (HF ModernBertModel): no token types, no absolute position
     # table (RoPE), pre-norm blocks, GeGLU MLP, bias-free linears/norms,
     # alternating global/local attention (see the rope_/attn window fields)

@@ -105,8 +105,14 @@ class Engine:
         # per-dispatch token budget: at the default buckets the historical
         # cap (2048 rows x 512 tokens) is unchanged; longer sequence buckets
         # scale the row cap down so one dispatch's activation memory stays
-        # bounded (8192-token rows batch 128 at a time, not 2048)
-        self.max_batch_tokens = DEFAULT_BATCH_BUCKETS[-1] * 512
+        # bounded (8192-token rows batch 128 at a time, not 2048).  Derived
+        # from the CALLER's top bucket so explicit larger buckets are
+        # actually reachable (at s=512 the row cap equals that bucket);
+        # floored at the default so small-bucket configs keep the
+        # historical budget.
+        self.max_batch_tokens = max(
+            max(batch_buckets), DEFAULT_BATCH_BUCKETS[-1]
+        ) * 512
         self.batch_buckets = tuple(batch_buckets)
         if mesh is not None:
             from ..parallel.mesh import DP_AXIS
@@ -180,8 +186,10 @@ class Engine:
                 import json as _json
 
                 kw["prompts"] = _json.loads(prompts_kv)
-                kw["default_prompt_name"] = str(
-                    r.kv.get(Keys.DEFAULT_PROMPT, "")
+                # a caller-passed default still wins over the file's
+                kw.setdefault(
+                    "default_prompt_name",
+                    str(r.kv.get(Keys.DEFAULT_PROMPT, "")),
                 )
         return cls(
             params, config, tokenizer, special, opts=opts, mesh=mesh, **kw

@@ -265,9 +265,18 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     b, _name = pick(payload)
                     req_batcher = b
                     loop = asyncio.get_running_loop()
-                    id_lists = await loop.run_in_executor(
-                        None, b.engine.tokenize_batch, texts
-                    )
+                    # tokenization runs on an executor thread — same
+                    # --max-pending admission control as index/search/rerank
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        id_lists = await loop.run_in_executor(
+                            None, b.engine.tokenize_batch, texts
+                        )
+                    finally:
+                        b.release(len(texts))
                     out = _json_response(200, {
                         "object": "tokenize",
                         "ids": [[int(i) for i in ids_] for ids_ in id_lists],
@@ -390,6 +399,15 @@ async def handle_http(reader, writer, batcher, model_name: str,
                             400,
                             f"model {req_model!r} has no classification head "
                             "(embedding model); /v1/rerank needs a reranker",
+                        )
+                    if b.engine.config.n_labels != 1:
+                        # a model-configuration error, not a server failure
+                        # (Engine.rerank raises RuntimeError for it)
+                        raise HttpError(
+                            400,
+                            f"model {req_model!r} has a "
+                            f"{b.engine.config.n_labels}-label head; "
+                            "/v1/rerank needs a single-label reranker",
                         )
                     loop = asyncio.get_running_loop()
                     # scoring runs on an executor thread, bypassing

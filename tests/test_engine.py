@@ -384,3 +384,19 @@ def test_truncate_false_rejects_overlength():
     # in-budget texts pass strict mode and match the default path
     strict = eng.encode(["short text"], truncate=False)
     np.testing.assert_allclose(strict, eng.encode(["short text"]), atol=1e-6)
+
+
+def test_custom_batch_buckets_raise_token_budget():
+    """An explicitly larger top batch bucket must actually be dispatchable:
+    the per-dispatch token budget derives from the caller's buckets
+    (floored at the default 2048x512)."""
+    from embedding_cpp_tpu.models.config import BertConfig
+    from embedding_cpp_tpu.models.params import random_params
+
+    cfg = BertConfig(n_vocab=64, n_ctx=64, n_embd=32, n_layer=1, n_head=2,
+                     n_ff=64)
+    params = random_params(cfg, seed=1)
+    eng = Engine(params, cfg, batch_buckets=(256, 4096))
+    assert eng.max_batch_tokens == 4096 * 512
+    small = Engine(params, cfg, batch_buckets=(8,))
+    assert small.max_batch_tokens == 2048 * 512  # historical floor

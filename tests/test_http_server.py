@@ -536,3 +536,51 @@ def test_http_truncate_false(http_server):
     status, body = _post(port, "/v1/embeddings",
                          {"input": "x", "truncate": "no"})
     assert status == 400 and "boolean" in body["error"]["message"]
+
+
+def test_http_rerank_multilabel_400():
+    """A multi-label classification model is a 400 on /v1/rerank (model
+    misconfiguration), not a 500 server failure."""
+    pytest.importorskip("tokenizers")
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, n_labels=3, name="tiny-3label")
+    engine = Engine.synthetic(cfg, opts=ComputeOptions(dtype="float32"))
+    tcp_port, http_port = _free_port(), _free_port()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(
+            serve(engine, "127.0.0.1", tcp_port, window_ms=1.0,
+                  http_port=http_port)
+        )
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", http_port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    try:
+        status, body = _post(http_port, "/v1/rerank", {
+            "query": "q", "documents": ["a", "b"],
+        })
+        assert status == 400
+        assert "3-label" in body["error"]["message"]
+    finally:
+        loop.call_soon_threadsafe(holder["task"].cancel)
+        t.join(timeout=5)

@@ -280,3 +280,26 @@ def test_http_index_search_prompts(http_server, engine):
     dv = engine.encode([f"p: {d}" for d in docs], prompt="")
     want = int(np.argmax(dv @ qv[0]))
     assert body["results"][0][0]["index"] == want
+
+
+def test_from_gguf_caller_default_prompt_wins(tmp_path):
+    """A caller-passed default_prompt_name overrides the file's."""
+    from embedding_cpp_tpu.models import random_state_dict
+    from embedding_cpp_tpu.models.convert import write_bert_gguf
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    cfg = BertConfig(n_vocab=256, n_ctx=32, n_embd=32, n_layer=1, n_head=2,
+                     n_ff=64, name="tiny-prompted")
+    path = tmp_path / "p.gguf"
+    write_bert_gguf(
+        path, cfg, random_state_dict(cfg, seed=1), build_tokenizer_json(256),
+        prompts={"query": "q: ", "passage": "p: "},
+        default_prompt_name="query",
+    )
+    eng = Engine.from_gguf(str(path), opts=F32)
+    assert eng.default_prompt_name == "query"  # file's default
+    eng2 = Engine.from_gguf(str(path), opts=F32,
+                            default_prompt_name="passage")
+    assert eng2.default_prompt_name == "passage"  # caller wins
+    eng3 = Engine.from_gguf(str(path), opts=F32, default_prompt_name="")
+    assert eng3.resolve_prompt() == ""  # caller disables the default

@@ -1,7 +1,7 @@
 """Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-reranker|tiny-modernbert-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
+           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-albert|tiny-electra|tiny-reranker|tiny-modernbert-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
            [--ftype f32] [--seed 0]
 
 The roberta preset carries a trained byte-level BPE tokenizer; xlmr a trained
@@ -67,6 +67,18 @@ PRESETS = {
         rope_theta=160000.0, local_rope_theta=10000.0,
         global_attn_every=3, local_window=16,
         name="tiny-modernbert-test",
+    ),
+    # ALBERT: one shared layer applied n_layer times, factorized embedding
+    # table (emb_width 32 -> n_embd 64), gelu_new (tanh) activation;
+    # SentencePiece in real checkpoints but WordPiece is fine synthetically
+    "tiny-albert": BertConfig(
+        n_vocab=1000, n_ctx=128, n_embd=64, n_layer=3, n_head=4, n_ff=128,
+        arch="albert", gelu="tanh", n_embd_emb=32, name="tiny-albert-test",
+    ),
+    # ELECTRA-small-style discriminator: BERT graph + factorized embeddings
+    "tiny-electra": BertConfig(
+        n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        arch="electra", n_embd_emb=32, name="tiny-electra-test",
     ),
     # cross-encoder reranker: BERT encoder + classification head (drives
     # the rerank CLI / /v1/rerank route hermetically)

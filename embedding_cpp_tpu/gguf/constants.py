@@ -161,6 +161,12 @@ class Keys:
     # *ForSequenceClassification checkpoints; 0 = embedding model, no head)
     N_LABELS = f"{ARCH}.classifier.n_labels"
     HEAD_ACTIVATION = f"{ARCH}.classifier.activation"
+    # factorized embedding-table width (ALBERT's embedding_size, ELECTRA's
+    # embeddings_project input width; 0/absent = tables are
+    # embedding_length wide, no projection) and the encoder GELU flavor
+    # ("erf" exact — HF default, "tanh" approximation — ALBERT's gelu_new)
+    EMB_WIDTH = f"{ARCH}.embedding_width"
+    GELU = f"{ARCH}.gelu_variant"
     # sentence-transformers named prompt prefixes (our extension; prefix
     # models — e5's "query: "/"passage: ", bge/gte instructions — silently
     # degrade without them).  PROMPTS is a JSON object {name: prefix};

@@ -314,9 +314,37 @@ def embed_tokens(
         x = x + emb["position"][off : off + s].astype(jnp.float32)
     else:
         x = x + emb["position"][positions + off].astype(jnp.float32)
-    return layer_norm(
+    x = layer_norm(
         x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps, opts.jdtype
     )
+    if "emb_proj_w" in emb:
+        # factorized embeddings (ALBERT's embedding_hidden_mapping_in,
+        # ELECTRA's embeddings_project): project the LayerNormed emb_width
+        # embeddings up to n_embd before layer 0
+        x = linear(x, emb["emb_proj_w"], emb["emb_proj_b"])
+    return x
+
+
+def _run_layers(x: Array, layers, config: BertConfig, apply_layer) -> Array:
+    """Run the layer stack as one `lax.scan`.
+
+    Normally the scan's xs are the layer-stacked params (one compiled layer
+    body regardless of depth).  With config.shared_layers (ALBERT) the stack
+    has leading dim 1 — ONE parameter set serves every layer (HF
+    AlbertTransformer reapplies albert_layer_groups[0]) — so the scan closes
+    over the single layer's params and iterates `length=n_layer` with no xs,
+    keeping the weights un-duplicated in HBM."""
+    if config.shared_layers:
+        lp = jax.tree_util.tree_map(lambda a: a[0], layers)
+        x, _ = jax.lax.scan(
+            lambda h, _: (apply_layer(h, lp), None), x, None,
+            length=config.n_layer,
+        )
+    else:
+        x, _ = jax.lax.scan(
+            lambda h, lp: (apply_layer(h, lp), None), x, layers
+        )
+    return x
 
 
 def pool_normalize(
@@ -499,11 +527,11 @@ def bert_embed_batch(
     rel = params.get("rel_attn_bias")
     pos_bias = None if rel is None else _rel_attn_bias(rel, ids.shape[-1])
 
-    def body(x, lp):
-        return encoder_layer(x, lp, mask_bias, config, opts,
-                             pos_bias=pos_bias), None
-
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = _run_layers(
+        x, params["layers"], config,
+        lambda h, lp: encoder_layer(h, lp, mask_bias, config, opts,
+                                    pos_bias=pos_bias),
+    )
     pooled = pool_normalize(x, mask, config.pooling, normalize=False)
     out = _output_head(pooled, params, config)
     if gather_idx is not None:
@@ -545,11 +573,11 @@ def bert_score_batch(
     rel = params.get("rel_attn_bias")
     pos_bias = None if rel is None else _rel_attn_bias(rel, ids.shape[-1])
 
-    def body(x, lp):
-        return encoder_layer(x, lp, mask_bias, config, opts,
-                             pos_bias=pos_bias), None
-
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = _run_layers(
+        x, params["layers"], config,
+        lambda h, lp: encoder_layer(h, lp, mask_bias, config, opts,
+                                    pos_bias=pos_bias),
+    )
     h = x[..., 0, :].astype(jnp.float32)  # CLS hidden state
     head = params["head"]
     y = h @ head["dense_w"] + head["dense_b"]
@@ -600,11 +628,12 @@ def bert_embed_packed(
     rel = params.get("rel_attn_bias")
     pos_bias = None if rel is None else _rel_attn_bias_packed(rel, pos)
 
-    def body(x, lp):
-        return encoder_layer(x, lp, mask_bias, config, opts, seg=seg,
-                             max_seg_len=max_seg_len, pos_bias=pos_bias), None
-
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = _run_layers(
+        x, params["layers"], config,
+        lambda h, lp: encoder_layer(h, lp, mask_bias, config, opts, seg=seg,
+                                    max_seg_len=max_seg_len,
+                                    pos_bias=pos_bias),
+    )
     pooled = pool_normalize_packed(
         x, seg, pos, n_seg, config.pooling, normalize=False
     )

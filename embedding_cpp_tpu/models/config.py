@@ -35,6 +35,17 @@ _ARCH_DEFAULTS = {
     # table (RoPE), pre-norm blocks, GeGLU MLP, bias-free linears/norms,
     # alternating global/local attention (see the rope_/attn window fields)
     "modernbert": (0, 0, 1e-5, 0),
+    # ALBERT (HF AlbertModel): BERT block math with ONE shared layer applied
+    # n_layer times (num_hidden_groups = inner_group_num = 1 in every
+    # published checkpoint), a narrow factorized embedding table
+    # (n_embd_emb, e.g. 128) projected to n_embd by
+    # encoder.embedding_hidden_mapping_in, and gelu_new (= tanh) activation
+    "albert": (2, 0, 1e-12, 0),
+    # ELECTRA (HF ElectraModel): the BertModel graph and tensor names
+    # verbatim (no pooler); small/base discriminators factorize the
+    # embedding table like ALBERT (embeddings_project present only when
+    # embedding_size != hidden_size)
+    "electra": (2, 0, 1e-12, 0),
 }
 
 
@@ -88,11 +99,31 @@ class BertConfig:
     # head_activation selects the act, the tensor names live in schema.py.
     n_labels: int = 0
     head_activation: str = "tanh"  # "tanh" | "relu"
+    # factorized embedding-table width (ALBERT's embedding_size 128,
+    # ELECTRA-small's 128; 0 = the table is n_embd wide, no projection).
+    # When set, the word/position/token-type tables and the embedding
+    # LayerNorm live at this width and an emb_proj linear maps the
+    # normalized embeddings to n_embd before layer 0 (HF
+    # AlbertModel.encoder.embedding_hidden_mapping_in /
+    # ElectraModel.embeddings_project).
+    n_embd_emb: int = 0
     name: str = ""
 
     @property
     def head_dim(self) -> int:
         return self.n_embd // self.n_head
+
+    @property
+    def emb_width(self) -> int:
+        """Width of the embedding tables (n_embd unless factorized)."""
+        return self.n_embd_emb or self.n_embd
+
+    @property
+    def shared_layers(self) -> bool:
+        """True when one parameter set serves every layer (ALBERT): the
+        layer stack has leading dim 1 and the scan reuses it n_layer
+        times."""
+        return self.arch == "albert"
 
     def __post_init__(self):
         if self.n_embd % self.n_head:
@@ -111,6 +142,11 @@ class BertConfig:
                 f"unsupported head_activation {self.head_activation!r} "
                 "(supported: tanh, relu, gelu)"
             )
+        if self.n_embd_emb and self.arch not in ("albert", "electra"):
+            raise ValueError(
+                "factorized embeddings (n_embd_emb) are only supported for "
+                f"albert/electra, not {self.arch!r}"
+            )
 
     @classmethod
     def arch_defaults(cls, arch: str, **kw) -> "BertConfig":
@@ -121,6 +157,9 @@ class BertConfig:
         kw.setdefault("pos_offset", off)
         kw.setdefault("layer_norm_eps", eps)
         kw.setdefault("rel_attn_buckets", buckets)
+        if arch == "albert":
+            # every published ALBERT uses hidden_act="gelu_new" (tanh approx)
+            kw.setdefault("gelu", "tanh")
         return cls(arch=arch, **kw)
 
     @classmethod
@@ -139,6 +178,10 @@ class BertConfig:
             n_ff=int(kv[Keys.FEED_FORWARD_LENGTH]),
             layer_norm_eps=float(kv.get(Keys.LAYER_NORM_EPS, eps_default)),
             n_token_types=int(kv.get(Keys.TOKEN_TYPE_COUNT, ntt_default)),
+            gelu=str(
+                kv.get(Keys.GELU, "tanh" if arch == "albert" else "erf")
+            ),
+            n_embd_emb=int(kv.get(Keys.EMB_WIDTH, 0)),
             pooling=str(kv.get(Keys.POOLING_TYPE, "mean")),
             normalize=bool(kv.get(Keys.NORMALIZE, True)),
             dense_out=int(kv.get(Keys.DENSE_OUT, 0)),
@@ -156,9 +199,8 @@ class BertConfig:
             head_activation=str(
                 kv.get(
                     Keys.HEAD_ACTIVATION,
-                    {"distilbert": "relu", "modernbert": "gelu"}.get(
-                        arch, "tanh"
-                    ),
+                    {"distilbert": "relu", "modernbert": "gelu",
+                     "electra": "gelu"}.get(arch, "tanh"),
                 )
             ),
             name=str(kv.get("general.name", "")),
@@ -243,6 +285,53 @@ class BertConfig:
                 ),
                 global_attn_every=int(hf.get("global_attn_every_n_layers", 3)),
                 local_window=int(hf.get("local_attention", 128)),
+                name=name,
+            )
+        if model_type == "albert":
+            # every published checkpoint keeps ONE layer group with ONE
+            # inner layer (albert-base/large/xlarge/xxlarge v1+v2,
+            # paraphrase-albert-*); the shared-layer scan assumes it
+            if (int(hf.get("num_hidden_groups", 1)) != 1
+                    or int(hf.get("inner_group_num", 1)) != 1):
+                raise ValueError(
+                    "albert with num_hidden_groups/inner_group_num != 1 is "
+                    "not supported (no published checkpoint uses them)"
+                )
+            act = str(hf.get("hidden_act", "gelu_new"))
+            if act not in ("gelu_new", "gelu"):
+                raise ValueError(f"unsupported albert hidden_act {act!r}")
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                n_ctx=int(hf.get("max_position_embeddings", 512)),
+                n_embd=int(hf["hidden_size"]),
+                n_layer=int(hf["num_hidden_layers"]),
+                n_head=int(hf["num_attention_heads"]),
+                n_ff=int(hf["intermediate_size"]),
+                layer_norm_eps=float(hf.get("layer_norm_eps", 1e-12)),
+                n_token_types=int(hf.get("type_vocab_size", 2)),
+                arch="albert",
+                # "gelu_new" is torch's tanh approximation
+                gelu="tanh" if act == "gelu_new" else "erf",
+                n_embd_emb=int(hf.get("embedding_size", 128)),
+                name=name,
+            )
+        if model_type == "electra":
+            # ElectraModel is the BertModel graph (no pooler); small/base
+            # discriminators factorize the embedding table
+            # (embeddings_project present only when embedding_size !=
+            # hidden_size)
+            emb_size = int(hf.get("embedding_size", hf["hidden_size"]))
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                n_ctx=int(hf.get("max_position_embeddings", 512)),
+                n_embd=int(hf["hidden_size"]),
+                n_layer=int(hf["num_hidden_layers"]),
+                n_head=int(hf["num_attention_heads"]),
+                n_ff=int(hf["intermediate_size"]),
+                layer_norm_eps=float(hf.get("layer_norm_eps", 1e-12)),
+                n_token_types=int(hf.get("type_vocab_size", 2)),
+                arch="electra",
+                n_embd_emb=0 if emb_size == int(hf["hidden_size"]) else emb_size,
                 name=name,
             )
         if model_type in ("roberta", "xlm-roberta", "camembert"):

@@ -151,6 +151,12 @@ def write_bert_gguf(
         w.add_uint32(Keys.POSITION_OFFSET, config.pos_offset)
         if config.rel_attn_buckets:
             w.add_uint32(Keys.REL_ATTN_BUCKETS, config.rel_attn_buckets)
+        if config.n_embd_emb:
+            # factorized embedding width (ALBERT / ELECTRA-small)
+            w.add_uint32(Keys.EMB_WIDTH, config.n_embd_emb)
+        if config.gelu != ("tanh" if config.arch == "albert" else "erf"):
+            # only written when it differs from the reader's arch default
+            w.add_string(Keys.GELU, config.gelu)
         if config.arch == "modernbert":
             # rotary/local-attention geometry (config.py field docs)
             w.add_float32(Keys.ROPE_FREQ_BASE, config.rope_theta)
@@ -233,6 +239,10 @@ def load_hf_dir(model_dir: str | os.PathLike):
         "XLMRobertaModel", "XLMRobertaForMaskedLM", "CamembertModel",
         "MPNetModel", "MPNetForMaskedLM",
         "ModernBertModel", "ModernBertForMaskedLM",
+        "AlbertModel", "AlbertForMaskedLM",
+        # ELECTRA discriminators (ElectraModel == the BertModel graph, no
+        # pooler); ForPreTraining carries the discriminator head we drop
+        "ElectraModel", "ElectraForPreTraining", "ElectraForMaskedLM",
         # cross-encoder rerankers (sequence-classification heads): the
         # reference converts none of these; we map them to the same encoder
         # schema plus head tensors (schema.head_tensors)
@@ -243,6 +253,8 @@ def load_hf_dir(model_dir: str | os.PathLike):
         "CamembertForSequenceClassification",
         "MPNetForSequenceClassification",
         "ModernBertForSequenceClassification",
+        "AlbertForSequenceClassification",
+        "ElectraForSequenceClassification",
     )
     if archs and archs[0] not in _SUPPORTED:
         raise ValueError(f"unsupported architecture: {archs[0]}")
@@ -266,9 +278,15 @@ def load_hf_dir(model_dir: str | os.PathLike):
     # their task heads (cls.* for BERT, lm_head.* / vocab_* for the others);
     # "model." is ModernBERT's base prefix (ModernBertForSequenceClassification
     # holds the encoder as self.model)
-    _PREFIXES = ("bert.", "distilbert.", "roberta.", "mpnet.", "model.")
+    _PREFIXES = ("bert.", "distilbert.", "roberta.", "mpnet.", "model.",
+                 "albert.", "electra.")
+    # task heads: BERT's cls.*, RoBERTa/MPNet's lm_head.*, DistilBERT's
+    # vocab_*, ALBERT's predictions.*, ELECTRA's discriminator/generator
+    # prediction heads
     _HEADS = ("cls.", "lm_head.", "vocab_transform.", "vocab_layer_norm.",
-              "vocab_projector.", "decoder.")
+              "vocab_projector.", "decoder.", "predictions.",
+              "discriminator_predictions.", "generator_predictions.",
+              "generator_lm_head.")
     is_seq_cls = bool(archs) and archs[0].endswith("ForSequenceClassification")
     if not is_seq_cls:
         # ModernBertForMaskedLM reuses the "head." prediction-head names the
@@ -296,8 +314,8 @@ def load_hf_dir(model_dir: str | os.PathLike):
         )
         replacements = dict(
             n_labels=int(np.asarray(state_dict[out_name]).shape[0]),
-            head_activation={"distilbert": "relu",
-                             "modernbert": "gelu"}.get(config.arch, "tanh"),
+            head_activation={"distilbert": "relu", "modernbert": "gelu",
+                             "electra": "gelu"}.get(config.arch, "tanh"),
         )
         if config.arch == "modernbert":
             # the schema assumes the only published head configuration

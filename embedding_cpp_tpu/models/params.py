@@ -163,11 +163,19 @@ def build_params(
         elif key in ("token_type", "position"):
             # tiny tables: always dense (dequantizing at load is exact)
             emb[key] = source.dense(name, shape, dense_dtype)
-        else:  # layernorm scale/bias stay f32
+        elif key == "emb_proj_w":
+            # factorized-embedding projection (ALBERT/ELECTRA): a small
+            # [emb_width, n_embd] dense matmul on the hot path — dense at
+            # load (dequantizing is exact), contraction-major
+            emb[key] = source.dense_t(name, shape, dense_dtype)
+        else:  # layernorm scale/bias + emb_proj bias stay f32
             emb[key] = source.dense(name, shape, f32)
 
     per_layer: dict[str, list] = {}
-    for i in range(config.n_layer):
+    # ALBERT shares one parameter set across layers: the stack has leading
+    # dim 1 and the forward's scan reuses it n_layer times (models/bert.py)
+    n_stack = 1 if config.shared_layers else config.n_layer
+    for i in range(n_stack):
         for name, (key, shape_fn) in schema.layer_tensor_names(i, config).items():
             shape = shape_fn(config)
             if key == "wqkv":
@@ -309,7 +317,7 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
             sd[name] = np.zeros(shape, np.float32)
         else:
             sd[name] = init(shape)
-    for i in range(config.n_layer):
+    for i in range(1 if config.shared_layers else config.n_layer):
         for name, (key, shape_fn) in schema.layer_tensor_names(i, config).items():
             shape = shape_fn(config)
             if key.startswith("ln_") and key.endswith("scale"):

@@ -30,22 +30,42 @@ from __future__ import annotations
 
 # --- BERT (and RoBERTa: identical names, shapes parameterized) --------------
 
-# Embedding-level tensors: GGUF name -> (param key, expected shape fn)
+# Embedding-level tensors: GGUF name -> (param key, expected shape fn).
+# Shapes use c.emb_width (= n_embd unless factorized): ALBERT and
+# ELECTRA-small share these names but store narrow tables (HF
+# embedding_size, e.g. 128) projected up by an emb_proj linear (below).
 EMBEDDING_TENSORS = {
-    "embeddings.word_embeddings.weight": ("word", lambda c: (c.n_vocab, c.n_embd)),
+    "embeddings.word_embeddings.weight": ("word", lambda c: (c.n_vocab, c.emb_width)),
     "embeddings.token_type_embeddings.weight": (
         "token_type",
-        lambda c: (c.n_token_types, c.n_embd),
+        lambda c: (c.n_token_types, c.emb_width),
     ),
     "embeddings.position_embeddings.weight": (
         "position",
         # RoBERTa position tables carry pos_offset (= padding_idx + 1 = 2)
         # unused leading rows (HF create_position_ids_from_input_ids numbers
         # real tokens from padding_idx + 1)
-        lambda c: (c.n_ctx + c.pos_offset, c.n_embd),
+        lambda c: (c.n_ctx + c.pos_offset, c.emb_width),
     ),
-    "embeddings.LayerNorm.weight": ("ln_scale", lambda c: (c.n_embd,)),
-    "embeddings.LayerNorm.bias": ("ln_bias", lambda c: (c.n_embd,)),
+    "embeddings.LayerNorm.weight": ("ln_scale", lambda c: (c.emb_width,)),
+    "embeddings.LayerNorm.bias": ("ln_bias", lambda c: (c.emb_width,)),
+}
+
+# Factorized-embedding projection: maps the LayerNormed emb_width embeddings
+# to n_embd before layer 0.  ALBERT always has it (HF AlbertTransformer.
+# embedding_hidden_mapping_in); ELECTRA only when embedding_size !=
+# hidden_size (HF ElectraModel.embeddings_project).
+_ALBERT_EMB_PROJ_TENSORS = {
+    "encoder.embedding_hidden_mapping_in.weight": (
+        "emb_proj_w", lambda c: (c.n_embd, c.emb_width),
+    ),
+    "encoder.embedding_hidden_mapping_in.bias": (
+        "emb_proj_b", lambda c: (c.n_embd,),
+    ),
+}
+_ELECTRA_EMB_PROJ_TENSORS = {
+    "embeddings_project.weight": ("emb_proj_w", lambda c: (c.n_embd, c.emb_width)),
+    "embeddings_project.bias": ("emb_proj_b", lambda c: (c.n_embd,)),
 }
 
 # Per-layer tensors: name template -> (param key, expected shape fn).
@@ -67,6 +87,35 @@ LAYER_TENSORS = {
     "encoder.layer.{i}.output.dense.bias": ("ffn_down_b", lambda c: (c.n_embd,)),
     "encoder.layer.{i}.output.LayerNorm.weight": ("ln_out_scale", lambda c: (c.n_embd,)),
     "encoder.layer.{i}.output.LayerNorm.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
+}
+
+# --- ALBERT ------------------------------------------------------------------
+# HF AlbertModel: ONE parameter set serves every layer (every published
+# checkpoint has num_hidden_groups = inner_group_num = 1, validated at
+# config construction), so the names carry no layer index and the param
+# stack has leading dim 1 (the scan reuses it n_layer times).  Block math
+# is exactly BERT's post-norm graph: attention + LayerNorm(x + attn), then
+# ffn/ffn_output + full_layer_layer_norm(attn_out + ffn_out)
+# (HF AlbertLayer.forward).  Embeddings use the BERT names at emb_width
+# plus the encoder.embedding_hidden_mapping_in projection above.
+_ALBERT_PREFIX = "encoder.albert_layer_groups.0.albert_layers.0."
+ALBERT_LAYER_TENSORS = {
+    _ALBERT_PREFIX + "attention.query.weight": ("q_w", lambda c: (c.n_embd, c.n_embd)),
+    _ALBERT_PREFIX + "attention.query.bias": ("q_b", lambda c: (c.n_embd,)),
+    _ALBERT_PREFIX + "attention.key.weight": ("k_w", lambda c: (c.n_embd, c.n_embd)),
+    _ALBERT_PREFIX + "attention.key.bias": ("k_b", lambda c: (c.n_embd,)),
+    _ALBERT_PREFIX + "attention.value.weight": ("v_w", lambda c: (c.n_embd, c.n_embd)),
+    _ALBERT_PREFIX + "attention.value.bias": ("v_b", lambda c: (c.n_embd,)),
+    _ALBERT_PREFIX + "attention.dense.weight": ("o_w", lambda c: (c.n_embd, c.n_embd)),
+    _ALBERT_PREFIX + "attention.dense.bias": ("o_b", lambda c: (c.n_embd,)),
+    _ALBERT_PREFIX + "attention.LayerNorm.weight": ("ln_att_scale", lambda c: (c.n_embd,)),
+    _ALBERT_PREFIX + "attention.LayerNorm.bias": ("ln_att_bias", lambda c: (c.n_embd,)),
+    _ALBERT_PREFIX + "ffn.weight": ("ffn_up_w", lambda c: (c.n_ff, c.n_embd)),
+    _ALBERT_PREFIX + "ffn.bias": ("ffn_up_b", lambda c: (c.n_ff,)),
+    _ALBERT_PREFIX + "ffn_output.weight": ("ffn_down_w", lambda c: (c.n_embd, c.n_ff)),
+    _ALBERT_PREFIX + "ffn_output.bias": ("ffn_down_b", lambda c: (c.n_embd,)),
+    _ALBERT_PREFIX + "full_layer_layer_norm.weight": ("ln_out_scale", lambda c: (c.n_embd,)),
+    _ALBERT_PREFIX + "full_layer_layer_norm.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
 }
 
 # --- DistilBERT --------------------------------------------------------------
@@ -223,12 +272,26 @@ _MODERNBERT_HEAD_TENSORS = {
     "classifier.weight": ("head_out_w", lambda c: (c.n_labels, c.n_embd)),
     "classifier.bias": ("head_out_b", lambda c: (c.n_labels,)),
 }
+# AlbertModel's pooler is a bare nn.Linear (pooler.weight, not
+# pooler.dense.weight) + tanh; AlbertForSequenceClassification then applies
+# classifier on the pooled output.
+_ALBERT_HEAD_TENSORS = {
+    "pooler.weight": ("head_dense_w", lambda c: (c.n_embd, c.n_embd)),
+    "pooler.bias": ("head_dense_b", lambda c: (c.n_embd,)),
+    "classifier.weight": ("head_out_w", lambda c: (c.n_labels, c.n_embd)),
+    "classifier.bias": ("head_out_b", lambda c: (c.n_labels,)),
+}
 _HEAD_TENSORS_BY_ARCH = {
     "bert": _BERT_HEAD_TENSORS,
     "roberta": _ROBERTA_HEAD_TENSORS,
     "mpnet": _ROBERTA_HEAD_TENSORS,
     "distilbert": _DISTILBERT_HEAD_TENSORS,
     "modernbert": _MODERNBERT_HEAD_TENSORS,
+    "albert": _ALBERT_HEAD_TENSORS,
+    # ElectraClassificationHead: dense + gelu + out_proj on the first token
+    # (same state-dict names as RobertaClassificationHead; activation
+    # differs — config.head_activation carries "gelu")
+    "electra": _ROBERTA_HEAD_TENSORS,
 }
 
 
@@ -247,6 +310,10 @@ SKIPPED_TENSORS = frozenset(
         "embeddings.token_type_ids",
         "pooler.dense.weight",
         "pooler.dense.bias",
+        # ALBERT's pooler is a bare linear (pooler.weight); embedding
+        # models drop it like BERT's pooler.dense
+        "pooler.weight",
+        "pooler.bias",
     }
 )
 
@@ -255,25 +322,33 @@ SKIPPED_TENSORS = frozenset(
 # (bert.cpp:1430-1436). Note this includes the embedding tables.
 QUANTIZABLE_KEYS = frozenset(
     {"word", "token_type", "position", "q_w", "k_w", "v_w", "o_w",
-     "ffn_up_w", "ffn_down_w", "wqkv", "wi"}
+     "ffn_up_w", "ffn_down_w", "wqkv", "wi", "emb_proj_w"}
 )
 
 
 def embedding_tensors(config) -> dict:
-    """Embedding-level tensor map for the config's architecture.  RoBERTa
-    reuses the BERT names; DistilBERT and MPNet have no token-type table."""
+    """Embedding-level tensor map for the config's architecture.  RoBERTa,
+    ALBERT and ELECTRA reuse the BERT names (the latter two at emb_width,
+    plus their projection linear); DistilBERT and MPNet have no token-type
+    table."""
     if config.arch == "distilbert":
         return DISTILBERT_EMBEDDING_TENSORS
     if config.arch == "mpnet":
         return MPNET_EMBEDDING_TENSORS
     if config.arch == "modernbert":
         return MODERNBERT_EMBEDDING_TENSORS
+    base = EMBEDDING_TENSORS
     if config.n_token_types == 0:
         # defensive: a bert-schema config without token types drops the row
-        return {
-            k: v for k, v in EMBEDDING_TENSORS.items() if v[0] != "token_type"
-        }
-    return EMBEDDING_TENSORS
+        base = {k: v for k, v in base.items() if v[0] != "token_type"}
+    if getattr(config, "n_embd_emb", 0):
+        base = dict(base)
+        base.update(
+            _ALBERT_EMB_PROJ_TENSORS
+            if config.arch == "albert"
+            else _ELECTRA_EMB_PROJ_TENSORS
+        )
+    return base
 
 
 def _layer_templates(config) -> dict:
@@ -283,6 +358,8 @@ def _layer_templates(config) -> dict:
         return MPNET_LAYER_TENSORS
     if config.arch == "modernbert":
         return MODERNBERT_LAYER_TENSORS
+    if config.arch == "albert":
+        return ALBERT_LAYER_TENSORS
     return LAYER_TENSORS
 
 
@@ -312,6 +389,8 @@ def all_tensor_names(n_layer: int, config=None) -> list[str]:
         if config is None
         else list(embedding_tensors(config))
     )
+    if config is not None and getattr(config, "shared_layers", False):
+        n_layer = 1  # ALBERT: one parameter set serves every layer
     for i in range(n_layer):
         names.extend(layer_tensor_names(i, config))
     if config is not None:

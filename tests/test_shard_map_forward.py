@@ -182,3 +182,31 @@ def test_manual_packed_matches_single(eight_devices):
         for g in range(len(row)):
             np.testing.assert_allclose(got[r, g], expected[r, g],
                                        atol=2e-5, rtol=1e-4)
+
+
+def test_manual_albert_shared_layer_tp(eight_devices):
+    """Manual-TP shard_map over ALBERT: the single shared layer's
+    column/row-parallel shards feed the xs=None scan inside the body; the
+    emb_proj linear stays replicated."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.shard_map_forward import (
+        shard_params_and_make_forward_manual,
+    )
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=64, n_embd=128, n_layer=3, n_head=4, n_ff=256,
+        arch="albert", gelu="tanh", n_embd_emb=32, name="shardmap-albert",
+    )
+    params = random_params(cfg, GGUFFileType.MOSTLY_Q4_0, seed=5)
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, cfg.n_vocab, size=(8, 16)).astype(np.int32)
+    mask = np.ones((8, 16), np.int32)
+    mask[:, 12:] = 0
+    expected = np.asarray(bert_embed_batch(params, ids, mask, cfg, OPTS))
+
+    mesh = make_mesh(dp=2, tp=4, devices=eight_devices)
+    sharded, fwd = shard_params_and_make_forward_manual(
+        params, cfg, OPTS, mesh
+    )
+    got = np.asarray(fwd(sharded, ids, mask))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)

@@ -193,3 +193,27 @@ def test_mesh_forward_mpnet_matches_single(eight_devices):
     sharded, fwd = shard_params_and_make_forward(params, cfg, OPTS, mesh)
     got = np.asarray(fwd(sharded, ids, mask))
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_mesh_forward_albert_matches_single(eight_devices):
+    """GSPMD partitioning of the ALBERT shared-layer scan (stack dim 1,
+    xs=None scan closed over the tp-sharded single layer) and the
+    replicated factorized-embedding projection."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.parallel.sharding import (
+        shard_params_and_make_forward,
+    )
+
+    cfg = BertConfig(
+        n_vocab=256, n_ctx=64, n_embd=128, n_layer=3, n_head=4, n_ff=256,
+        arch="albert", gelu="tanh", n_embd_emb=32, name="shard-albert",
+    )
+    params = random_params(cfg, seed=4)
+    assert params["layers"]["q_w"].shape[0] == 1
+    ids, mask = _data()
+    expected = np.asarray(bert_embed_batch(params, ids, mask, cfg, OPTS))
+
+    mesh = make_mesh(dp=2, tp=4, devices=eight_devices)
+    sharded, fwd = shard_params_and_make_forward(params, cfg, OPTS, mesh)
+    got = np.asarray(fwd(sharded, ids, mask))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)

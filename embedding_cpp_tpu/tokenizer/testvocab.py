@@ -104,6 +104,48 @@ def build_unigram_tokenizer_json(n_vocab: int = 600) -> bytes:
     return tok.to_str().encode("utf-8")
 
 
+def build_albert_tokenizer_json(n_vocab: int = 600) -> bytes:
+    """Serialize an ALBERT-style Unigram pipeline: the normalizer chain the
+    HF AlbertConverter emits for keep_accents=False, do_lower_case=True
+    checkpoints (Replace quotes, NFKD, StripAccents, Lowercase, collapse
+    multi-space Regex) over Metaspace + Unigram, specials in ALBERT's order
+    ([CLS]/[SEP] framing with <pad>/<unk>)."""
+    from tokenizers import (
+        Regex, Tokenizer, decoders, models, normalizers, pre_tokenizers,
+        trainers,
+    )
+
+    tok = Tokenizer(models.Unigram())
+    tok.normalizer = normalizers.Sequence(
+        [
+            normalizers.Replace("``", '"'),
+            normalizers.Replace("''", '"'),
+            normalizers.NFKD(),
+            normalizers.StripAccents(),
+            normalizers.Lowercase(),
+            normalizers.Replace(Regex(" {2,}"), " "),
+        ]
+    )
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+    tok.decoder = decoders.Metaspace(replacement="▁")
+    trainer = trainers.UnigramTrainer(
+        vocab_size=n_vocab,
+        special_tokens=["<pad>", "<unk>", "[CLS]", "[SEP]"],
+        unk_token="<unk>",
+        show_progress=False,
+    )
+    corpus = [
+        " ".join(_COMMON_WORDS),
+        "It's the quick brown fox; don't they'll we've I'm you're 123 42.",
+        "Café déjà vu — naïve résumé!",
+        "ﬁne ﬂour ½ cup №5 Ⅻ ℕ ｆｕｌｌｗｉｄｔｈ",
+        "Ein schneller brauner Fuchs springt über den faulen Hund.",
+        "Le renard brun rapide saute par-dessus le chien paresseux.",
+    ]
+    tok.train_from_iterator(corpus, trainer)
+    return tok.to_str().encode("utf-8")
+
+
 def build_tokenizer_json(n_vocab: int = 1000, lowercase: bool = True) -> bytes:
     """Serialize a real HF tokenizers WordPiece pipeline to tokenizer.json."""
     from tokenizers import (

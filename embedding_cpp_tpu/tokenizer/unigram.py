@@ -151,6 +151,14 @@ def _parse_normalizer(norm):
             steps.append(lambda s, form=t: unicodedata.normalize(form, s))
         elif t == "Lowercase":
             steps.append(str.lower)
+        elif t == "StripAccents":
+            # HF StripAccents removes nonspacing marks (category Mn) — the
+            # ALBERT/XLNet converter pairs it with a preceding NFKD
+            steps.append(
+                lambda s: "".join(
+                    c for c in s if unicodedata.category(c) != "Mn"
+                )
+            )
         elif t == "Replace":
             pat = k.get("pattern") or {}
             content = k.get("content", "")

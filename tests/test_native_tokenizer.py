@@ -339,8 +339,10 @@ def test_unigram_loader_prefers_native(native_unigram):
 
 
 def test_unigram_unsupported_shapes_fall_back():
-    """NFx normalizers / Regex Replace / multi-char Metaspace replacement
-    reject natively (load_tokenizer then falls through to hf/python)."""
+    """Composing NFC/NFKC normalizers / general Regex Replace / multi-char
+    Metaspace replacement reject natively (load_tokenizer then falls
+    through to hf/python).  NFD/NFKD/StripAccents and the converters'
+    " {2,}" Regex are handled natively — test_unigram_albert_chain."""
     lib = ROOT / "native" / "build" / "libtpuembed_tokenizer.so"
     if not lib.exists():
         pytest.skip("native lib not built")
@@ -423,3 +425,69 @@ def test_unigram_hostile_blobs_rejected_cleanly():
     t = NativeTokenizer(spec(normalizer={"type": "Precompiled",
                                          "precompiled_charsmap": blob}))
     t.encode("hello world a")
+
+
+# --- ALBERT-style normalizer chain (NFKD / StripAccents / collapse) ----------
+
+ALBERT_CHAIN_TEXTS = [
+    "Café déjà vu",
+    "``quoted''  twice",
+    "ﬁne ﬂour ½ cup №5",
+    "NAÏVE   Résumé — teST",
+    "ｆｕｌｌ ｗｉｄｔｈ",
+    "ạ́ unordered marks ẹ́",
+    "hello   world",
+    "½Ⅻ№ ㎒ ㎦ ㍍ ¼",
+    "Ω Å ẛ ǅungla Ǆ ǈ",
+    "ậ ằ ẳ precomposed",
+    "  leading  and  trailing  ",
+]
+
+
+@pytest.fixture(scope="module")
+def native_albert(native_tok):
+    """Native Unigram on an ALBERT-style json: the full AlbertConverter
+    normalizer chain (Replace quotes, NFKD, StripAccents, Lowercase,
+    collapse-space Regex) must load NATIVELY, not fall back."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.tokenizer.native import NativeTokenizer
+    from embedding_cpp_tpu.tokenizer.testvocab import (
+        build_albert_tokenizer_json,
+    )
+
+    blob = build_albert_tokenizer_json(400)
+    return NativeTokenizer(blob), blob
+
+
+def test_unigram_albert_chain(native_albert):
+    from tokenizers import Tokenizer
+
+    nat, blob = native_albert
+    hf = Tokenizer.from_str(blob.decode())
+    for text in ALBERT_CHAIN_TEXTS:
+        want = hf.encode(text, add_special_tokens=False).ids
+        assert nat.encode(text) == want, repr(text)
+
+
+def test_unigram_albert_chain_fuzz(native_albert):
+    """Random accent/ligature/combining-mark-heavy strings through the
+    NFKD + StripAccents + Lowercase + collapse chain match HF exactly
+    (exercises the canonical-ordering pass across concatenated
+    decompositions)."""
+    import random
+
+    from tokenizers import Tokenizer
+
+    nat, blob = native_albert
+    hf = Tokenizer.from_str(blob.decode())
+    rng = random.Random(13)
+    alphabet = (
+        "abcdeABCDE 012.,!?'\"- éüßñàÉÎÕÜ▁ ﬁﬂ½№Ⅻ㎒¼ΩÅ"
+        "̣́̈̄ｆｕｌｌ"
+    )
+    for _ in range(300):
+        text = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 50))
+        )
+        want = hf.encode(text, add_special_tokens=False).ids
+        assert nat.encode(text) == want, repr(text)

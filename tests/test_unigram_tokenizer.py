@@ -357,3 +357,41 @@ def test_prepend_scheme_first_added_token_sections():
         want = t.encode(text, add_special_tokens=False).ids
         for eng in engines:
             assert eng.encode(text) == want, (type(eng).__name__, repr(text))
+
+
+def test_albert_normalizer_chain_vs_hf():
+    """The AlbertConverter normalizer chain (Replace quotes, NFKD,
+    StripAccents, Lowercase, collapse-space Regex) through the pure-Python
+    engine matches HF exactly — StripAccents (drop Mn) was the missing
+    step; the rest compose from existing normalizers."""
+    pytest.importorskip("tokenizers")
+    import random
+
+    from tokenizers import Tokenizer
+
+    from embedding_cpp_tpu.tokenizer.testvocab import (
+        build_albert_tokenizer_json,
+    )
+
+    blob = build_albert_tokenizer_json(400)
+    hf = Tokenizer.from_str(blob.decode())
+    ours = UnigramTokenizer(blob)
+    texts = [
+        "Café déjà vu", "``quoted''  twice", "ﬁne ﬂour ½ cup №5",
+        "NAÏVE   Résumé — teST", "ｆｕｌｌ ｗｉｄｔｈ",
+        "ạ́ unordered marks", "½Ⅻ№ ㎒ ㎦ ㍍ ¼", "Ω Å ẛ",
+        "ậ ằ ẳ precomposed", "  leading  and  trailing  ",
+    ]
+    for t in texts:
+        assert ours.encode(t) == hf.encode(t, add_special_tokens=False).ids, (
+            repr(t)
+        )
+    rng = random.Random(17)
+    alphabet = (
+        "abcdeABCDE 012.,!?'\"- éüßñàÉÎÕÜ▁ ﬁﬂ½№Ⅻ㎒¼ΩẠ̊́̈"
+    )
+    for _ in range(200):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 50)))
+        assert ours.encode(t) == hf.encode(t, add_special_tokens=False).ids, (
+            repr(t)
+        )

@@ -68,6 +68,14 @@ PRESETS = {
         global_attn_every=3, local_window=16,
         name="tiny-modernbert-test",
     ),
+    # T5 encoder (gtr/sentence-t5 shape at tiny scale): RMSNorm pre-norm
+    # blocks, unscaled attention + shared relative bias, relu FFN,
+    # SentencePiece-Unigram tokenizer, no CLS framing
+    "tiny-t5": BertConfig(
+        n_vocab=600, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        n_token_types=0, arch="t5", layer_norm_eps=1e-6, rel_attn_buckets=32,
+        n_head_dim=16, ffn_act="relu", name="tiny-t5-test",
+    ),
     # ALBERT: one shared layer applied n_layer times, factorized embedding
     # table (emb_width 32 -> n_embd 64), gelu_new (tanh) activation;
     # SentencePiece in real checkpoints but WordPiece is fine synthetically
@@ -110,7 +118,7 @@ def make_test_model(
     out_path: str, preset: str = "tiny", ftype: str = "f32", seed: int = 0
 ) -> None:
     config = PRESETS[preset]
-    if preset == "tiny-xlmr":
+    if preset == "tiny-xlmr" or config.arch == "t5":
         # Unigram training may converge below the requested vocab size —
         # size the model to the trained piece list
         import json

@@ -167,6 +167,12 @@ class Keys:
     # ("erf" exact — HF default, "tanh" approximation — ALBERT's gelu_new)
     EMB_WIDTH = f"{ARCH}.embedding_width"
     GELU = f"{ARCH}.gelu_variant"
+    # T5 encoder geometry (our extension): far-field bucketing cap, d_kv
+    # per-head width (key_length follows llama.cpp's name), FFN recipe
+    REL_ATTN_MAX_DIST = f"{ARCH}.attention.relative_max_distance"
+    HEAD_DIM = f"{ARCH}.attention.key_length"
+    FFN_ACT = f"{ARCH}.ffn_activation"
+    FFN_GATED = f"{ARCH}.ffn_gated"
     # sentence-transformers named prompt prefixes (our extension; prefix
     # models — e5's "query: "/"passage: ", bge/gte instructions — silently
     # degrade without them).  PROMPTS is a JSON object {name: prefix};

@@ -124,7 +124,7 @@ def t5_relative_bucket(rel, num_buckets: int = 32, max_distance: int = 128,
     return ret + xp.where(n < max_exact, n.astype(xp.int32), val_if_large)
 
 
-def _rel_attn_bias(table: Array, s: int) -> Array:
+def _rel_attn_bias(table: Array, s: int, max_distance: int = 128) -> Array:
     """MPNet shared position bias for a plain padded batch: [H, S, S] f32.
 
     HF computes the bias from absolute arange positions regardless of
@@ -134,7 +134,8 @@ def _rel_attn_bias(table: Array, s: int) -> Array:
     into the compiled graph as a numpy constant."""
     pos = np.arange(s)
     bucket = t5_relative_bucket(
-        pos[None, :] - pos[:, None], int(table.shape[0]), xp=np
+        pos[None, :] - pos[:, None], int(table.shape[0]),
+        max_distance=max_distance, xp=np,
     )
     # [S, S] gather -> [S, S, H] -> [H, S, S]
     return jnp.transpose(
@@ -142,7 +143,8 @@ def _rel_attn_bias(table: Array, s: int) -> Array:
     )
 
 
-def _rel_attn_bias_packed(table: Array, pos: Array) -> Array:
+def _rel_attn_bias_packed(table: Array, pos: Array,
+                          max_distance: int = 128) -> Array:
     """Per-row position bias for sequence-packed batches: [B, H, S, S].
 
     Within a segment the per-segment positions (restarting at 0) give the
@@ -150,7 +152,8 @@ def _rel_attn_bias_packed(table: Array, pos: Array) -> Array:
     outputs equal the unpacked per-sentence results; cross-segment pairs get
     an arbitrary bucket but are masked block-diagonal by segment."""
     rel = pos[:, None, :] - pos[:, :, None]  # [B, Sq, Sk] = k - q
-    bucket = t5_relative_bucket(rel, int(table.shape[0]), xp=jnp)
+    bucket = t5_relative_bucket(rel, int(table.shape[0]),
+                                max_distance=max_distance, xp=jnp)
     return jnp.transpose(table.astype(jnp.float32)[bucket], (0, 3, 1, 2))
 
 
@@ -519,6 +522,14 @@ def bert_embed_batch(
         return modernbert_embed_batch(
             params, ids, mask, config, opts, gather_idx=gather_idx
         )
+    if config.arch == "t5":
+        # pre-norm RMSNorm / unscaled attention / shared relative bias
+        # (models/t5.py — sentence-t5 / GTR retrievers)
+        from .t5 import t5_embed_batch
+
+        return t5_embed_batch(
+            params, ids, mask, config, opts, gather_idx=gather_idx
+        )
     opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts)
     mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
@@ -565,6 +576,10 @@ def bert_score_batch(
         from .modernbert import modernbert_score_batch
 
         return modernbert_score_batch(params, ids, mask, config, opts)
+    if config.arch == "t5":
+        # monoT5-style rerankers are seq2seq (decoder logits), not
+        # sequence-classification heads — out of scope for the encoder
+        raise ValueError("t5 encoders have no classification head")
     if "head" not in params:
         raise ValueError("model has no classification head (n_labels == 0)")
     opts = resolve_impls(opts)
@@ -619,6 +634,13 @@ def bert_embed_packed(
         from .modernbert import modernbert_embed_packed
 
         return modernbert_embed_packed(
+            params, ids, seg, pos, config, opts, n_seg=n_seg,
+            gather_idx=gather_idx, max_seg_len=max_seg_len,
+        )
+    if config.arch == "t5":
+        from .t5 import t5_embed_packed
+
+        return t5_embed_packed(
             params, ids, seg, pos, config, opts, n_seg=n_seg,
             gather_idx=gather_idx, max_seg_len=max_seg_len,
         )

@@ -46,6 +46,12 @@ _ARCH_DEFAULTS = {
     # embedding table like ALBERT (embeddings_project present only when
     # embedding_size != hidden_size)
     "electra": (2, 0, 1e-12, 0),
+    # T5 encoder stack (HF T5EncoderModel — sentence-t5 / GTR dense
+    # retrievers): pre-norm blocks with RMSNorm (no bias, no mean
+    # subtraction, eps 1e-6), UNSCALED attention (no 1/sqrt(d) — folded
+    # into init), a T5-bucketed relative attention bias table on block 0
+    # shared by every layer, no absolute position table, bias-free linears
+    "t5": (0, 0, 1e-6, 32),
 }
 
 
@@ -79,6 +85,18 @@ class BertConfig:
     # One [buckets, n_head] table shared by every layer, added to the
     # scaled attention scores (HF MPNetSelfAttention.forward).
     rel_attn_buckets: int = 0
+    # far-field cap of the relative-position bucketing (HF
+    # relative_attention_max_distance; 128 in every published T5/MPNet)
+    rel_attn_max_dist: int = 128
+    # per-head attention width when it differs from n_embd // n_head (T5's
+    # d_kv: the q/k/v projections map d_model -> n_head * n_head_dim, e.g.
+    # t5-3b/xl: 1024 -> 32*128 = 4096).  0 = n_embd // n_head.
+    n_head_dim: int = 0
+    # FFN recipe override (T5): activation "relu" | "gelu_tanh" (v1.1's
+    # gelu_new) and gating (wi_0 * act / wi_1 product — gated-gelu).
+    # "" = the family default (GELU per `gelu` for the BERT families).
+    ffn_act: str = ""
+    ffn_gated: bool = False
     # ModernBERT rotary/local-attention geometry (0.0/0 = unused by the
     # other families).  HF ModernBertAttention.__init__: layer i is GLOBAL
     # when i % global_attn_every == 0 (RoPE base rope_theta = config.
@@ -111,7 +129,12 @@ class BertConfig:
 
     @property
     def head_dim(self) -> int:
-        return self.n_embd // self.n_head
+        return self.n_head_dim or self.n_embd // self.n_head
+
+    @property
+    def attn_inner(self) -> int:
+        """Width of the q/k/v projections (n_embd unless d_kv differs)."""
+        return self.n_head * self.head_dim
 
     @property
     def emb_width(self) -> int:
@@ -126,7 +149,7 @@ class BertConfig:
         return self.arch == "albert"
 
     def __post_init__(self):
-        if self.n_embd % self.n_head:
+        if not self.n_head_dim and self.n_embd % self.n_head:
             raise ValueError(
                 f"n_embd {self.n_embd} not divisible by n_head {self.n_head}"
             )
@@ -191,6 +214,10 @@ class BertConfig:
             rel_attn_buckets=int(
                 kv.get(Keys.REL_ATTN_BUCKETS, buckets_default)
             ),
+            rel_attn_max_dist=int(kv.get(Keys.REL_ATTN_MAX_DIST, 128)),
+            n_head_dim=int(kv.get(Keys.HEAD_DIM, 0)),
+            ffn_act=str(kv.get(Keys.FFN_ACT, "relu" if arch == "t5" else "")),
+            ffn_gated=bool(kv.get(Keys.FFN_GATED, False)),
             rope_theta=float(kv.get(Keys.ROPE_FREQ_BASE, 0.0)),
             local_rope_theta=float(kv.get(Keys.ROPE_FREQ_BASE_LOCAL, 0.0)),
             global_attn_every=int(kv.get(Keys.GLOBAL_ATTN_EVERY, 0)),
@@ -285,6 +312,38 @@ class BertConfig:
                 ),
                 global_attn_every=int(hf.get("global_attn_every_n_layers", 3)),
                 local_window=int(hf.get("local_attention", 128)),
+                name=name,
+            )
+        if model_type == "t5":
+            # HF T5Config: feed_forward_proj "relu" (original T5 — the
+            # sentence-t5/gtr retrievers) or "gated-gelu" (v1.1/flan);
+            # dense_act_fn "gelu_new" is torch's tanh approximation
+            ff_proj = str(hf.get("feed_forward_proj", "relu"))
+            gated = ff_proj.startswith("gated-")
+            act = ff_proj.removeprefix("gated-")
+            if act not in ("relu", "gelu", "gelu_new"):
+                raise ValueError(f"unsupported t5 feed_forward_proj {ff_proj!r}")
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                # T5 has no absolute position table (relative attention) —
+                # the legacy n_positions attr records the trained length
+                n_ctx=int(hf.get("n_positions", 512)),
+                n_embd=int(hf["d_model"]),
+                n_layer=int(hf["num_layers"]),
+                n_head=int(hf["num_heads"]),
+                n_ff=int(hf["d_ff"]),
+                layer_norm_eps=float(hf.get("layer_norm_epsilon", 1e-6)),
+                n_token_types=0,
+                arch="t5",
+                rel_attn_buckets=int(
+                    hf.get("relative_attention_num_buckets", 32)
+                ),
+                rel_attn_max_dist=int(
+                    hf.get("relative_attention_max_distance", 128)
+                ),
+                n_head_dim=int(hf.get("d_kv", 64)),
+                ffn_act="gelu_tanh" if act != "relu" else "relu",
+                ffn_gated=gated,
                 name=name,
             )
         if model_type == "albert":

@@ -154,6 +154,12 @@ def write_bert_gguf(
         if config.n_embd_emb:
             # factorized embedding width (ALBERT / ELECTRA-small)
             w.add_uint32(Keys.EMB_WIDTH, config.n_embd_emb)
+        if config.arch == "t5":
+            # T5 geometry: far-field bucket cap, d_kv, FFN recipe
+            w.add_uint32(Keys.REL_ATTN_MAX_DIST, config.rel_attn_max_dist)
+            w.add_uint32(Keys.HEAD_DIM, config.head_dim)
+            w.add_string(Keys.FFN_ACT, config.ffn_act or "relu")
+            w.add_bool(Keys.FFN_GATED, config.ffn_gated)
         if config.gelu != ("tanh" if config.arch == "albert" else "erf"):
             # only written when it differs from the reader's arch default
             w.add_string(Keys.GELU, config.gelu)
@@ -240,6 +246,9 @@ def load_hf_dir(model_dir: str | os.PathLike):
         "MPNetModel", "MPNetForMaskedLM",
         "ModernBertModel", "ModernBertForMaskedLM",
         "AlbertModel", "AlbertForMaskedLM",
+        # T5 encoder stacks (sentence-t5 / GTR retrievers); full seq2seq
+        # checkpoints are accepted and their decoder/lm_head dropped
+        "T5EncoderModel", "T5Model", "T5ForConditionalGeneration",
         # ELECTRA discriminators (ElectraModel == the BertModel graph, no
         # pooler); ForPreTraining carries the discriminator head we drop
         "ElectraModel", "ElectraForPreTraining", "ElectraForMaskedLM",

@@ -30,9 +30,10 @@ from ..ops.qtensor import (
 from . import schema
 from .config import BertConfig
 
-# keys whose quantized payloads stay packed in "auto" mode
+# keys whose quantized payloads stay packed in "auto" mode (ffn_gate_w
+# appears directly in the T5 schema; ModernBERT's arrives via the wi split)
 _MATMUL_KEYS = frozenset(
-    {"q_w", "k_w", "v_w", "o_w", "ffn_up_w", "ffn_down_w"}
+    {"q_w", "k_w", "v_w", "o_w", "ffn_up_w", "ffn_down_w", "ffn_gate_w"}
 )
 _GATHER_KEYS = frozenset({"word"})
 

@@ -225,6 +225,46 @@ MODERNBERT_EXTRA_TENSORS = {
     "final_norm.weight": ("final_ln_scale", lambda c: (c.n_embd,)),
 }
 
+# --- T5 encoder ----------------------------------------------------------------
+# HF T5EncoderModel state-dict names verbatim (sentence-t5 / GTR dense
+# retrievers).  Everything is bias-free; the word table is the `shared`
+# embedding (encoder.embed_tokens ties to it and is skipped); ONE
+# relative-attention-bias table lives on block 0 and is shared by every
+# layer (HF T5Attention.compute_bias, has_relative_attention_bias only for
+# the first block); RMSNorm scales only (T5LayerNorm has no bias).  The
+# q/k/v projections map d_model -> attn_inner (= n_head * d_kv, which
+# differs from d_model on t5-3b/xl-class checkpoints).
+T5_EMBEDDING_TENSORS = {
+    "shared.weight": ("word", lambda c: (c.n_vocab, c.n_embd)),
+}
+
+_T5L = "encoder.block.{i}.layer."
+T5_LAYER_TENSORS = {
+    _T5L + "0.SelfAttention.q.weight": ("q_w", lambda c: (c.attn_inner, c.n_embd)),
+    _T5L + "0.SelfAttention.k.weight": ("k_w", lambda c: (c.attn_inner, c.n_embd)),
+    _T5L + "0.SelfAttention.v.weight": ("v_w", lambda c: (c.attn_inner, c.n_embd)),
+    _T5L + "0.SelfAttention.o.weight": ("o_w", lambda c: (c.n_embd, c.attn_inner)),
+    _T5L + "0.layer_norm.weight": ("ln_att_scale", lambda c: (c.n_embd,)),
+    _T5L + "1.DenseReluDense.wo.weight": ("ffn_down_w", lambda c: (c.n_embd, c.n_ff)),
+    _T5L + "1.layer_norm.weight": ("ln_out_scale", lambda c: (c.n_embd,)),
+}
+# v1.0 FFN: wi + act; v1.1 gated: act(wi_0) * wi_1 (HF T5DenseGatedActDense)
+_T5_WI = {
+    _T5L + "1.DenseReluDense.wi.weight": ("ffn_up_w", lambda c: (c.n_ff, c.n_embd)),
+}
+_T5_WI_GATED = {
+    _T5L + "1.DenseReluDense.wi_0.weight": ("ffn_up_w", lambda c: (c.n_ff, c.n_embd)),
+    _T5L + "1.DenseReluDense.wi_1.weight": ("ffn_gate_w", lambda c: (c.n_ff, c.n_embd)),
+}
+
+T5_EXTRA_TENSORS = {
+    "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight": (
+        "rel_attn_bias",
+        lambda c: (c.rel_attn_buckets, c.n_head),
+    ),
+    "encoder.final_layer_norm.weight": ("final_ln_scale", lambda c: (c.n_embd,)),
+}
+
 # Optional sentence-transformers Dense head (our extension; present only
 # when config.dense_out > 0): pooled @ W.T + b between pooling and L2 norm.
 DENSE_TENSORS = {
@@ -314,6 +354,9 @@ SKIPPED_TENSORS = frozenset(
         # models drop it like BERT's pooler.dense
         "pooler.weight",
         "pooler.bias",
+        # T5's encoder.embed_tokens ties to shared (the schema loads
+        # "shared.weight"); state dicts carry both names for one tensor
+        "encoder.embed_tokens.weight",
     }
 )
 
@@ -337,6 +380,8 @@ def embedding_tensors(config) -> dict:
         return MPNET_EMBEDDING_TENSORS
     if config.arch == "modernbert":
         return MODERNBERT_EMBEDDING_TENSORS
+    if config.arch == "t5":
+        return T5_EMBEDDING_TENSORS
     base = EMBEDDING_TENSORS
     if config.n_token_types == 0:
         # defensive: a bert-schema config without token types drops the row
@@ -360,16 +405,22 @@ def _layer_templates(config) -> dict:
         return MODERNBERT_LAYER_TENSORS
     if config.arch == "albert":
         return ALBERT_LAYER_TENSORS
+    if config.arch == "t5":
+        return {**T5_LAYER_TENSORS,
+                **(_T5_WI_GATED if config.ffn_gated else _T5_WI)}
     return LAYER_TENSORS
 
 
 def extra_tensors(config) -> dict:
     """Encoder-global tensors (outside embeddings/layers): MPNet's shared
     relative-attention-bias table when rel_attn_buckets > 0; ModernBERT's
-    final LayerNorm scale."""
+    final LayerNorm scale; T5's block-0 bias table + final RMSNorm."""
+    arch = getattr(config, "arch", "bert")
+    if arch == "t5":
+        return T5_EXTRA_TENSORS
     if getattr(config, "rel_attn_buckets", 0):
         return MPNET_EXTRA_TENSORS
-    if getattr(config, "arch", "bert") == "modernbert":
+    if arch == "modernbert":
         return MODERNBERT_EXTRA_TENSORS
     return {}
 

@@ -1,0 +1,199 @@
+"""T5 encoder forward pass (pure JAX).
+
+The encoder stack of HF T5EncoderModel — the base of the sentence-t5 and
+GTR dense-retriever families (gtr-t5-base/large/xl, sentence-t5-*: T5
+encoder -> mean pooling -> Dense projection -> L2 norm; the Dense module
+rides ``params["dense"]`` like every other family).  Deltas from the BERT
+graph (models/bert.py):
+
+- **pre-norm** residual blocks with **RMSNorm** (HF T5LayerNorm: no mean
+  subtraction, no bias, f32 accumulate, eps 1e-6) and a final RMSNorm
+  after the stack (T5Stack.final_layer_norm);
+- **unscaled attention**: no 1/sqrt(d) factor — T5 folds it into the
+  initialization (T5Attention.forward applies none);
+- ONE relative-position bias table [buckets, n_head] on block 0 shared by
+  every layer (T5Attention.compute_bias; ``has_relative_attention_bias``
+  is True only for the first block) — the same bucketing MPNet borrowed
+  (models.bert.t5_relative_bucket), with a configurable far-field cap;
+- per-head width **d_kv decoupled from d_model**: q/k/v map
+  [d_model -> n_head * d_kv] (t5-3b/xl: 1024 -> 4096);
+- bias-free linears everywhere; FFN is relu (v1.0 — every published
+  sentence-t5/gtr) or gated gelu_new (v1.1/flan) per config.ffn_act /
+  ffn_gated;
+- no token-type or absolute-position tables; inputs frame as
+  ``ids + [</s>]`` with no CLS (tokenizer.frame_ids add_cls=False).
+
+Same extensions as models/bert.py: attention masking over padded batches,
+sequence packing (the bias is rebuilt from per-segment restart positions,
+so packed outputs equal the per-sentence results), and the f32-accumulation
+dtype policy.  The reference engine loads none of this family
+(convert-to-gguf.py:133-136 accepts BertModel only).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linear import linear
+from ..ops.qtensor import QTensor, gather_rows
+from .config import BertConfig
+
+Array = jax.Array
+
+_MASK_BIAS = -1e9  # additive bias for masked keys (applied in f32)
+
+
+def rms_norm(x: Array, scale: Array, eps: float, out_dtype) -> Array:
+    """HF T5LayerNorm: x * rsqrt(mean(x²) + eps) * scale — no mean
+    subtraction, no bias; variance accumulates in f32."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * scale).astype(out_dtype)
+
+
+def _embed(params, ids, config, opts):
+    """shared[ids] — T5 applies no embedding scale or norm (T5Stack.forward
+    goes embed -> dropout -> blocks)."""
+    word = params["embeddings"]["word"]
+    if isinstance(word, QTensor):
+        x = gather_rows(word, ids, dtype=jnp.float32)
+    else:
+        x = word[ids].astype(jnp.float32)
+    return x.astype(opts.jdtype)
+
+
+def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
+    """Pre-normed input -> attention output (pre-residual).
+
+    ``pos_bias``: the shared relative-position bias, [H, S, S] (plain,
+    batch-invariant) or [B, H, S, S] (packed, per-row positions).
+    ``mask_bias``: [B, S] key-padding bias, or [B, Sq, Sk] block-diagonal
+    segment bias.  Kept separate so neither a [B, H, S, S] constant nor the
+    combined tensor materializes in HBM — XLA fuses both adds into the
+    softmax region.  Added to the RAW q·k scores: T5 applies no 1/sqrt(d)
+    scaling (folded into init)."""
+    b, s, _ = xn.shape
+    d = config.head_dim
+    q = linear(xn, lp["q_w"], q4_impl=opts.q4_impl)
+    h = q.shape[-1] // d  # tp-local head count
+    q = q.reshape(b, s, h, d)
+    k = linear(xn, lp["k_w"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
+    v = linear(xn, lp["v_w"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
+
+    if pos_bias.shape[-3] != h:
+        # manual-TP shard_map body: the bias replicates while the head axis
+        # is device-local — take this device's head slice
+        i = jax.lax.axis_index(opts.tp_axis)
+        pos_bias = jax.lax.dynamic_slice_in_dim(
+            pos_bias, i * h, h, axis=pos_bias.ndim - 3
+        )
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores + pos_bias  # [H,S,S] broadcasts over batch
+    if mask_bias.ndim == 2:
+        scores = scores + mask_bias[:, None, None, :]
+    else:
+        scores = scores + mask_bias[:, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1).astype(xn.dtype)
+    att = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(xn.dtype)
+    return att.reshape(b, s, h * d)
+
+
+def _ffn(xn, lp, config: BertConfig, opts):
+    """T5DenseActDense (wi -> act -> wo's input) or T5DenseGatedActDense
+    (act(wi_0) * wi_1)."""
+    act = config.ffn_act or "relu"
+    gelu = "gelu_tanh" if act == "gelu_tanh" else None
+    u = linear(xn, lp["ffn_up_w"], q4_impl=opts.q4_impl, activation=gelu)
+    if act == "relu":
+        u = jax.nn.relu(u)
+    if config.ffn_gated:
+        return u * linear(xn, lp["ffn_gate_w"], q4_impl=opts.q4_impl)
+    return u
+
+
+def _encoder_layer(x, lp, pos_bias, mask_bias, config: BertConfig, opts):
+    """One pre-norm block (T5Block.forward, encoder side):
+    x += o(attn(rms(x))); x += wo(ffn(rms(x)))."""
+    eps = config.layer_norm_eps
+    att = _attention(rms_norm(x, lp["ln_att_scale"], eps, x.dtype),
+                     lp, pos_bias, mask_bias, config, opts)
+    x = linear(att, lp["o_w"], q4_impl=opts.q4_impl,
+               reduce_axis=opts.tp_axis, residual=x)
+    h = _ffn(rms_norm(x, lp["ln_out_scale"], eps, x.dtype), lp, config, opts)
+    return linear(h, lp["ffn_down_w"], q4_impl=opts.q4_impl,
+                  reduce_axis=opts.tp_axis, residual=x)
+
+
+def _run_layers(x, params, pos_bias, mask_bias, config, opts):
+    def body(x, lp):
+        return _encoder_layer(x, lp, pos_bias, mask_bias, config, opts), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return rms_norm(x, params["final_ln_scale"], config.layer_norm_eps,
+                    jnp.float32)
+
+
+def t5_embed_batch(params, ids, mask, config, opts, gather_idx=None):
+    """Token ids [B, S] + validity mask [B, S] -> embeddings [B, n_embd]
+    (same contract as models.bert.bert_embed_batch, dispatched through it
+    when config.arch == "t5")."""
+    from .bert import (
+        _cast_output,
+        _output_head,
+        _rel_attn_bias,
+        pool_normalize,
+        resolve_impls,
+    )
+
+    opts = resolve_impls(opts)
+    s = ids.shape[-1]
+    x = _embed(params, ids, config, opts)
+    pos_bias = _rel_attn_bias(
+        params["rel_attn_bias"], s, max_distance=config.rel_attn_max_dist
+    )  # [H, S, S], batch-invariant
+    pad = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
+    x = _run_layers(x, params, pos_bias, pad, config, opts)
+    pooled = pool_normalize(x, mask, config.pooling, normalize=False)
+    out = _output_head(pooled, params, config)
+    if gather_idx is not None:
+        out = out[gather_idx]
+    return _cast_output(out, opts)
+
+
+def t5_embed_packed(params, ids, seg, pos, config, opts, *, n_seg,
+                    gather_idx=None, max_seg_len=None):
+    """Sequence-packed forward: [B, S] packed rows -> [B, n_seg, n_embd]
+    (same contract as models.bert.bert_embed_packed).
+
+    Per-segment restart positions give the same k_pos - q_pos differences
+    as absolute positions within each sentence, so the rebuilt bias equals
+    the unpacked one; cross-segment pairs get an arbitrary bucket but are
+    masked block-diagonal by segment."""
+    from .bert import (
+        _cast_output,
+        _output_head,
+        _rel_attn_bias_packed,
+        pool_normalize_packed,
+        resolve_impls,
+    )
+
+    opts = resolve_impls(opts)
+    x = _embed(params, ids, config, opts)
+    pos_bias = _rel_attn_bias_packed(
+        params["rel_attn_bias"], pos, max_distance=config.rel_attn_max_dist
+    )  # [B, H, S, S]
+    allowed = seg[:, :, None] == seg[:, None, :]  # [B, Sq, Sk]
+    key_ok = (seg >= 0)[:, None, :]
+    seg_bias = jnp.where(allowed & key_ok, 0.0, _MASK_BIAS).astype(jnp.float32)
+    x = _run_layers(x, params, pos_bias, seg_bias, config, opts)
+    pooled = pool_normalize_packed(
+        x, seg, pos, n_seg, config.pooling, normalize=False
+    )
+    out = _output_head(pooled, params, config)
+    if gather_idx is not None:
+        out = out.reshape(-1, out.shape[-1])[gather_idx]
+    return _cast_output(out, opts)

@@ -274,7 +274,8 @@ class Engine:
         if self.tokenizer is None:
             raise RuntimeError("engine has no tokenizer (model without blob kv)")
         return frame_ids(
-            self.tokenizer.encode(text), self.special_ids, self.config.n_ctx
+            self.tokenizer.encode(text), self.special_ids, self.config.n_ctx,
+            add_cls=self.config.arch != "t5",
         )
 
     def tokenize_batch(
@@ -289,12 +290,14 @@ class Engine:
         if self.tokenizer is None:
             raise RuntimeError("engine has no tokenizer (model without blob kv)")
         raw = self.tokenizer.encode_batch(list(texts))
+        # T5 frames ids + [</s>] with no CLS (tokenizer/base.frame_ids)
+        add_cls = self.config.arch != "t5"
         if not truncate:
             from ..tokenizer.base import _strip_pad
 
             cap = self.config.n_ctx
             for i, ids in enumerate(raw):
-                need = len(_strip_pad(ids, self.special_ids.pad)) + 2
+                need = len(_strip_pad(ids, self.special_ids.pad)) + 1 + add_cls
                 if need > cap:
                     raise ValueError(
                         f"input {i} is {need} tokens framed, over the "
@@ -302,7 +305,9 @@ class Engine:
                         f"to cut, or split the text)"
                     )
         return [
-            frame_ids(ids, self.special_ids, self.config.n_ctx) for ids in raw
+            frame_ids(ids, self.special_ids, self.config.n_ctx,
+                      add_cls=add_cls)
+            for ids in raw
         ]
 
     def tokenize_pairs(

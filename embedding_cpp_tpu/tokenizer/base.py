@@ -166,10 +166,15 @@ def decode_wordpiece(id_to_token, ids: Sequence[int]) -> str:
 
 
 def frame_ids(
-    ids: Sequence[int], special: SpecialIds, n_max_tokens: int
+    ids: Sequence[int], special: SpecialIds, n_max_tokens: int,
+    add_cls: bool = True,
 ) -> list[int]:
-    """[CLS] + ids (pad-stripped) + [SEP], truncated (bert.cpp:756-780)."""
-    out = [special.cls]
+    """[CLS] + ids (pad-stripped) + [SEP], truncated (bert.cpp:756-780).
+
+    add_cls=False frames ``ids + [SEP]`` only — T5's convention (its
+    vocabulary has no CLS; sentence-t5/gtr append </s>, which the sep slot
+    carries)."""
+    out = [special.cls] if add_cls else []
     for i in ids:
         if i == special.pad:  # padding from the json config: stop here
             break

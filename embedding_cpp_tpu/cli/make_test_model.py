@@ -76,6 +76,21 @@ PRESETS = {
         n_token_types=0, arch="t5", layer_norm_eps=1e-6, rel_attn_buckets=32,
         n_head_dim=16, ffn_act="relu", name="tiny-t5-test",
     ),
+    # DeBERTa-v3 (mxbai/nli reranker base at tiny scale): disentangled
+    # attention over log-bucketed relative positions, SentencePiece-Unigram
+    "tiny-deberta": BertConfig(
+        n_vocab=600, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        n_token_types=0, arch="deberta", layer_norm_eps=1e-7,
+        rel_attn_buckets=32, rel_attn_max_dist=128, name="tiny-deberta-test",
+    ),
+    # DeBERTa-v3 cross-encoder reranker (ContextPooler gelu + classifier)
+    "tiny-deberta-reranker": BertConfig(
+        n_vocab=600, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        n_token_types=0, arch="deberta", layer_norm_eps=1e-7,
+        rel_attn_buckets=32, rel_attn_max_dist=128,
+        n_labels=1, head_activation="gelu",
+        name="tiny-deberta-reranker-test",
+    ),
     # ALBERT: one shared layer applied n_layer times, factorized embedding
     # table (emb_width 32 -> n_embd 64), gelu_new (tanh) activation;
     # SentencePiece in real checkpoints but WordPiece is fine synthetically
@@ -118,7 +133,7 @@ def make_test_model(
     out_path: str, preset: str = "tiny", ftype: str = "f32", seed: int = 0
 ) -> None:
     config = PRESETS[preset]
-    if preset == "tiny-xlmr" or config.arch == "t5":
+    if preset == "tiny-xlmr" or config.arch in ("t5", "deberta"):
         # Unigram training may converge below the requested vocab size —
         # size the model to the trained piece list
         import json

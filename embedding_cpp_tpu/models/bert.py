@@ -530,6 +530,14 @@ def bert_embed_batch(
         return t5_embed_batch(
             params, ids, mask, config, opts, gather_idx=gather_idx
         )
+    if config.arch == "deberta":
+        # disentangled attention over log-bucketed relative positions
+        # (models/deberta.py — DeBERTa-v3 encoders/rerankers)
+        from .deberta import deberta_embed_batch
+
+        return deberta_embed_batch(
+            params, ids, mask, config, opts, gather_idx=gather_idx
+        )
     opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts)
     mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
@@ -580,6 +588,11 @@ def bert_score_batch(
         # monoT5-style rerankers are seq2seq (decoder logits), not
         # sequence-classification heads — out of scope for the encoder
         raise ValueError("t5 encoders have no classification head")
+    if config.arch == "deberta":
+        from .deberta import deberta_score_batch
+
+        return deberta_score_batch(params, ids, mask, config, opts,
+                                   type_ids=type_ids)
     if "head" not in params:
         raise ValueError("model has no classification head (n_labels == 0)")
     opts = resolve_impls(opts)
@@ -641,6 +654,13 @@ def bert_embed_packed(
         from .t5 import t5_embed_packed
 
         return t5_embed_packed(
+            params, ids, seg, pos, config, opts, n_seg=n_seg,
+            gather_idx=gather_idx, max_seg_len=max_seg_len,
+        )
+    if config.arch == "deberta":
+        from .deberta import deberta_embed_packed
+
+        return deberta_embed_packed(
             params, ids, seg, pos, config, opts, n_seg=n_seg,
             gather_idx=gather_idx, max_seg_len=max_seg_len,
         )

@@ -52,6 +52,15 @@ _ARCH_DEFAULTS = {
     # into init), a T5-bucketed relative attention bias table on block 0
     # shared by every layer, no absolute position table, bias-free linears
     "t5": (0, 0, 1e-6, 32),
+    # DeBERTa-v2/v3 (HF DebertaV2Model — mxbai/nli cross-encoder rerankers,
+    # deberta embedders): BERT post-norm blocks whose attention is
+    # DISENTANGLED — content-content scores plus content->position and
+    # position->content terms against a shared log-bucketed relative
+    # position embedding table (encoder.rel_embeddings, LayerNormed), all
+    # divided by sqrt(3d); v3 has no absolute position or token-type
+    # tables (position_biased_input=False, type_vocab_size=0), eps 1e-7,
+    # position_buckets 256
+    "deberta": (0, 0, 1e-7, 256),
 }
 
 
@@ -227,7 +236,7 @@ class BertConfig:
                 kv.get(
                     Keys.HEAD_ACTIVATION,
                     {"distilbert": "relu", "modernbert": "gelu",
-                     "electra": "gelu"}.get(arch, "tanh"),
+                     "electra": "gelu", "deberta": "gelu"}.get(arch, "tanh"),
                 )
             ),
             name=str(kv.get("general.name", "")),
@@ -344,6 +353,52 @@ class BertConfig:
                 n_head_dim=int(hf.get("d_kv", 64)),
                 ffn_act="gelu_tanh" if act != "relu" else "relu",
                 ffn_gated=gated,
+                name=name,
+            )
+        if model_type == "deberta-v2":
+            # the v3-generation feature set is the only supported (and only
+            # widely published) configuration; reject the exotic v2 knobs
+            # loudly rather than silently diverging
+            if not bool(hf.get("relative_attention", False)):
+                raise ValueError("deberta-v2 without relative_attention "
+                                 "is not supported")
+            if not bool(hf.get("share_att_key", False)):
+                raise ValueError("deberta-v2 with share_att_key=False is "
+                                 "not supported (v3 checkpoints share)")
+            if bool(hf.get("position_biased_input", True)):
+                raise ValueError("deberta-v2 with position_biased_input "
+                                 "(absolute positions) is not supported")
+            if int(hf.get("conv_kernel_size", 0)) > 0:
+                raise ValueError("deberta-v2 conv layer is not supported")
+            if "layer_norm" not in str(hf.get("norm_rel_ebd", "none")):
+                raise ValueError("deberta-v2 without norm_rel_ebd="
+                                 "layer_norm is not supported")
+            pos_att = str(hf.get("pos_att_type", "p2c|c2p"))
+            if "c2p" not in pos_att or "p2c" not in pos_att:
+                raise ValueError(f"pos_att_type {pos_att!r} != c2p+p2c "
+                                 "is not supported")
+            emb_size = int(hf.get("embedding_size") or hf["hidden_size"])
+            if emb_size != int(hf["hidden_size"]):
+                raise ValueError("deberta-v2 embedding_size != hidden_size "
+                                 "is not supported")
+            n_ctx = int(hf.get("max_position_embeddings", 512))
+            max_rel = int(hf.get("max_relative_positions", -1))
+            buckets = int(hf.get("position_buckets", 256))
+            if buckets <= 0:
+                raise ValueError("deberta-v2 without position_buckets is "
+                                 "not supported")
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                n_ctx=n_ctx,
+                n_embd=int(hf["hidden_size"]),
+                n_layer=int(hf["num_hidden_layers"]),
+                n_head=int(hf["num_attention_heads"]),
+                n_ff=int(hf["intermediate_size"]),
+                layer_norm_eps=float(hf.get("layer_norm_eps", 1e-7)),
+                n_token_types=int(hf.get("type_vocab_size", 0)),
+                arch="deberta",
+                rel_attn_buckets=buckets,
+                rel_attn_max_dist=max_rel if max_rel > 0 else n_ctx,
                 name=name,
             )
         if model_type == "albert":

@@ -154,9 +154,11 @@ def write_bert_gguf(
         if config.n_embd_emb:
             # factorized embedding width (ALBERT / ELECTRA-small)
             w.add_uint32(Keys.EMB_WIDTH, config.n_embd_emb)
-        if config.arch == "t5":
-            # T5 geometry: far-field bucket cap, d_kv, FFN recipe
+        if config.arch in ("t5", "deberta"):
+            # far-field cap of the relative-position bucketing
             w.add_uint32(Keys.REL_ATTN_MAX_DIST, config.rel_attn_max_dist)
+        if config.arch == "t5":
+            # T5 geometry: d_kv, FFN recipe
             w.add_uint32(Keys.HEAD_DIM, config.head_dim)
             w.add_string(Keys.FFN_ACT, config.ffn_act or "relu")
             w.add_bool(Keys.FFN_GATED, config.ffn_gated)
@@ -264,6 +266,9 @@ def load_hf_dir(model_dir: str | os.PathLike):
         "ModernBertForSequenceClassification",
         "AlbertForSequenceClassification",
         "ElectraForSequenceClassification",
+        # DeBERTa-v2/v3 (the v3 feature set is validated in from_hf_config)
+        "DebertaV2Model", "DebertaV2ForMaskedLM",
+        "DebertaV2ForSequenceClassification",
     )
     if archs and archs[0] not in _SUPPORTED:
         raise ValueError(f"unsupported architecture: {archs[0]}")
@@ -288,14 +293,14 @@ def load_hf_dir(model_dir: str | os.PathLike):
     # "model." is ModernBERT's base prefix (ModernBertForSequenceClassification
     # holds the encoder as self.model)
     _PREFIXES = ("bert.", "distilbert.", "roberta.", "mpnet.", "model.",
-                 "albert.", "electra.")
+                 "albert.", "electra.", "deberta.")
     # task heads: BERT's cls.*, RoBERTa/MPNet's lm_head.*, DistilBERT's
     # vocab_*, ALBERT's predictions.*, ELECTRA's discriminator/generator
-    # prediction heads
+    # prediction heads, DeBERTa-v3's RTD/MLM heads
     _HEADS = ("cls.", "lm_head.", "vocab_transform.", "vocab_layer_norm.",
               "vocab_projector.", "decoder.", "predictions.",
               "discriminator_predictions.", "generator_predictions.",
-              "generator_lm_head.")
+              "generator_lm_head.", "lm_predictions.", "mask_predictions.")
     is_seq_cls = bool(archs) and archs[0].endswith("ForSequenceClassification")
     if not is_seq_cls:
         # ModernBertForMaskedLM reuses the "head." prediction-head names the
@@ -324,7 +329,8 @@ def load_hf_dir(model_dir: str | os.PathLike):
         replacements = dict(
             n_labels=int(np.asarray(state_dict[out_name]).shape[0]),
             head_activation={"distilbert": "relu", "modernbert": "gelu",
-                             "electra": "gelu"}.get(config.arch, "tanh"),
+                             "electra": "gelu",
+                             "deberta": "gelu"}.get(config.arch, "tanh"),
         )
         if config.arch == "modernbert":
             # the schema assumes the only published head configuration

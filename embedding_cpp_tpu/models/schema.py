@@ -265,6 +265,47 @@ T5_EXTRA_TENSORS = {
     "encoder.final_layer_norm.weight": ("final_ln_scale", lambda c: (c.n_embd,)),
 }
 
+# --- DeBERTa-v2/v3 -------------------------------------------------------------
+# HF DebertaV2Model state-dict names verbatim (the v3 feature set: no
+# absolute-position or token-type tables, shared att key, log-bucketed
+# relative positions).  The q/k/v projections are *_proj; the block is
+# otherwise BERT's post-norm layout.  Encoder-global: the shared relative
+# position embedding table [2*buckets, E] plus its LayerNorm
+# (norm_rel_ebd="layer_norm" — encoder.LayerNorm).
+DEBERTA_EMBEDDING_TENSORS = {
+    "embeddings.word_embeddings.weight": ("word", lambda c: (c.n_vocab, c.n_embd)),
+    "embeddings.LayerNorm.weight": ("ln_scale", lambda c: (c.n_embd,)),
+    "embeddings.LayerNorm.bias": ("ln_bias", lambda c: (c.n_embd,)),
+}
+
+DEBERTA_LAYER_TENSORS = {
+    "encoder.layer.{i}.attention.self.query_proj.weight": ("q_w", lambda c: (c.n_embd, c.n_embd)),
+    "encoder.layer.{i}.attention.self.query_proj.bias": ("q_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.self.key_proj.weight": ("k_w", lambda c: (c.n_embd, c.n_embd)),
+    "encoder.layer.{i}.attention.self.key_proj.bias": ("k_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.self.value_proj.weight": ("v_w", lambda c: (c.n_embd, c.n_embd)),
+    "encoder.layer.{i}.attention.self.value_proj.bias": ("v_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.output.dense.weight": ("o_w", lambda c: (c.n_embd, c.n_embd)),
+    "encoder.layer.{i}.attention.output.dense.bias": ("o_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.output.LayerNorm.weight": ("ln_att_scale", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.attention.output.LayerNorm.bias": ("ln_att_bias", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.intermediate.dense.weight": ("ffn_up_w", lambda c: (c.n_ff, c.n_embd)),
+    "encoder.layer.{i}.intermediate.dense.bias": ("ffn_up_b", lambda c: (c.n_ff,)),
+    "encoder.layer.{i}.output.dense.weight": ("ffn_down_w", lambda c: (c.n_embd, c.n_ff)),
+    "encoder.layer.{i}.output.dense.bias": ("ffn_down_b", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.output.LayerNorm.weight": ("ln_out_scale", lambda c: (c.n_embd,)),
+    "encoder.layer.{i}.output.LayerNorm.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
+}
+
+DEBERTA_EXTRA_TENSORS = {
+    "encoder.rel_embeddings.weight": (
+        "rel_emb",
+        lambda c: (2 * c.rel_attn_buckets, c.n_embd),
+    ),
+    "encoder.LayerNorm.weight": ("rel_ln_scale", lambda c: (c.n_embd,)),
+    "encoder.LayerNorm.bias": ("rel_ln_bias", lambda c: (c.n_embd,)),
+}
+
 # Optional sentence-transformers Dense head (our extension; present only
 # when config.dense_out > 0): pooled @ W.T + b between pooling and L2 norm.
 DENSE_TENSORS = {
@@ -332,6 +373,9 @@ _HEAD_TENSORS_BY_ARCH = {
     # (same state-dict names as RobertaClassificationHead; activation
     # differs — config.head_activation carries "gelu")
     "electra": _ROBERTA_HEAD_TENSORS,
+    # DebertaV2 ContextPooler: pooler.dense + pooler_hidden_act (gelu) on
+    # the first token, then classifier — the BERT head names verbatim
+    "deberta": _BERT_HEAD_TENSORS,
 }
 
 
@@ -382,6 +426,17 @@ def embedding_tensors(config) -> dict:
         return MODERNBERT_EMBEDDING_TENSORS
     if config.arch == "t5":
         return T5_EMBEDDING_TENSORS
+    if config.arch == "deberta":
+        base = DEBERTA_EMBEDDING_TENSORS
+        if config.n_token_types:
+            # v3 checkpoints have type_vocab_size=0; some v2 fine-tunes
+            # carry a table (DebertaV2Embeddings adds it when > 0)
+            base = dict(base)
+            base["embeddings.token_type_embeddings.weight"] = (
+                "token_type",
+                lambda c: (c.n_token_types, c.n_embd),
+            )
+        return base
     base = EMBEDDING_TENSORS
     if config.n_token_types == 0:
         # defensive: a bert-schema config without token types drops the row
@@ -408,6 +463,8 @@ def _layer_templates(config) -> dict:
     if config.arch == "t5":
         return {**T5_LAYER_TENSORS,
                 **(_T5_WI_GATED if config.ffn_gated else _T5_WI)}
+    if config.arch == "deberta":
+        return DEBERTA_LAYER_TENSORS
     return LAYER_TENSORS
 
 
@@ -418,6 +475,8 @@ def extra_tensors(config) -> dict:
     arch = getattr(config, "arch", "bert")
     if arch == "t5":
         return T5_EXTRA_TENSORS
+    if arch == "deberta":
+        return DEBERTA_EXTRA_TENSORS
     if getattr(config, "rel_attn_buckets", 0):
         return MPNET_EXTRA_TENSORS
     if arch == "modernbert":

@@ -607,13 +607,21 @@ def bert_score_batch(
                                     pos_bias=pos_bias),
     )
     h = x[..., 0, :].astype(jnp.float32)  # CLS hidden state
-    head = params["head"]
+    return classifier_head(h, params["head"], config.head_activation)
+
+
+def classifier_head(h: Array, head: dict, activation: str) -> Array:
+    """logits = out(act(dense(h))) in f32 — the shape every HF
+    *ForSequenceClassification head reduces to (schema.py
+    _HEAD_TENSORS_BY_ARCH); shared by the BERT-family and DeBERTa score
+    paths.  `activation`: "tanh" | "relu" | "gelu" (erf), validated at
+    config construction."""
     y = h @ head["dense_w"] + head["dense_b"]
-    if config.head_activation == "tanh":
+    if activation == "tanh":
         y = jnp.tanh(y)
-    elif config.head_activation == "relu":
+    elif activation == "relu":
         y = jax.nn.relu(y)
-    else:  # "gelu" — config validation admits exactly these three
+    else:
         y = jax.nn.gelu(y, approximate=False)
     return y @ head["out_w"] + head["out_b"]
 

@@ -63,6 +63,18 @@ _ARCH_DEFAULTS = {
     "deberta": (0, 0, 1e-7, 256),
 }
 
+# Per-family classification-head activation defaults: DistilBERT's
+# pre_classifier uses ReLU, ModernBERT's PredictionHead / ELECTRA's
+# ClassificationHead / DeBERTa's ContextPooler use GELU, everything else
+# BERT's tanh pooler.  Shared by from_gguf_kv and the converter
+# (models/convert.py) so the write and read defaults cannot drift.
+HEAD_ACT_DEFAULTS = {
+    "distilbert": "relu",
+    "modernbert": "gelu",
+    "electra": "gelu",
+    "deberta": "gelu",
+}
+
 
 @dataclass(frozen=True)
 class BertConfig:
@@ -101,8 +113,9 @@ class BertConfig:
     # d_kv: the q/k/v projections map d_model -> n_head * n_head_dim, e.g.
     # t5-3b/xl: 1024 -> 32*128 = 4096).  0 = n_embd // n_head.
     n_head_dim: int = 0
-    # FFN recipe override (T5): activation "relu" | "gelu_tanh" (v1.1's
-    # gelu_new) and gating (wi_0 * act / wi_1 product — gated-gelu).
+    # FFN recipe override (T5): activation "relu" | "gelu_erf" (HF
+    # dense_act_fn "gelu") | "gelu_tanh" (gelu_new, incl. the "gated-gelu"
+    # back-compat) and gating (act(wi_0) * wi_1 product).
     # "" = the family default (GELU per `gelu` for the BERT families).
     ffn_act: str = ""
     ffn_gated: bool = False
@@ -234,9 +247,7 @@ class BertConfig:
             n_labels=int(kv.get(Keys.N_LABELS, 0)),
             head_activation=str(
                 kv.get(
-                    Keys.HEAD_ACTIVATION,
-                    {"distilbert": "relu", "modernbert": "gelu",
-                     "electra": "gelu", "deberta": "gelu"}.get(arch, "tanh"),
+                    Keys.HEAD_ACTIVATION, HEAD_ACT_DEFAULTS.get(arch, "tanh")
                 )
             ),
             name=str(kv.get("general.name", "")),
@@ -332,6 +343,14 @@ class BertConfig:
             act = ff_proj.removeprefix("gated-")
             if act not in ("relu", "gelu", "gelu_new"):
                 raise ValueError(f"unsupported t5 feed_forward_proj {ff_proj!r}")
+            # HF T5Config back-compat: exactly "gated-gelu" means gelu_new
+            # (tanh approx); a plain "gelu" stays the exact erf GELU
+            if act == "gelu_new" or ff_proj == "gated-gelu":
+                ffn_act = "gelu_tanh"
+            elif act == "gelu":
+                ffn_act = "gelu_erf"
+            else:
+                ffn_act = "relu"
             return cls(
                 n_vocab=int(hf["vocab_size"]),
                 # T5 has no absolute position table (relative attention) —
@@ -351,7 +370,7 @@ class BertConfig:
                     hf.get("relative_attention_max_distance", 128)
                 ),
                 n_head_dim=int(hf.get("d_kv", 64)),
-                ffn_act="gelu_tanh" if act != "relu" else "relu",
+                ffn_act=ffn_act,
                 ffn_gated=gated,
                 name=name,
             )

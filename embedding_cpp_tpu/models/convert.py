@@ -29,7 +29,7 @@ from ..gguf.constants import (
 )
 from ..gguf.quant import quantize
 from ..gguf.writer import GGUFWriter
-from .config import BertConfig
+from .config import HEAD_ACT_DEFAULTS, BertConfig
 from .schema import SKIPPED_TENSORS
 
 FTYPE_NAMES = {
@@ -328,9 +328,7 @@ def load_hf_dir(model_dir: str | os.PathLike):
         )
         replacements = dict(
             n_labels=int(np.asarray(state_dict[out_name]).shape[0]),
-            head_activation={"distilbert": "relu", "modernbert": "gelu",
-                             "electra": "gelu",
-                             "deberta": "gelu"}.get(config.arch, "tanh"),
+            head_activation=HEAD_ACT_DEFAULTS.get(config.arch, "tanh"),
         )
         if config.arch == "modernbert":
             # the schema assumes the only published head configuration

@@ -238,8 +238,9 @@ def deberta_score_batch(params, ids, mask, config, opts, type_ids=None):
 
     HF DebertaV2ForSequenceClassification: ContextPooler
     (dense + pooler_hidden_act on the FIRST token) then classifier — the
-    generic head math with head_activation "gelu" by default."""
-    from .bert import resolve_impls
+    generic head math (models.bert.classifier_head) with head_activation
+    "gelu" by default."""
+    from .bert import classifier_head, resolve_impls
 
     if "head" not in params:
         raise ValueError("model has no classification head (n_labels == 0)")
@@ -251,15 +252,7 @@ def deberta_score_batch(params, ids, mask, config, opts, type_ids=None):
     pad = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
     x = _run_layers(x, params, rel_table, c2p_pos, p2c_pos, pad, config, opts)
     h = x[..., 0, :].astype(jnp.float32)
-    head = params["head"]
-    y = h @ head["dense_w"] + head["dense_b"]
-    if config.head_activation == "tanh":
-        y = jnp.tanh(y)
-    elif config.head_activation == "relu":
-        y = jax.nn.relu(y)
-    else:
-        y = jax.nn.gelu(y, approximate=False)
-    return y @ head["out_w"] + head["out_b"]
+    return classifier_head(h, params["head"], config.head_activation)
 
 
 def deberta_embed_packed(params, ids, seg, pos, config, opts, *, n_seg,

@@ -404,15 +404,6 @@ SKIPPED_TENSORS = frozenset(
     }
 )
 
-# 2-D weight matrices eligible for quantization — same filter the reference
-# quantizer applies: name ends with "weight" and n_dims == 2
-# (bert.cpp:1430-1436). Note this includes the embedding tables.
-QUANTIZABLE_KEYS = frozenset(
-    {"word", "token_type", "position", "q_w", "k_w", "v_w", "o_w",
-     "ffn_up_w", "ffn_down_w", "wqkv", "wi", "emb_proj_w"}
-)
-
-
 def embedding_tensors(config) -> dict:
     """Embedding-level tensor map for the config's architecture.  RoBERTa,
     ALBERT and ELECTRA reuse the BERT names (the latter two at emb_width,

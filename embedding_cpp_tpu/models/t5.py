@@ -104,9 +104,10 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
 
 def _ffn(xn, lp, config: BertConfig, opts):
     """T5DenseActDense (wi -> act -> wo's input) or T5DenseGatedActDense
-    (act(wi_0) * wi_1)."""
+    (act(wi_0) * wi_1).  ffn_act: "relu" | "gelu_erf" (HF dense_act_fn
+    "gelu") | "gelu_tanh" (gelu_new / the "gated-gelu" back-compat)."""
     act = config.ffn_act or "relu"
-    gelu = "gelu_tanh" if act == "gelu_tanh" else None
+    gelu = act if act in ("gelu_tanh", "gelu_erf") else None
     u = linear(xn, lp["ffn_up_w"], q4_impl=opts.q4_impl, activation=gelu)
     if act == "relu":
         u = jax.nn.relu(u)

@@ -152,11 +152,12 @@ def _parse_normalizer(norm):
         elif t == "Lowercase":
             steps.append(str.lower)
         elif t == "StripAccents":
-            # HF StripAccents removes nonspacing marks (category Mn) — the
-            # ALBERT/XLNet converter pairs it with a preceding NFKD
+            # HF StripAccents removes ALL combining marks (categories
+            # Mn/Mc/Me — Rust is_combining_mark) — the ALBERT/XLNet
+            # converter pairs it with a preceding NFKD
             steps.append(
                 lambda s: "".join(
-                    c for c in s if unicodedata.category(c) != "Mn"
+                    c for c in s if not unicodedata.category(c).startswith("M")
                 )
             )
         elif t == "Replace":

@@ -441,6 +441,9 @@ ALBERT_CHAIN_TEXTS = [
     "Ω Å ẛ ǅungla Ǆ ǈ",
     "ậ ằ ẳ precomposed",
     "  leading  and  trailing  ",
+    # StripAccents drops ALL marks: Mc (Devanagari vowel sign) and
+    # Me (combining enclosing circle), not just Mn
+    "का कि x\u20dd y\u20de",
 ]
 
 

@@ -33,6 +33,13 @@ T5_GATED_CFG = BertConfig(
     arch="t5", layer_norm_eps=1e-6, rel_attn_buckets=32, n_head_dim=32,
     ffn_act="gelu_tanh", ffn_gated=True, name="tiny-t5-gated",
 )
+# ungated feed_forward_proj="gelu": HF uses the EXACT erf GELU here (only
+# the "gated-gelu" back-compat means gelu_new)
+T5_GELU_CFG = BertConfig(
+    n_vocab=160, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+    arch="t5", layer_norm_eps=1e-6, rel_attn_buckets=32, n_head_dim=16,
+    ffn_act="gelu_erf", name="tiny-t5-gelu",
+)
 
 
 def _ids_and_mask(rng, cfg, batch, max_len):
@@ -57,7 +64,10 @@ def _hf_model(cfg, transformers):
         relative_attention_max_distance=cfg.rel_attn_max_dist,
         dropout_rate=0.0,
         layer_norm_epsilon=cfg.layer_norm_eps,
-        feed_forward_proj="gated-gelu" if cfg.ffn_gated else "relu",
+        feed_forward_proj=(
+            "gated-gelu" if cfg.ffn_gated
+            else "gelu" if cfg.ffn_act == "gelu_erf" else "relu"
+        ),
     )
     model = transformers.T5EncoderModel(hf_config)
     model.eval()
@@ -102,6 +112,15 @@ def test_config_dispatch():
         }
     )
     assert c.ffn_gated and c.ffn_act == "gelu_tanh" and c.attn_inner == 128
+    # HF back-compat: ONLY "gated-gelu" means gelu_new; plain "gelu" is erf
+    c = BertConfig.from_hf_config(
+        {
+            "model_type": "t5", "vocab_size": 100, "d_model": 64,
+            "num_layers": 2, "num_heads": 4, "d_ff": 128, "d_kv": 16,
+            "feed_forward_proj": "gelu",
+        }
+    )
+    assert not c.ffn_gated and c.ffn_act == "gelu_erf"
 
 
 @pytest.mark.parametrize("cfg", [T5_CFG, T5_GATED_CFG],
@@ -157,8 +176,8 @@ def test_packed_equals_plain():
     np.testing.assert_allclose(packed, plain, atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("cfg", [T5_CFG, T5_GATED_CFG],
-                         ids=["relu", "gated-dkv32"])
+@pytest.mark.parametrize("cfg", [T5_CFG, T5_GATED_CFG, T5_GELU_CFG],
+                         ids=["relu", "gated-dkv32", "gelu-erf"])
 def test_t5_hf_parity(cfg):
     """T5 encoder forward (RMSNorm pre-norm, unscaled attention, shared
     relative bias, d_kv-decoupled heads) vs HF torch T5EncoderModel on

@@ -1,7 +1,7 @@
 """Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-albert|tiny-electra|tiny-reranker|tiny-modernbert-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
+           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-albert|tiny-electra|tiny-t5|tiny-deberta|tiny-reranker|tiny-modernbert-reranker|tiny-deberta-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
            [--ftype f32] [--seed 0]
 
 The roberta preset carries a trained byte-level BPE tokenizer; xlmr a trained

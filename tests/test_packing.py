@@ -236,3 +236,33 @@ def test_packed_forward_matches_unpacked_roberta():
             for g, orig in enumerate(row):
                 got[orig] = vecs[r, g]
     np.testing.assert_allclose(got, plain, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("arch_kw", [
+    dict(arch="albert", gelu="tanh", n_embd_emb=32, layer_norm_eps=1e-12),
+    dict(arch="t5", layer_norm_eps=1e-6, rel_attn_buckets=32, n_head_dim=16,
+         ffn_act="relu", n_token_types=0),
+    dict(arch="deberta", layer_norm_eps=1e-7, rel_attn_buckets=32,
+         rel_attn_max_dist=64, n_token_types=0),
+], ids=["albert", "t5", "deberta"])
+def test_engine_packed_equals_plain_new_families(arch_kw):
+    """Engine-level packing (planner -> pack_segments -> per-segment
+    pooling -> compact gather) for the families with non-BERT graphs:
+    packed encode must equal the plain bucketed encode."""
+    from embedding_cpp_tpu.models.config import BertConfig
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    cfg = BertConfig(
+        n_vocab=400, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        name=f"pack-{arch_kw['arch']}", **arch_kw,
+    )
+    packed_eng = Engine.synthetic(cfg, ftype="f32", packing="always")
+    plain_eng = Engine.synthetic(cfg, ftype="f32", packing="never")
+    rng = np.random.default_rng(7)
+    tok_lists = [
+        list(map(int, rng.integers(4, cfg.n_vocab, size=rng.integers(3, 14))))
+        for _ in range(17)
+    ]
+    a = packed_eng.embed_tokens(tok_lists)
+    b = plain_eng.embed_tokens(tok_lists)
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)

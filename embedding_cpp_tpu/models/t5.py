@@ -87,6 +87,26 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
         pos_bias = jax.lax.dynamic_slice_in_dim(
             pos_bias, i * h, h, axis=pos_bias.ndim - 3
         )
+
+    # fused bias-attention kernel (the MPNet kernel, ops/attention.py) for
+    # plain batches: it applies 1/sqrt(d) internally and T5 attention is
+    # UNSCALED, so q is pre-multiplied by sqrt(d) to cancel the factor.
+    # auto stays XLA until the bias kernel has a real-TPU A/B on record for
+    # this pattern (same policy as bert._attention's bias case); force
+    # attn_impl="pallas" to take it.
+    if (
+        opts.attn_impl == "pallas"
+        and mask_bias.ndim == 2 and pos_bias.ndim == 3
+        and s >= 8 and s % 8 == 0 and d % 8 == 0
+        and (jax.device_count() == 1 or opts.inside_shard_map)
+    ):
+        from ..ops.attention import flash_attention
+
+        att = flash_attention(
+            (q * math.sqrt(d)).astype(q.dtype), k, v, mask_bias,
+            pos_bias=pos_bias,
+        )
+        return att.reshape(b, s, h * d)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )

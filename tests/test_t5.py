@@ -368,3 +368,22 @@ def test_manual_shard_map_tp(eight_devices):
     )
     got = np.asarray(fwd(sharded, ids, mask))
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_t5_forward_pallas_matches_xla():
+    """attn_impl="pallas" routes T5 plain batches through the fused
+    bias-attention kernel with q pre-scaled by sqrt(d) (the kernel divides
+    by sqrt(d); T5 is unscaled) — outputs must match the XLA path."""
+    cfg = T5_CFG
+    params = random_params(cfg, seed=31)
+    rng = np.random.default_rng(32)
+    ids, mask, _ = _ids_and_mask(rng, cfg, 4, 16)
+    xla = np.asarray(
+        bert_embed_batch(params, ids, mask, cfg,
+                         ComputeOptions(dtype="float32", attn_impl="xla"))
+    )
+    pal = np.asarray(
+        bert_embed_batch(params, ids, mask, cfg,
+                         ComputeOptions(dtype="float32", attn_impl="pallas"))
+    )
+    np.testing.assert_allclose(pal, xla, atol=2e-5, rtol=1e-4)

@@ -31,6 +31,8 @@ dtype policy.  The reference engine loads none of this family
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -92,13 +94,13 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
     # plain batches: it applies 1/sqrt(d) internally and T5 attention is
     # UNSCALED, so q is pre-multiplied by sqrt(d) to cancel the factor.
     # auto stays XLA until the bias kernel has a real-TPU A/B on record for
-    # this pattern (same policy as bert._attention's bias case); force
-    # attn_impl="pallas" to take it.
+    # this pattern (same policy as bert._attention's bias case); forcing
+    # attn_impl="pallas" takes it — like bert, a forced impl trusts the
+    # caller about locality (pallas cannot be GSPMD-partitioned).
     if (
         opts.attn_impl == "pallas"
         and mask_bias.ndim == 2 and pos_bias.ndim == 3
-        and s >= 8 and s % 8 == 0 and d % 8 == 0
-        and (jax.device_count() == 1 or opts.inside_shard_map)
+        and s % 8 == 0 and d % 8 == 0
     ):
         from ..ops.attention import flash_attention
 

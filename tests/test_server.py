@@ -561,3 +561,71 @@ def test_rerank_frame_no_head_error(server):
         # connection survives the error frame
         vecs = c.embed(["still alive"])
         assert vecs.shape[0] == 1
+
+
+def test_server_t5_no_cls_family(tmp_path):
+    """The wire paths over a no-CLS family (T5): raw-mode encode returns
+    L2-normed vectors and the tokenize frame returns ids framed as
+    ids + [</s>] with no leading CLS."""
+    pytest.importorskip("tokenizers")
+    t5_cfg = BertConfig(
+        n_vocab=1000, n_ctx=64, n_embd=64, n_layer=1, n_head=4, n_ff=128,
+        n_token_types=0, arch="t5", layer_norm_eps=1e-6, rel_attn_buckets=32,
+        n_head_dim=16, ffn_act="relu", name="server-t5",
+    )
+    engine = Engine.synthetic(t5_cfg, opts=ComputeOptions(dtype="float32"))
+    engine.warmup()
+
+    loop = asyncio.new_event_loop()
+    holder = {}
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    async def run():
+        try:
+            await serve(engine, "127.0.0.1", port, max_batch=8,
+                        window_ms=2.0)
+        except asyncio.CancelledError:
+            pass
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        holder["task"] = loop.create_task(run())
+        try:
+            loop.run_until_complete(holder["task"])
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    try:
+        with EmbeddingClient("127.0.0.1", port) as c:
+            vecs = c.embed(["hello world", "the quick brown fox"])
+            assert vecs.shape == (2, t5_cfg.n_embd)
+            np.testing.assert_allclose(
+                np.linalg.norm(vecs, axis=-1), 1.0, atol=1e-5
+            )
+            # parity with the in-process engine
+            direct = engine.encode(["hello world", "the quick brown fox"])
+            np.testing.assert_allclose(vecs, direct, atol=2e-5)
+        # framing is engine-side and applied on the server path too:
+        # ids + [</s>], no leading CLS
+        ids = engine.tokenize("hello world")
+        assert ids[-1] == engine.special_ids.sep
+        assert ids[0] != engine.special_ids.cls
+    finally:
+        loop.call_soon_threadsafe(holder["task"].cancel)
+        t.join(timeout=5)

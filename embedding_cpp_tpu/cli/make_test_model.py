@@ -17,6 +17,8 @@ from dataclasses import replace
 
 from ..models.config import (
     BERT_BASE,
+    DEBERTA_V3_BASE,
+    GTR_BASE,
     MINILM_L6,
     MINILM_L12,
     MODERNBERT_BASE,
@@ -125,6 +127,10 @@ PRESETS = {
     "mpnet-base": replace(MPNET_BASE, n_vocab=1000, name="mpnet-base-synthetic"),
     "modernbert-base": replace(
         MODERNBERT_BASE, n_vocab=1000, name="modernbert-base-synthetic"
+    ),
+    "gtr-base": replace(GTR_BASE, n_vocab=600, name="gtr-base-synthetic"),
+    "deberta-base": replace(
+        DEBERTA_V3_BASE, n_vocab=600, name="deberta-base-synthetic"
     ),
 }
 

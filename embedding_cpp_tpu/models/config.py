@@ -529,6 +529,22 @@ MODERNBERT_BASE = BertConfig(
     global_attn_every=3, local_window=128, pooling="cls",
     name="gte-modernbert-base",
 )
+GTR_BASE = BertConfig(
+    # sentence-transformers/gtr-t5-base geometry (t5-base encoder + mean
+    # pool + Dense; the synthetic preset skips the Dense head)
+    n_vocab=32128, n_ctx=512, n_embd=768, n_layer=12, n_head=12, n_ff=3072,
+    n_token_types=0, arch="t5", layer_norm_eps=1e-6, rel_attn_buckets=32,
+    n_head_dim=64, ffn_act="relu",
+    name="gtr-t5-base",
+)
+DEBERTA_V3_BASE = BertConfig(
+    # microsoft/deberta-v3-base geometry (the mxbai-rerank-base-v1 /
+    # nli-deberta-v3-base encoder)
+    n_vocab=128100, n_ctx=512, n_embd=768, n_layer=12, n_head=12, n_ff=3072,
+    n_token_types=0, arch="deberta", layer_norm_eps=1e-7,
+    rel_attn_buckets=256, rel_attn_max_dist=512,
+    name="deberta-v3-base",
+)
 MPNET_BASE = BertConfig(
     n_vocab=30527, n_ctx=512, n_embd=768, n_layer=12, n_head=12, n_ff=3072,
     n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,

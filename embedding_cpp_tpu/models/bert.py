@@ -504,6 +504,7 @@ def bert_embed_batch(
     config: BertConfig,
     opts: ComputeOptions = ComputeOptions(),
     gather_idx: Array | None = None,
+    token_states: bool = False,
 ) -> Array:
     """Token ids [B, S] + validity mask [B, S] -> embeddings [B, n_embd] f32.
 
@@ -512,6 +513,11 @@ def bert_embed_batch(
 
     `gather_idx` ([M] int32 row indices) compacts the output to [M, n_embd]
     on device so padded batch rows never cross the device->host link.
+
+    `token_states=True` returns the final per-token hidden states
+    [B, S, n_embd] f32 (HF last_hidden_state) instead of pooled embeddings
+    — the late-interaction / feature-extraction surface; pooling, output
+    head, gather and transfer encoding are all skipped.
     """
     if config.arch == "modernbert":
         # pre-norm / RoPE / GeGLU graph — entirely different block math
@@ -520,7 +526,8 @@ def bert_embed_batch(
         from .modernbert import modernbert_embed_batch
 
         return modernbert_embed_batch(
-            params, ids, mask, config, opts, gather_idx=gather_idx
+            params, ids, mask, config, opts, gather_idx=gather_idx,
+            token_states=token_states,
         )
     if config.arch == "t5":
         # pre-norm RMSNorm / unscaled attention / shared relative bias
@@ -528,7 +535,8 @@ def bert_embed_batch(
         from .t5 import t5_embed_batch
 
         return t5_embed_batch(
-            params, ids, mask, config, opts, gather_idx=gather_idx
+            params, ids, mask, config, opts, gather_idx=gather_idx,
+            token_states=token_states,
         )
     if config.arch == "deberta":
         # disentangled attention over log-bucketed relative positions
@@ -536,7 +544,8 @@ def bert_embed_batch(
         from .deberta import deberta_embed_batch
 
         return deberta_embed_batch(
-            params, ids, mask, config, opts, gather_idx=gather_idx
+            params, ids, mask, config, opts, gather_idx=gather_idx,
+            token_states=token_states,
         )
     opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts)
@@ -551,6 +560,8 @@ def bert_embed_batch(
         lambda h, lp: encoder_layer(h, lp, mask_bias, config, opts,
                                     pos_bias=pos_bias),
     )
+    if token_states:
+        return x.astype(jnp.float32)
     pooled = pool_normalize(x, mask, config.pooling, normalize=False)
     out = _output_head(pooled, params, config)
     if gather_idx is not None:

@@ -208,7 +208,8 @@ def _plain_indices(s: int, config: BertConfig):
     return jnp.asarray(c2p), jnp.asarray(p2c)
 
 
-def deberta_embed_batch(params, ids, mask, config, opts, gather_idx=None):
+def deberta_embed_batch(params, ids, mask, config, opts, gather_idx=None,
+                        token_states=False):
     """Token ids [B, S] + validity mask [B, S] -> embeddings [B, n_embd]
     (same contract as models.bert.bert_embed_batch, dispatched through it
     when config.arch == "deberta")."""
@@ -226,6 +227,8 @@ def deberta_embed_batch(params, ids, mask, config, opts, gather_idx=None):
     c2p_pos, p2c_pos = _plain_indices(s, config)
     pad = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
     x = _run_layers(x, params, rel_table, c2p_pos, p2c_pos, pad, config, opts)
+    if token_states:
+        return x.astype(jnp.float32)
     pooled = pool_normalize(x, mask, config.pooling, normalize=False)
     out = _output_head(pooled, params, config)
     if gather_idx is not None:

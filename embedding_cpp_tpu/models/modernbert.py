@@ -231,7 +231,7 @@ def _run_layers(x, params, aux, bias_global, bias_local, pos, config, opts,
 
 
 def modernbert_embed_batch(params, ids, mask, config, opts,
-                           gather_idx=None):
+                           gather_idx=None, token_states=False):
     """Token ids [B, S] + validity mask [B, S] -> embeddings [B, n_embd].
 
     Same contract as models.bert.bert_embed_batch (invoked through it when
@@ -251,6 +251,8 @@ def modernbert_embed_batch(params, ids, mask, config, opts,
     aux = _layer_aux(config)
     x = _run_layers(x, params, aux, bias_global, bias_local, pos, config,
                     opts, pad=pad)
+    if token_states:
+        return x  # final-norm output, already f32 (HF last_hidden_state)
     pooled = pool_normalize(x, mask, config.pooling, normalize=False)
     out = _output_head(pooled, params, config)
     if gather_idx is not None:

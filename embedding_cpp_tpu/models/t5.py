@@ -160,7 +160,8 @@ def _run_layers(x, params, pos_bias, mask_bias, config, opts):
                     jnp.float32)
 
 
-def t5_embed_batch(params, ids, mask, config, opts, gather_idx=None):
+def t5_embed_batch(params, ids, mask, config, opts, gather_idx=None,
+                   token_states=False):
     """Token ids [B, S] + validity mask [B, S] -> embeddings [B, n_embd]
     (same contract as models.bert.bert_embed_batch, dispatched through it
     when config.arch == "t5")."""
@@ -180,6 +181,8 @@ def t5_embed_batch(params, ids, mask, config, opts, gather_idx=None):
     )  # [H, S, S], batch-invariant
     pad = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
     x = _run_layers(x, params, pos_bias, pad, config, opts)
+    if token_states:
+        return x  # final-RMSNorm output, already f32 (HF last_hidden_state)
     pooled = pool_normalize(x, mask, config.pooling, normalize=False)
     out = _output_head(pooled, params, config)
     if gather_idx is not None:

@@ -563,6 +563,61 @@ class Engine:
         self._concat_combos.add(combo)
         return True
 
+    def _token_states_forward(self, shape: tuple[int, int]):
+        key = ("tokens", shape)
+        fwd = self._fwd_cache.get(key)
+        if fwd is None:
+            from ..models.bert import bert_embed_batch
+
+            config, opts = self.config, self.opts
+
+            @jax.jit
+            def fwd(params, ids, mask):
+                return bert_embed_batch(params, ids, mask, config, opts,
+                                        token_states=True)
+
+            self._fwd_cache[key] = fwd
+        return fwd
+
+    def encode_token_states(self, texts: Sequence[str]) -> list[np.ndarray]:
+        """Per-token final hidden states (HF last_hidden_state): one
+        [len_i, n_embd] f32 array per text, covering exactly the framed
+        tokens (specials included, padding excluded).
+
+        The late-interaction / feature-extraction surface (ColBERT-style
+        scoring, token-level diagnostics).  Unlike encode() there is no
+        pooling, normalization, Dense head, prompt prefixing, packing or
+        transfer compression — and the fetch is ~seq_len times a sentence
+        embedding, so this is a tool, not a throughput path.  The reference
+        has no analog (bert.h returns pooled vectors only)."""
+        return self.token_states_tokens(self.tokenize_batch(texts))
+
+    def token_states_tokens(
+        self, token_lists: Sequence[Sequence[int]]
+    ) -> list[np.ndarray]:
+        """Token-id lists -> per-list [len, n_embd] f32 final hidden
+        states (see encode_token_states)."""
+        from .batching import bucket_for
+
+        out: list[np.ndarray] = []
+        cap = max(self.batch_buckets)
+        for lo in range(0, len(token_lists), cap):
+            chunk = [list(t) for t in token_lists[lo : lo + cap]]
+            lens = [len(t) for t in chunk]
+            s = bucket_for(max(lens), self.seq_buckets)
+            b = bucket_for(len(chunk), self.batch_buckets)
+            ids = np.zeros((b, s), np.int32)
+            mask = np.zeros((b, s), np.int32)
+            for i, toks in enumerate(chunk):
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            with self._lock:  # dispatch/compile under the lock, fetch outside
+                fwd = self._token_states_forward((b, s))
+                dev = fwd(self.params, ids, mask)
+            arr = np.asarray(dev)
+            out.extend(arr[i, :n] for i, n in enumerate(lens))
+        return out
+
     def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Token-id lists -> [n, n_embd] f32 (the reference's
         bert_eval_batch, but actually batched).

@@ -21,6 +21,10 @@ the same device batches) as the TCP protocol.
           "embedding": [...]}], "model": ..., "usage": {...}}
     POST /v1/tokenize     {"input": "text" | ["texts"...]}
                           -> {"ids": [[...]], "tokens": [[...]]}
+    POST /v1/token_embeddings {"input": ...}
+      -> {"data": [{"index": i, "embeddings": [[...] per token]}]}
+                          (per-token final hidden states — the
+                          late-interaction surface; no pooling/prompts)
     POST /v1/index        {"input": ["texts"...]} -> {"total": N}
                           (embed into the on-device vector index; applies
                           the model's document/passage prompt if declared)
@@ -284,6 +288,47 @@ async def handle_http(reader, writer, batcher, model_name: str,
                             [b.engine.id_to_token(int(i)) for i in ids_]
                             for ids_ in id_lists
                         ],
+                    })
+                    b.stats.requests += 1
+                elif path == "/v1/token_embeddings":
+                    # per-token final hidden states (HF last_hidden_state)
+                    # — the late-interaction surface (TEI's /embed_all
+                    # analog).  No pooling/normalization/prompts; the
+                    # response is ~seq_len times an embedding, so the
+                    # request caps do the heavy limiting.
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    if "dimensions" in payload:
+                        raise HttpError(
+                            400,
+                            "dimensions is not supported on "
+                            "/v1/token_embeddings",
+                        )
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        states = await loop.run_in_executor(
+                            None, b.engine.encode_token_states, texts
+                        )
+                    finally:
+                        b.release(len(texts))
+                    out = _json_response(200, {
+                        "object": "token_embeddings",
+                        "data": [
+                            {
+                                "index": i,
+                                "object": "token_embedding",
+                                "embeddings": s.tolist(),
+                            }
+                            for i, s in enumerate(states)
+                        ],
+                        "model": _name,
                     })
                     b.stats.requests += 1
                 elif path == "/v1/index":

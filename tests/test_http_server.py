@@ -584,3 +584,26 @@ def test_http_rerank_multilabel_400():
     finally:
         loop.call_soon_threadsafe(holder["task"].cancel)
         t.join(timeout=5)
+
+
+def test_token_embeddings_endpoint(http_server):
+    """POST /v1/token_embeddings: per-token final hidden states — one
+    [len, E] matrix per input, consistent with the engine's
+    encode_token_states and with the framed token count."""
+    port, _, engine = http_server
+    texts = ["hello world", "the quick brown fox"]
+    status, body = _post(port, "/v1/token_embeddings", {"input": texts})
+    assert status == 200
+    assert body["object"] == "token_embeddings"
+    framed = engine.tokenize_batch(texts)
+    direct = engine.encode_token_states(texts)
+    assert len(body["data"]) == 2
+    for i, row in enumerate(body["data"]):
+        got = np.asarray(row["embeddings"], dtype=np.float32)
+        assert got.shape == (len(framed[i]), engine.config.n_embd)
+        np.testing.assert_allclose(got, direct[i], atol=1e-5)
+    # dimensions is meaningless here (no Matryoshka truncation on raw
+    # states) — reject loudly
+    status, body = _post(port, "/v1/token_embeddings",
+                         {"input": "x", "dimensions": 8})
+    assert status == 400

@@ -124,3 +124,33 @@ def test_mutation_fuzz(tmp_path, valid_gguf_bytes):
                     r.tensor_raw(name)
         except Exception as e:
             assert not isinstance(e, (MemoryError, SystemError)), e
+
+
+def test_hostile_family_kv_rejected_cleanly():
+    """Hostile/nonsense family kv combinations must raise clean ValueErrors
+    at config construction, never load garbage: factorized embeddings on a
+    family without a projection; unknown head activation."""
+    from embedding_cpp_tpu.gguf.constants import Keys as K
+
+    base = {
+        K.TOKENIZER_LIST: [b"x"] * 64,
+        K.CONTEXT_LENGTH: 32,
+        K.EMBEDDING_LENGTH: 32,
+        K.BLOCK_COUNT: 1,
+        K.HEAD_COUNT: 4,
+        K.FEED_FORWARD_LENGTH: 64,
+    }
+    # bert.embedding_width on a plain bert file: no emb_proj tensors exist
+    # for the family — reject rather than silently mis-shape the tables
+    with pytest.raises(ValueError, match="factorized"):
+        BertConfig.from_gguf_kv({**base, K.EMB_WIDTH: 16})
+    with pytest.raises(ValueError, match="head_activation"):
+        BertConfig.from_gguf_kv(
+            {**base, K.N_LABELS: 1, K.HEAD_ACTIVATION: "exp"}
+        )
+    # unknown architectures fall back to the bert schema (reference files
+    # carry no architecture kv at all)
+    c = BertConfig.from_gguf_kv(
+        {**base, Keys.ARCHITECTURE: "some-future-arch"}
+    )
+    assert c.arch == "bert"

@@ -26,7 +26,13 @@ def main() -> None:
     p.add_argument("--legacy", action="store_true",
                    help="write the legacy pre-GGUF .bin format "
                         "(convert-to-ggml.py; f32/f16 only)")
+    p.add_argument("--sparse", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="keep the MLM head for SPLADE sparse encoding "
+                        "(default: auto-detect from modules.json)")
     args = p.parse_args()
+    if args.sparse and (args.legacy or args.model_dir.endswith(".bin")):
+        p.error("--sparse applies to HF-dir -> GGUF conversion only")
     if args.all_ftypes and (args.legacy or args.model_dir.endswith(".bin")):
         p.error("--all-ftypes applies to HF-dir -> GGUF conversion only "
                 "(not --legacy output or .bin upgrades)")
@@ -45,10 +51,11 @@ def main() -> None:
         os.makedirs(args.output, exist_ok=True)
         for ftype in ("f32", "f16", "q4_0", "q4_1", "q8_0"):
             out = os.path.join(args.output, f"ggml-model-{ftype}.gguf")
-            convert_hf_dir(args.model_dir, out, ftype)
+            convert_hf_dir(args.model_dir, out, ftype, sparse=args.sparse)
             print(f"wrote {out}")
     else:
-        convert_hf_dir(args.model_dir, args.output, args.ftype or "f32")
+        convert_hf_dir(args.model_dir, args.output, args.ftype or "f32",
+                       sparse=args.sparse)
         print(f"wrote {args.output}")
 
 

@@ -1,7 +1,7 @@
 """Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-albert|tiny-electra|tiny-t5|tiny-deberta|tiny-reranker|tiny-modernbert-reranker|tiny-deberta-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
+           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-albert|tiny-electra|tiny-t5|tiny-deberta|tiny-splade|tiny-reranker|tiny-modernbert-reranker|tiny-deberta-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
            [--ftype f32] [--seed 0]
 
 The roberta preset carries a trained byte-level BPE tokenizer; xlmr a trained
@@ -104,6 +104,13 @@ PRESETS = {
     "tiny-electra": BertConfig(
         n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
         arch="electra", n_embd_emb=32, name="tiny-electra-test",
+    ),
+    # SPLADE sparse encoder: BERT encoder + MLM prediction head (drives
+    # encode_sparse / /v1/sparse_embeddings hermetically); random weights
+    # still exercise the full max-log1p-relu + top-k pipeline
+    "tiny-splade": BertConfig(
+        n_vocab=1000, n_ctx=128, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        mlm_head=True, name="tiny-splade-test",
     ),
     # cross-encoder reranker: BERT encoder + classification head (drives
     # the rerank CLI / /v1/rerank route hermetically)

@@ -173,6 +173,11 @@ class Keys:
     HEAD_DIM = f"{ARCH}.attention.key_length"
     FFN_ACT = f"{ARCH}.ffn_activation"
     FFN_GATED = f"{ARCH}.ffn_gated"
+    # SPLADE sparse encoder (our extension): the model carries its MLM
+    # prediction head and produces |V|-dim sparse lexical vectors via
+    # max-over-tokens log1p(relu(logits)) pooling instead of dense
+    # sentence embeddings (the reference is dense-only, bert.h:41-92)
+    MLM_HEAD = f"{ARCH}.mlm_head"
     # sentence-transformers named prompt prefixes (our extension; prefix
     # models — e5's "query: "/"passage: ", bge/gte instructions — silently
     # degrade without them).  PROMPTS is a JSON object {name: prefix};

@@ -3,6 +3,7 @@ from .bert import (
     ComputeOptions,
     bert_embed_batch,
     bert_score_batch,
+    bert_sparse_batch,
     make_forward,
     mean_pool_normalize,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "ComputeOptions",
     "bert_embed_batch",
     "bert_score_batch",
+    "bert_sparse_batch",
     "make_forward",
     "mean_pool_normalize",
     "load_params",

@@ -569,6 +569,98 @@ def bert_embed_batch(
     return _cast_output(out, opts)
 
 
+def _sparse_chunk(s: int, cap: int = 64) -> int:
+    """Largest divisor of s that is <= cap: the per-step token count of the
+    chunked MLM-logits scan.  Bounds the materialized [B, chunk, V] logits
+    tile (V ~ 30k: a whole-sequence [B, S, V] f32 tensor would be ~2 GB at
+    [32, 512])."""
+    for c in range(min(cap, s), 0, -1):
+        if s % c == 0:
+            return c
+    return 1
+
+
+def bert_sparse_batch(
+    params: dict,
+    ids: Array,
+    mask: Array,
+    config: BertConfig,
+    opts: ComputeOptions,
+    k: int,
+    gather_idx: Array | None = None,
+) -> Array:
+    """SPLADE sparse encoding: token ids [B, S] -> packed top-k sparse
+    vectors [B (or M), 2k] uint32.
+
+    The sparse-retrieval surface (SPLADE-max, Formal et al. 2021; the
+    sentence-transformers SparseEncoder MLMTransformer+SpladePooling stack):
+    every token's final hidden state runs the checkpoint's MLM prediction
+    head — t = LayerNorm(gelu(h @ W_d + b_d)); logits = t @ W_wordᵀ + b —
+    and the sentence's |V|-dim sparse vector is max over its (real) tokens
+    of log1p(relu(logits)).  The reference is dense-only (bert.h:41-92).
+
+    TPU shape: the logits matmul is chunked over the sequence with a
+    running max (a lax.scan; the [B, S, V] activation never materializes),
+    the |V|-dim vector is immediately top-k'd ON DEVICE, and indices+values
+    leave as ONE bit-packed uint32 array (unpack_sparse_topk) — ~2k entries
+    instead of a 30k-float row per sentence, one fetch per batch (the relay
+    pays a round trip per fetch, see pack_output_i8).
+    """
+    mlm = params.get("mlm")
+    if mlm is None:
+        raise ValueError("model has no MLM head (not a SPLADE checkpoint)")
+    opts = resolve_impls(opts)
+    from ..ops.linear import linear
+
+    h = bert_embed_batch(params, ids, mask, config, opts, token_states=True)
+    b, s, e = h.shape
+    cs = _sparse_chunk(s)
+    # transform in f32 (two tiny ops), then the decoder matmul in the
+    # activation dtype per chunk
+    t = h @ mlm["dense_w"] + mlm["dense_b"]
+    t = gelu(t, config.gelu)
+    t = layer_norm(t, mlm["ln_scale"], mlm["ln_bias"], config.layer_norm_eps,
+                   opts.jdtype)
+    tc = t.reshape(b, s // cs, cs, e).transpose(1, 0, 2, 3)  # [n, B, cs, E]
+    mc = mask.reshape(b, s // cs, cs).transpose(1, 0, 2)  # [n, B, cs]
+
+    def step(acc, xs):
+        tch, mch = xs
+        logits = linear(tch, mlm["decoder_w"], mlm["bias"],
+                        q4_impl=opts.q4_impl)  # [B, cs, V]
+        w = jnp.log1p(jax.nn.relu(logits.astype(jnp.float32)))
+        w = w * mch.astype(jnp.float32)[..., None]
+        return jnp.maximum(acc, jnp.max(w, axis=1)), None
+
+    acc0 = jnp.zeros((b, config.n_vocab), jnp.float32)
+    sparse, _ = jax.lax.scan(step, acc0, (tc, mc))
+    if gather_idx is not None:
+        sparse = sparse[gather_idx]
+    val, idx = jax.lax.top_k(sparse, k)
+    return pack_sparse_topk(idx, val)
+
+
+def pack_sparse_topk(idx: Array, val: Array) -> Array:
+    """Bit-pack top-k sparse entries into ONE uint32 array [..., 2k]:
+    indices first, f32 values bitcast behind them (one device->host fetch —
+    same rationale as pack_output_i8)."""
+    iv = jax.lax.bitcast_convert_type(idx.astype(jnp.int32), jnp.uint32)
+    vv = jax.lax.bitcast_convert_type(val.astype(jnp.float32), jnp.uint32)
+    return jnp.concatenate([iv, vv], axis=-1)
+
+
+def unpack_sparse_topk(packed) -> tuple["np.ndarray", "np.ndarray"]:
+    """Host-side decode of pack_sparse_topk: uint32 [..., 2k] ->
+    (int32 indices [..., k], f32 values [..., k])."""
+    import numpy as np
+
+    packed = np.ascontiguousarray(packed)
+    k = packed.shape[-1] // 2
+    idx = packed[..., :k].view(np.int32)
+    val = packed[..., k:].view(np.float32)
+    return idx, val
+
+
 def bert_score_batch(
     params: dict,
     ids: Array,

@@ -139,6 +139,14 @@ class BertConfig:
     # head_activation selects the act, the tensor names live in schema.py.
     n_labels: int = 0
     head_activation: str = "tanh"  # "tanh" | "relu"
+    # SPLADE sparse encoder (naver/splade-*, opensearch neural-sparse,
+    # sentence-transformers SparseEncoder MLMTransformer+SpladePooling):
+    # the checkpoint keeps its MLM prediction head and the model emits
+    # |V|-dim sparse lexical vectors — max over tokens of
+    # log1p(relu(mlm_logits)) (SPLADE-max, Formal et al. 2021) — instead
+    # of dense pooled embeddings.  The decoder projection is the tied
+    # word-embedding table (conversion rejects untied checkpoints).
+    mlm_head: bool = False
     # factorized embedding-table width (ALBERT's embedding_size 128,
     # ELECTRA-small's 128; 0 = the table is n_embd wide, no projection).
     # When set, the word/position/token-type tables and the embedding
@@ -186,6 +194,13 @@ class BertConfig:
             raise ValueError(
                 f"unsupported head_activation {self.head_activation!r} "
                 "(supported: tanh, relu, gelu)"
+            )
+        if self.mlm_head and self.arch not in (
+            "bert", "roberta", "distilbert"
+        ):
+            raise ValueError(
+                "mlm_head (SPLADE sparse encoding) is only supported for "
+                f"bert/roberta/distilbert, not {self.arch!r}"
             )
         if self.n_embd_emb and self.arch not in ("albert", "electra"):
             raise ValueError(
@@ -244,6 +259,7 @@ class BertConfig:
             local_rope_theta=float(kv.get(Keys.ROPE_FREQ_BASE_LOCAL, 0.0)),
             global_attn_every=int(kv.get(Keys.GLOBAL_ATTN_EVERY, 0)),
             local_window=int(kv.get(Keys.LOCAL_ATTN_WINDOW, 0)),
+            mlm_head=bool(kv.get(Keys.MLM_HEAD, False)),
             n_labels=int(kv.get(Keys.N_LABELS, 0)),
             head_activation=str(
                 kv.get(

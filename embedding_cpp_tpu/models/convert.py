@@ -136,6 +136,8 @@ def write_bert_gguf(
     if config.n_labels:
         w.add_uint32(Keys.N_LABELS, config.n_labels)
         w.add_string(Keys.HEAD_ACTIVATION, config.head_activation)
+    if config.mlm_head:
+        w.add_bool(Keys.MLM_HEAD, True)
     if prompts:
         # named prompt prefixes (config_sentence_transformers.json); JSON
         # object so arbitrary names/unicode survive the kv string type
@@ -230,11 +232,35 @@ def write_bert_gguf(
     w.write(os.fspath(out_path))
 
 
-def load_hf_dir(model_dir: str | os.PathLike):
+def _detect_sparse(model_dir: Path) -> bool:
+    """True when the checkpoint is a sentence-transformers SparseEncoder
+    (modules.json stacks MLMTransformer + SpladePooling — the SPLADE
+    packaging; raw naver/splade-* BertForMaskedLM dirs carry no modules.json
+    and need an explicit sparse=True)."""
+    path = model_dir / "modules.json"
+    if not path.is_file():
+        return False
+    try:
+        with open(path) as f:
+            modules = json.load(f)
+    except (OSError, ValueError):
+        return False
+    types = {str(m.get("type", "")) for m in modules if isinstance(m, dict)}
+    return any("SpladePooling" in t for t in types)
+
+
+def load_hf_dir(model_dir: str | os.PathLike, *, sparse: bool | None = None):
     """Load a local HF BERT checkpoint directory (config.json /
     tokenizer.json / safetensors-or-pytorch weights, no network) into
-    (config, state_dict, tokenizer_json, special_id_overrides, hf_repo)."""
+    (config, state_dict, tokenizer_json, special_id_overrides, hf_repo).
+
+    sparse: keep the MLM prediction head and mark the model as a SPLADE
+    sparse encoder (config.mlm_head) instead of dropping the head like the
+    dense conversion does.  None = auto-detect from modules.json
+    (SpladePooling)."""
     model_dir = Path(model_dir)
+    if sparse is None:
+        sparse = _detect_sparse(model_dir)
     with open(model_dir / "config.json") as f:
         hf_config = json.load(f)
     archs = hf_config.get("architectures") or []
@@ -302,15 +328,36 @@ def load_hf_dir(model_dir: str | os.PathLike):
               "discriminator_predictions.", "generator_predictions.",
               "generator_lm_head.", "lm_predictions.", "mask_predictions.")
     is_seq_cls = bool(archs) and archs[0].endswith("ForSequenceClassification")
+    if sparse and is_seq_cls:
+        raise ValueError(
+            "sparse (SPLADE) conversion requires a *ForMaskedLM checkpoint, "
+            f"not {archs[0]}"
+        )
     if not is_seq_cls:
         # ModernBertForMaskedLM reuses the "head." prediction-head names the
         # classification checkpoints carry — dead weight without a classifier
         _HEADS = _HEADS + ("head.",)
+    keep: frozenset[str] = frozenset()
+    if sparse:
+        # SPLADE: the MLM prediction head IS the model's output head — keep
+        # the family's canonical head names (plus the tied decoder views,
+        # verified and dropped below) through the head filter
+        from .schema import MLM_TIED_TENSORS, _MLM_TENSORS_BY_ARCH
+
+        if config.arch not in _MLM_TENSORS_BY_ARCH:
+            raise ValueError(
+                "sparse (SPLADE) conversion is only supported for "
+                f"bert/roberta/distilbert, not {config.arch!r}"
+            )
+        keep = frozenset(_MLM_TENSORS_BY_ARCH[config.arch]) | MLM_TIED_TENSORS
     state_dict = {
         next((k[len(p):] for p in _PREFIXES if k.startswith(p)), k): v
         for k, v in state_dict.items()
-        if not k.startswith(_HEADS)
+        if k in keep or not k.startswith(_HEADS)
     }
+    if sparse:
+        config = dataclasses.replace(config, mlm_head=True)
+        state_dict = _canonicalize_mlm_head(config, state_dict)
     if dense is not None:
         config = dataclasses.replace(
             config, dense_out=out_features, dense_activation=activation
@@ -351,17 +398,64 @@ def load_hf_dir(model_dir: str | os.PathLike):
     )
 
 
+def _canonicalize_mlm_head(config, state_dict: dict) -> dict:
+    """Verify the MLM decoder ties to the word table and normalize the tied
+    views to the canonical schema names (models/schema.mlm_tensors).
+
+    HF ForMaskedLM state dicts serialize tied tensors inconsistently:
+    safetensors stores the shared storage ONCE (decoder.weight absent),
+    torch dicts may carry both views.  When a decoder view is present it
+    must equal its tie target — an untied (fine-tuned-apart) decoder can't
+    ride the word table and is rejected loudly."""
+    from .schema import mlm_tensors
+
+    word = np.asarray(state_dict["embeddings.word_embeddings.weight"])
+    decoder_name, bias_alias, bias_canon = {
+        "bert": ("cls.predictions.decoder.weight",
+                 "cls.predictions.decoder.bias", "cls.predictions.bias"),
+        "roberta": ("lm_head.decoder.weight",
+                    "lm_head.decoder.bias", "lm_head.bias"),
+        "distilbert": ("vocab_projector.weight",
+                       None, "vocab_projector.bias"),
+    }[config.arch]
+    dec = state_dict.pop(decoder_name, None)
+    if dec is not None and not np.array_equal(np.asarray(dec), word):
+        raise ValueError(
+            f"{decoder_name} is not tied to the word-embedding table; "
+            "untied MLM decoders are not supported (no published SPLADE "
+            "checkpoint unties them)"
+        )
+    if bias_alias is not None:
+        alias = state_dict.pop(bias_alias, None)
+        if alias is not None:
+            canon = state_dict.get(bias_canon)
+            if canon is None:
+                state_dict[bias_canon] = alias
+            elif not np.array_equal(np.asarray(alias), np.asarray(canon)):
+                raise ValueError(
+                    f"{bias_alias} differs from {bias_canon}; "
+                    "inconsistent tied MLM bias views"
+                )
+    missing = [n for n in mlm_tensors(config) if n not in state_dict]
+    if missing:
+        raise ValueError(f"MLM head tensors missing from checkpoint: {missing}")
+    return state_dict
+
+
 def convert_hf_dir(
     model_dir: str | os.PathLike,
     out_path: str | os.PathLike,
     ftype: str | GGUFFileType = "f32",
+    *,
+    sparse: bool | None = None,
 ) -> None:
     """Convert a local HF BERT checkpoint directory to GGUF
-    (the reference's models/convert-to-gguf.py)."""
+    (the reference's models/convert-to-gguf.py).  sparse: keep the MLM head
+    for SPLADE sparse encoding (None = auto-detect, see load_hf_dir)."""
     if isinstance(ftype, str):
         ftype = FTYPE_NAMES[ftype]
     config, state_dict, tokenizer_json, overrides, repo, prompts = (
-        load_hf_dir(model_dir)
+        load_hf_dir(model_dir, sparse=sparse)
     )
     write_bert_gguf(
         out_path,

@@ -232,6 +232,25 @@ def build_params(
             else:
                 dense["b"] = source.dense(name, shape, f32)
         params["dense"] = dense
+    if getattr(config, "mlm_head", False):
+        # SPLADE MLM head: the transform linear + LayerNorm stay f32 (tiny,
+        # accuracy over throughput); the decoder projection is the TIED word
+        # table re-packed in matmul orientation — quantized payloads stay
+        # packed (the [B*S, E] @ [E, V] logits matmul is the sparse path's
+        # one big MXU op, served by the same fused dequant kernels as the
+        # encoder), at the cost of a second 4/8-bit copy of the table.
+        word_name = "embeddings.word_embeddings.weight"
+        mlm = {}
+        for name, (key, shape_fn) in schema.mlm_tensors(config).items():
+            shape = shape_fn(config)
+            if key == "mlm_dense_w":
+                mlm["dense_w"] = source.dense_t(name, shape, f32)
+            else:
+                mlm[key.removeprefix("mlm_")] = source.dense(name, shape, f32)
+        mlm["decoder_w"] = source.matmul_weight(
+            word_name, (config.n_vocab, config.emb_width), dense_dtype, keep_q4
+        )
+        params["mlm"] = mlm
     if config.n_labels:
         # sequence-classification head (cross-encoder rerankers): two tiny
         # linears computed in f32 on the CLS hidden state — dense at load
@@ -342,6 +361,16 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
         # head biases stay random (unlike encoder biases) so parity tests
         # exercise the bias adds of both head linears
         sd[name] = init(shape_fn(config))
+    for name, (key, shape_fn) in schema.mlm_tensors(config).items():
+        shape = shape_fn(config)
+        if key == "mlm_ln_scale":
+            sd[name] = np.ones(shape, np.float32)
+        elif key == "mlm_ln_bias":
+            sd[name] = np.zeros(shape, np.float32)
+        else:
+            # the |V| output bias stays random so sparse-parity tests
+            # exercise the decoder bias add
+            sd[name] = init(shape)
     return sd
 
 

@@ -385,6 +385,70 @@ def head_tensors(config) -> dict:
         return {}
     return _HEAD_TENSORS_BY_ARCH[config.arch]
 
+
+# --- MLM prediction heads (SPLADE sparse encoders) -----------------------------
+# Present only when config.mlm_head.  Every family computes
+# logits = LayerNorm(gelu(dense(h))) @ word_embeddingsᵀ + bias — the decoder
+# projection is TIED to the word table (HF ties them by default; conversion
+# rejects untied checkpoints), so only the transform linear, its LayerNorm
+# and the |V| output bias are stored.  HF state-dict names per family:
+#   bert        — BertLMPredictionHead: cls.predictions.transform.* +
+#                 cls.predictions.bias (decoder.weight/bias are tied views);
+#   roberta     — RobertaLMHead: lm_head.dense/layer_norm + lm_head.bias;
+#   distilbert  — vocab_transform + vocab_layer_norm + vocab_projector.bias.
+# The reference has no MLM/sparse surface at all (bert.h:41-92).
+_BERT_MLM_TENSORS = {
+    "cls.predictions.transform.dense.weight": (
+        "mlm_dense_w", lambda c: (c.n_embd, c.n_embd)),
+    "cls.predictions.transform.dense.bias": (
+        "mlm_dense_b", lambda c: (c.n_embd,)),
+    "cls.predictions.transform.LayerNorm.weight": (
+        "mlm_ln_scale", lambda c: (c.n_embd,)),
+    "cls.predictions.transform.LayerNorm.bias": (
+        "mlm_ln_bias", lambda c: (c.n_embd,)),
+    "cls.predictions.bias": ("mlm_bias", lambda c: (c.n_vocab,)),
+}
+_ROBERTA_MLM_TENSORS = {
+    "lm_head.dense.weight": ("mlm_dense_w", lambda c: (c.n_embd, c.n_embd)),
+    "lm_head.dense.bias": ("mlm_dense_b", lambda c: (c.n_embd,)),
+    "lm_head.layer_norm.weight": ("mlm_ln_scale", lambda c: (c.n_embd,)),
+    "lm_head.layer_norm.bias": ("mlm_ln_bias", lambda c: (c.n_embd,)),
+    "lm_head.bias": ("mlm_bias", lambda c: (c.n_vocab,)),
+}
+_DISTILBERT_MLM_TENSORS = {
+    "vocab_transform.weight": ("mlm_dense_w", lambda c: (c.n_embd, c.n_embd)),
+    "vocab_transform.bias": ("mlm_dense_b", lambda c: (c.n_embd,)),
+    "vocab_layer_norm.weight": ("mlm_ln_scale", lambda c: (c.n_embd,)),
+    "vocab_layer_norm.bias": ("mlm_ln_bias", lambda c: (c.n_embd,)),
+    "vocab_projector.bias": ("mlm_bias", lambda c: (c.n_vocab,)),
+}
+_MLM_TENSORS_BY_ARCH = {
+    "bert": _BERT_MLM_TENSORS,
+    "roberta": _ROBERTA_MLM_TENSORS,
+    "distilbert": _DISTILBERT_MLM_TENSORS,
+}
+
+
+def mlm_tensors(config) -> dict:
+    """MLM prediction-head tensor map (empty unless config.mlm_head)."""
+    if not getattr(config, "mlm_head", False):
+        return {}
+    return _MLM_TENSORS_BY_ARCH[config.arch]
+
+
+# Tied views of the MLM decoder projection that ForMaskedLM state dicts may
+# carry alongside the canonical names above — the converter verifies the tie
+# and drops these (the decoder IS the word table / cls.predictions.bias).
+MLM_TIED_TENSORS = frozenset(
+    {
+        "cls.predictions.decoder.weight",
+        "cls.predictions.decoder.bias",
+        "lm_head.decoder.weight",
+        "lm_head.decoder.bias",
+        "vocab_projector.weight",
+    }
+)
+
 # Tensors the converter intentionally drops (convert-to-gguf.py:294-321),
 # plus the same-role buffers of the sibling families (token_type_ids is a
 # registered non-persistent buffer in newer transformers checkpoints).
@@ -497,4 +561,5 @@ def all_tensor_names(n_layer: int, config=None) -> list[str]:
     if config is not None:
         names.extend(extra_tensors(config))
         names.extend(head_tensors(config))
+        names.extend(mlm_tensors(config))
     return names

@@ -618,6 +618,70 @@ class Engine:
             out.extend(arr[i, :n] for i, n in enumerate(lens))
         return out
 
+    def _sparse_forward(self, shape: tuple[int, int], k: int):
+        key = ("sparse", shape, k)
+        fwd = self._fwd_cache.get(key)
+        if fwd is None:
+            from ..models.bert import bert_sparse_batch
+
+            config, opts = self.config, self.opts
+
+            @jax.jit
+            def fwd(params, ids, mask):
+                return bert_sparse_batch(params, ids, mask, config, opts, k)
+
+            self._fwd_cache[key] = fwd
+        return fwd
+
+    def encode_sparse(
+        self, texts: Sequence[str], k: int = 256
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """SPLADE sparse encoding: one (int32 term ids, f32 weights) pair
+        per text, entries sorted by descending weight, zero-weight slots
+        trimmed.  `k` caps the active terms per sentence (the device top-k
+        width; published SPLADE checkpoints average ~50-300 active terms).
+
+        Requires an MLM-head checkpoint (config.mlm_head — SPLADE /
+        opensearch neural-sparse models; see models/bert.bert_sparse_batch
+        for the math).  The reference is dense-only (bert.h:41-92)."""
+        return self.sparse_tokens(self.tokenize_batch(texts), k=k)
+
+    def sparse_tokens(
+        self, token_lists: Sequence[Sequence[int]], k: int = 256
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Token-id lists -> per-list (term ids, weights) sparse vectors
+        (see encode_sparse)."""
+        from ..models.bert import unpack_sparse_topk
+        from .batching import bucket_for
+
+        if not self.config.mlm_head:
+            raise ValueError(
+                "model has no MLM head (not a SPLADE checkpoint)"
+            )
+        k = min(int(k), self.config.n_vocab)
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        out: list[tuple[np.ndarray, np.ndarray]] = []
+        cap = max(self.batch_buckets)
+        for lo in range(0, len(token_lists), cap):
+            chunk = [list(t) for t in token_lists[lo : lo + cap]]
+            lens = [len(t) for t in chunk]
+            s = bucket_for(max(lens), self.seq_buckets)
+            b = bucket_for(len(chunk), self.batch_buckets)
+            ids = np.zeros((b, s), np.int32)
+            mask = np.zeros((b, s), np.int32)
+            for i, toks in enumerate(chunk):
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            with self._lock:  # dispatch/compile under the lock, fetch outside
+                fwd = self._sparse_forward((b, s), k)
+                dev = fwd(self.params, ids, mask)
+            idx, val = unpack_sparse_topk(np.asarray(dev))
+            for i in range(len(chunk)):
+                n = int(np.count_nonzero(val[i] > 0.0))
+                out.append((idx[i, :n].copy(), val[i, :n].copy()))
+        return out
+
     def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Token-id lists -> [n, n_embd] f32 (the reference's
         bert_eval_batch, but actually batched).

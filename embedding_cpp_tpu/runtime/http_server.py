@@ -331,6 +331,64 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         "model": _name,
                     })
                     b.stats.requests += 1
+                elif path == "/v1/sparse_embeddings":
+                    # SPLADE sparse lexical vectors (Engine.encode_sparse):
+                    # {indices, values} pairs per input, optionally with the
+                    # vocab terms resolved ("return_tokens": true).  Needs
+                    # an MLM-head checkpoint; dense models get a clean 400.
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    if "dimensions" in payload:
+                        raise HttpError(
+                            400,
+                            "dimensions is not supported on "
+                            "/v1/sparse_embeddings",
+                        )
+                    k = int(payload.get("k", 256))
+                    if not (0 < k <= 4096):
+                        raise HttpError(400, "k must be in [1, 4096]")
+                    want_tokens = payload.get("return_tokens", False)
+                    if not isinstance(want_tokens, bool):
+                        raise HttpError(400, "return_tokens must be boolean")
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    if not b.engine.config.mlm_head:
+                        raise HttpError(
+                            400,
+                            f"model {_name!r} has no MLM head (not a SPLADE "
+                            "sparse encoder)",
+                        )
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        pairs = await loop.run_in_executor(
+                            None, lambda: b.engine.encode_sparse(texts, k=k)
+                        )
+                    finally:
+                        b.release(len(texts))
+                    data = []
+                    for i, (idx, val) in enumerate(pairs):
+                        row = {
+                            "object": "sparse_embedding",
+                            "index": i,
+                            "indices": [int(j) for j in idx],
+                            "values": [float(v) for v in val],
+                        }
+                        if want_tokens:
+                            row["tokens"] = [
+                                b.engine.id_to_token(int(j)) for j in idx
+                            ]
+                        data.append(row)
+                    out = _json_response(200, {
+                        "object": "list",
+                        "data": data,
+                        "model": _name,
+                    })
+                    b.stats.requests += 1
                 elif path == "/v1/index":
                     if method != "POST":
                         raise HttpError(405, "POST required")

@@ -1,0 +1,414 @@
+"""SPLADE sparse encoding (models/bert.bert_sparse_batch,
+Engine.encode_sparse, /v1/sparse_embeddings): MLM-head parity vs HF torch,
+top-k packing, conversion with tied-decoder verification.  The reference is
+dense-only (bert.h:41-92)."""
+import asyncio
+import http.client
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from embedding_cpp_tpu.models import (
+    BertConfig,
+    ComputeOptions,
+    bert_sparse_batch,
+    random_params,
+    random_state_dict,
+)
+from embedding_cpp_tpu.models.bert import pack_sparse_topk, unpack_sparse_topk
+from embedding_cpp_tpu.models.params import build_params, source_from_arrays
+
+F32 = ComputeOptions(dtype="float32")
+
+CFG = BertConfig(
+    n_vocab=500, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+    mlm_head=True, name="sparse-test",
+)
+
+
+def _splade_torch(model, ids, mask, torch):
+    """Reference SPLADE-max on an HF ForMaskedLM model."""
+    with torch.no_grad():
+        logits = model(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(mask).long(),
+        ).logits.numpy()
+    w = np.log1p(np.maximum(logits, 0.0)) * mask[..., None]
+    return w.max(axis=1)
+
+
+def _dense_from_topk(idx, val, n_vocab):
+    out = np.zeros(idx.shape[:-1] + (n_vocab,), np.float32)
+    np.put_along_axis(out, idx.astype(np.int64), val, axis=-1)
+    return out
+
+
+def _ids_and_mask(rng, b, s, n_vocab):
+    ids = rng.integers(0, n_vocab, size=(b, s)).astype(np.int32)
+    mask = np.ones((b, s), np.int32)
+    mask[:, s - 4 :] = 0
+    return ids, mask
+
+
+def test_hf_parity_bert():
+    """Full-vocab sparse vector matches HF torch BertForMaskedLM SPLADE-max
+    with identical random weights (k = |V| reconstructs the dense vector)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    sd = random_state_dict(CFG, seed=11)
+    hf_config = transformers.BertConfig(
+        vocab_size=CFG.n_vocab, hidden_size=CFG.n_embd,
+        num_hidden_layers=CFG.n_layer, num_attention_heads=CFG.n_head,
+        intermediate_size=CFG.n_ff, max_position_embeddings=CFG.n_ctx,
+        layer_norm_eps=CFG.layer_norm_eps, hidden_act="gelu",
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        tie_word_embeddings=True,
+    )
+    model = transformers.BertForMaskedLM(hf_config)
+    model.eval()
+    hf_sd = {
+        (k if k.startswith("cls.") else "bert." + k): torch.from_numpy(v)
+        for k, v in sd.items()
+    }
+    missing, unexpected = model.load_state_dict(hf_sd, strict=False)
+    assert not unexpected
+    # tied decoder views / buffers are the only acceptable absences
+    assert all(
+        "position_ids" in m or "decoder" in m for m in missing
+    ), missing
+    model.tie_weights()
+
+    rng = np.random.default_rng(12)
+    ids, mask = _ids_and_mask(rng, 4, 20, CFG.n_vocab)
+    expected = _splade_torch(model, ids, mask, torch)
+
+    params = build_params(source_from_arrays(sd), CFG)
+    packed = np.asarray(
+        bert_sparse_batch(params, ids, mask, CFG, F32, k=CFG.n_vocab)
+    )
+    idx, val = unpack_sparse_topk(packed)
+    got = _dense_from_topk(idx, val, CFG.n_vocab)
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_hf_parity_distilbert():
+    """DistilBERT MLM head (vocab_transform/vocab_layer_norm/
+    vocab_projector) against HF DistilBertForMaskedLM."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = BertConfig(
+        n_vocab=500, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        n_token_types=0, arch="distilbert", mlm_head=True,
+        name="sparse-distil-test",
+    )
+    sd = random_state_dict(cfg, seed=13)
+    hf_config = transformers.DistilBertConfig(
+        vocab_size=cfg.n_vocab, dim=cfg.n_embd, n_layers=cfg.n_layer,
+        n_heads=cfg.n_head, hidden_dim=cfg.n_ff,
+        max_position_embeddings=cfg.n_ctx, dropout=0.0,
+        attention_dropout=0.0, activation="gelu", tie_weights_=True,
+    )
+    model = transformers.DistilBertForMaskedLM(hf_config)
+    model.eval()
+    head = ("vocab_transform.", "vocab_layer_norm.", "vocab_projector.")
+    hf_sd = {
+        (k if k.startswith(head) else "distilbert." + k): torch.from_numpy(v)
+        for k, v in sd.items()
+    }
+    missing, unexpected = model.load_state_dict(hf_sd, strict=False)
+    assert not unexpected
+    assert all(
+        "position_ids" in m or "vocab_projector.weight" in m for m in missing
+    ), missing
+    model.tie_weights()
+
+    rng = np.random.default_rng(14)
+    ids, mask = _ids_and_mask(rng, 3, 18, cfg.n_vocab)
+    expected = _splade_torch(model, ids, mask, torch)
+
+    params = build_params(source_from_arrays(sd), cfg)
+    packed = np.asarray(
+        bert_sparse_batch(params, ids, mask, cfg, F32, k=cfg.n_vocab)
+    )
+    idx, val = unpack_sparse_topk(packed)
+    got = _dense_from_topk(idx, val, cfg.n_vocab)
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 30522, size=(5, 32)).astype(np.int32)
+    val = np.abs(rng.standard_normal((5, 32))).astype(np.float32)
+    packed = np.asarray(pack_sparse_topk(idx, val))
+    assert packed.dtype == np.uint32 and packed.shape == (5, 64)
+    i2, v2 = unpack_sparse_topk(packed)
+    np.testing.assert_array_equal(i2, idx)
+    np.testing.assert_array_equal(v2, val)
+
+
+def test_quantized_decoder_close_to_f32():
+    """q8_0 file: the decoder matmul rides the packed word table; sparse
+    weights stay within quantization-class tolerance of the f32 file."""
+    from embedding_cpp_tpu.gguf import GGUFFileType
+
+    rng = np.random.default_rng(3)
+    ids, mask = _ids_and_mask(rng, 2, 16, CFG.n_vocab)
+    dense = {}
+    for ftype in (GGUFFileType.ALL_F32, GGUFFileType.MOSTLY_Q8_0):
+        params = random_params(CFG, ftype, seed=5)
+        packed = np.asarray(
+            bert_sparse_batch(params, ids, mask, CFG, F32, k=CFG.n_vocab)
+        )
+        idx, val = unpack_sparse_topk(packed)
+        dense[ftype] = _dense_from_topk(idx, val, CFG.n_vocab)
+    err = np.abs(dense[GGUFFileType.ALL_F32] - dense[GGUFFileType.MOSTLY_Q8_0])
+    assert err.max() < 0.05, err.max()
+
+
+def test_non_mlm_model_raises():
+    cfg = BertConfig(
+        n_vocab=200, n_ctx=32, n_embd=32, n_layer=1, n_head=2, n_ff=64,
+    )
+    params = random_params(cfg, seed=0)
+    ids = np.zeros((1, 8), np.int32)
+    mask = np.ones((1, 8), np.int32)
+    with pytest.raises(ValueError, match="MLM head"):
+        bert_sparse_batch(params, ids, mask, cfg, F32, k=8)
+
+
+def test_mlm_head_arch_gate():
+    with pytest.raises(ValueError, match="mlm_head"):
+        BertConfig(
+            n_vocab=200, n_ctx=32, n_embd=32, n_layer=1, n_head=2, n_ff=64,
+            n_token_types=0, arch="t5", mlm_head=True,
+        )
+
+
+def test_engine_encode_sparse(tmp_path):
+    """tiny-splade GGUF end-to-end: trimmed, descending, k-clamped; dense
+    encode still works on the same model; k validation."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.cli.make_test_model import make_test_model
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    path = tmp_path / "splade.gguf"
+    make_test_model(str(path), "tiny-splade", "f32")
+    eng = Engine.from_gguf(str(path))
+    assert eng.config.mlm_head
+
+    texts = ["hello world", "a longer sentence with several more words"]
+    out = eng.encode_sparse(texts, k=32)
+    assert len(out) == 2
+    for idx, val in out:
+        assert idx.dtype == np.int32 and val.dtype == np.float32
+        assert len(idx) == len(val) <= 32
+        assert np.all(val > 0)
+        assert np.all(np.diff(val) <= 1e-7)  # descending
+        assert len(set(idx.tolist())) == len(idx)
+    # k clamps to the vocab size rather than erroring
+    big = eng.encode_sparse(["hello"], k=10**6)
+    assert len(big[0][0]) <= eng.config.n_vocab
+    with pytest.raises(ValueError, match="k must be positive"):
+        eng.encode_sparse(["hello"], k=0)
+    # same checkpoint still embeds densely
+    v = eng.encode(["hello world"])
+    assert v.shape == (1, eng.config.n_embd)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
+
+    # dense model rejects the sparse surface cleanly
+    dense_path = tmp_path / "dense.gguf"
+    make_test_model(str(dense_path), "tiny", "f32")
+    dense_eng = Engine.from_gguf(str(dense_path))
+    with pytest.raises(ValueError, match="MLM head"):
+        dense_eng.encode_sparse(["hello"])
+
+
+def _write_hf_mlm_dir(tmp_path, untied=False, modules_json=True):
+    """Fake BertForMaskedLM checkpoint dir (canonical + tied-dupe names)."""
+    from embedding_cpp_tpu.tokenizer.testvocab import build_tokenizer_json
+
+    cfg = BertConfig(
+        n_vocab=300, n_ctx=32, n_embd=32, n_layer=1, n_head=2, n_ff=64,
+        mlm_head=True, name="hf-splade",
+    )
+    sd = random_state_dict(cfg, seed=7)
+    hf_sd = {}
+    for k, v in sd.items():
+        hf_sd[k if k.startswith("cls.") else "bert." + k] = v
+    word = sd["embeddings.word_embeddings.weight"]
+    dec = word + 0.5 if untied else word
+    hf_sd["cls.predictions.decoder.weight"] = dec
+    hf_sd["cls.predictions.decoder.bias"] = sd["cls.predictions.bias"]
+
+    d = tmp_path / ("hf-untied" if untied else "hf-splade")
+    d.mkdir(parents=True)
+    with open(d / "config.json", "w") as f:
+        json.dump({
+            "model_type": "bert", "architectures": ["BertForMaskedLM"],
+            "vocab_size": cfg.n_vocab, "hidden_size": cfg.n_embd,
+            "num_hidden_layers": cfg.n_layer,
+            "num_attention_heads": cfg.n_head,
+            "intermediate_size": cfg.n_ff,
+            "max_position_embeddings": cfg.n_ctx,
+            "layer_norm_eps": cfg.layer_norm_eps, "type_vocab_size": 2,
+        }, f)
+    (d / "tokenizer.json").write_bytes(build_tokenizer_json(cfg.n_vocab))
+    if modules_json:
+        with open(d / "modules.json", "w") as f:
+            json.dump([
+                {"idx": 0, "name": "0", "path": "",
+                 "type": "sentence_transformers.sparse_encoder.models."
+                         "MLMTransformer"},
+                {"idx": 1, "name": "1", "path": "1_SpladePooling",
+                 "type": "sentence_transformers.sparse_encoder.models."
+                         "SpladePooling"},
+            ], f)
+    import torch
+
+    torch.save({k: torch.from_numpy(v) for k, v in hf_sd.items()},
+               str(d / "pytorch_model.bin"))
+    return d, sd
+
+
+def test_convert_sparse_autodetect(tmp_path):
+    """modules.json SpladePooling auto-detects sparse conversion; the tied
+    decoder dupes are verified and dropped; the GGUF round-trips through
+    Engine.encode_sparse."""
+    pytest.importorskip("torch")
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    d, _ = _write_hf_mlm_dir(tmp_path)
+    out = tmp_path / "splade-conv.gguf"
+    convert_hf_dir(str(d), str(out))  # sparse auto-detected
+    eng = Engine.from_gguf(str(out))
+    assert eng.config.mlm_head
+    pairs = eng.encode_sparse(["hello world"], k=16)
+    assert len(pairs[0][0]) > 0
+
+    # without modules.json the default conversion drops the head (dense)
+    d2, _ = _write_hf_mlm_dir(tmp_path / "sub", modules_json=False)
+    out2 = tmp_path / "dense-conv.gguf"
+    convert_hf_dir(str(d2), str(out2))
+    assert not Engine.from_gguf(str(out2)).config.mlm_head
+    # ... unless sparse=True asks for it explicitly
+    out3 = tmp_path / "sparse-conv.gguf"
+    convert_hf_dir(str(d2), str(out3), sparse=True)
+    assert Engine.from_gguf(str(out3)).config.mlm_head
+
+
+def test_convert_sparse_untied_rejected(tmp_path):
+    pytest.importorskip("torch")
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+
+    d, _ = _write_hf_mlm_dir(tmp_path, untied=True)
+    with pytest.raises(ValueError, match="not tied"):
+        convert_hf_dir(str(d), str(tmp_path / "x.gguf"), sparse=True)
+
+
+# --- HTTP surface -------------------------------------------------------------
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def sparse_http_server():
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.runtime.server import serve
+
+    engine = Engine.synthetic(CFG, opts=F32)
+    dense_cfg = BertConfig(
+        n_vocab=200, n_ctx=32, n_embd=32, n_layer=1, n_head=2, n_ff=64,
+        name="dense-sidecar",
+    )
+    dense_engine = Engine.synthetic(dense_cfg, opts=F32)
+    http_port, tcp_port = _free_port(), _free_port()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(
+            serve(engine, "127.0.0.1", tcp_port, window_ms=2.0,
+                  http_port=http_port,
+                  extra_engines={"dense-sidecar": dense_engine})
+        )
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", http_port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    yield http_port, engine
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)
+
+
+def _post(port, path, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", path, json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    body = json.loads(r.read())
+    conn.close()
+    return r.status, body
+
+
+def test_http_sparse_embeddings(sparse_http_server):
+    port, engine = sparse_http_server
+    status, body = _post(port, "/v1/sparse_embeddings",
+                         {"input": ["hello world", "goodbye"], "k": 16,
+                          "return_tokens": True})
+    assert status == 200, body
+    assert body["object"] == "list" and len(body["data"]) == 2
+    row = body["data"][0]
+    assert row["object"] == "sparse_embedding"
+    assert len(row["indices"]) == len(row["values"]) == len(row["tokens"])
+    assert all(v > 0 for v in row["values"])
+    # matches the engine surface exactly
+    idx, val = engine.encode_sparse(["hello world"], k=16)[0]
+    assert row["indices"] == [int(i) for i in idx]
+    np.testing.assert_allclose(row["values"], val, rtol=1e-6)
+
+    status, body = _post(port, "/v1/sparse_embeddings",
+                         {"input": "x", "k": 0})
+    assert status == 400
+    status, body = _post(port, "/v1/sparse_embeddings",
+                         {"input": "x", "dimensions": 8})
+    assert status == 400
+
+
+def test_http_sparse_on_dense_model_400(sparse_http_server):
+    """Routing a sparse request to a dense model is a clean client error,
+    not a 500."""
+    port, _ = sparse_http_server
+    status, body = _post(port, "/v1/sparse_embeddings",
+                         {"input": "x", "model": "dense-sidecar"})
+    assert status == 400
+    assert "MLM head" in body["error"]["message"]

@@ -569,12 +569,19 @@ def bert_embed_batch(
     return _cast_output(out, opts)
 
 
-def _sparse_chunk(s: int, cap: int = 64) -> int:
-    """Largest divisor of s that is <= cap: the per-step token count of the
-    chunked MLM-logits scan.  Bounds the materialized [B, chunk, V] logits
-    tile (V ~ 30k: a whole-sequence [B, S, V] f32 tensor would be ~2 GB at
-    [32, 512])."""
-    for c in range(min(cap, s), 0, -1):
+_SPARSE_TILE_BUDGET = 128 << 20  # f32 bytes for one [B, chunk, V] logits tile
+
+
+def _sparse_chunk(s: int, b: int, n_vocab: int, cap: int = 64) -> int:
+    """Largest divisor of s, <= cap, whose [b, chunk, n_vocab] f32 logits
+    tile fits _SPARSE_TILE_BUDGET — the per-step token count of the chunked
+    MLM-logits scan.  A whole-sequence [B, S, V] tensor would be ~2 GB at
+    [32, 512] x 30k vocab; at chunk=1 the tile is b*V*4 bytes, so the CALLER
+    must also bound b (Engine.sparse_tokens caps the batch bucket from the
+    same budget)."""
+    per_token = max(1, b * n_vocab * 4)
+    cap = min(cap, s, max(1, _SPARSE_TILE_BUDGET // per_token))
+    for c in range(cap, 0, -1):
         if s % c == 0:
             return c
     return 1
@@ -614,7 +621,7 @@ def bert_sparse_batch(
 
     h = bert_embed_batch(params, ids, mask, config, opts, token_states=True)
     b, s, e = h.shape
-    cs = _sparse_chunk(s)
+    cs = _sparse_chunk(s, b, config.n_vocab)
     # transform in f32 (two tiny ops), then the decoder matmul in the
     # activation dtype per chunk
     t = h @ mlm["dense_w"] + mlm["dense_b"]

@@ -245,6 +245,8 @@ def _detect_sparse(model_dir: Path) -> bool:
             modules = json.load(f)
     except (OSError, ValueError):
         return False
+    if not isinstance(modules, list):
+        return False
     types = {str(m.get("type", "")) for m in modules if isinstance(m, dict)}
     return any("SpladePooling" in t for t in types)
 
@@ -476,10 +478,14 @@ def convert_hf_dir_to_legacy(
     ftype: str = "f16",
 ) -> None:
     """Convert a local HF BERT checkpoint to the legacy pre-GGUF .bin format
-    (the reference's models/convert-to-ggml.py; f32/f16 only)."""
+    (the reference's models/convert-to-ggml.py; f32/f16 only).  sparse is
+    pinned False: the legacy header has no mlm_head hparam, so a SPLADE dir
+    (modules.json auto-detection) converts to a plain dense .bin here."""
     from ..gguf.legacy import write_legacy_bin
 
-    config, state_dict, tokenizer_json, _, _, _ = load_hf_dir(model_dir)
+    config, state_dict, tokenizer_json, _, _, _ = load_hf_dir(
+        model_dir, sparse=False
+    )
     write_legacy_bin(out_path, config, state_dict, tokenizer_json, ftype)
 
 

@@ -579,6 +579,25 @@ class Engine:
             self._fwd_cache[key] = fwd
         return fwd
 
+    def _padded_chunks(self, token_lists, cap: int):
+        """Yield (ids, mask, lens) bucket-padded batches of at most `cap`
+        rows — the shared batching loop of the token-states and sparse
+        surfaces (the throughput path has its own planner in
+        runtime/batching.py)."""
+        from .batching import bucket_for
+
+        for lo in range(0, len(token_lists), cap):
+            chunk = [list(t) for t in token_lists[lo : lo + cap]]
+            lens = [len(t) for t in chunk]
+            s = bucket_for(max(lens), self.seq_buckets)
+            b = bucket_for(len(chunk), self.batch_buckets)
+            ids = np.zeros((b, s), np.int32)
+            mask = np.zeros((b, s), np.int32)
+            for i, toks in enumerate(chunk):
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            yield ids, mask, lens
+
     def encode_token_states(self, texts: Sequence[str]) -> list[np.ndarray]:
         """Per-token final hidden states (HF last_hidden_state): one
         [len_i, n_embd] f32 array per text, covering exactly the framed
@@ -597,22 +616,11 @@ class Engine:
     ) -> list[np.ndarray]:
         """Token-id lists -> per-list [len, n_embd] f32 final hidden
         states (see encode_token_states)."""
-        from .batching import bucket_for
-
         out: list[np.ndarray] = []
         cap = max(self.batch_buckets)
-        for lo in range(0, len(token_lists), cap):
-            chunk = [list(t) for t in token_lists[lo : lo + cap]]
-            lens = [len(t) for t in chunk]
-            s = bucket_for(max(lens), self.seq_buckets)
-            b = bucket_for(len(chunk), self.batch_buckets)
-            ids = np.zeros((b, s), np.int32)
-            mask = np.zeros((b, s), np.int32)
-            for i, toks in enumerate(chunk):
-                ids[i, : len(toks)] = toks
-                mask[i, : len(toks)] = 1
+        for ids, mask, lens in self._padded_chunks(token_lists, cap):
             with self._lock:  # dispatch/compile under the lock, fetch outside
-                fwd = self._token_states_forward((b, s))
+                fwd = self._token_states_forward(ids.shape)
                 dev = fwd(self.params, ids, mask)
             arr = np.asarray(dev)
             out.extend(arr[i, :n] for i, n in enumerate(lens))
@@ -651,8 +659,7 @@ class Engine:
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Token-id lists -> per-list (term ids, weights) sparse vectors
         (see encode_sparse)."""
-        from ..models.bert import unpack_sparse_topk
-        from .batching import bucket_for
+        from ..models.bert import _SPARSE_TILE_BUDGET, unpack_sparse_topk
 
         if not self.config.mlm_head:
             raise ValueError(
@@ -661,24 +668,29 @@ class Engine:
         k = min(int(k), self.config.n_vocab)
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
+        # run the device top-k at a bucketed width and trim host-side: one
+        # compiled executable per (shape, k-bucket) instead of per client k
+        # (each compile is 20-60 s under the relay and cached forever)
+        k_run = next(
+            (kb for kb in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+             if kb >= k), k
+        )
+        k_run = min(k_run, self.config.n_vocab)
+        # cap the batch bucket so a [b, chunk>=8, V] f32 logits tile of the
+        # chunked MLM scan stays inside the tile budget (models/bert.py
+        # _sparse_chunk bounds the chunk; this bounds b — a 2048-row bucket
+        # at 30k vocab would otherwise be a 16 GB more-than-HBM tile)
+        row_cap = max(1, _SPARSE_TILE_BUDGET // (8 * self.config.n_vocab * 4))
+        allowed = [b for b in self.batch_buckets if b <= row_cap]
+        cap = max(allowed) if allowed else min(self.batch_buckets)
         out: list[tuple[np.ndarray, np.ndarray]] = []
-        cap = max(self.batch_buckets)
-        for lo in range(0, len(token_lists), cap):
-            chunk = [list(t) for t in token_lists[lo : lo + cap]]
-            lens = [len(t) for t in chunk]
-            s = bucket_for(max(lens), self.seq_buckets)
-            b = bucket_for(len(chunk), self.batch_buckets)
-            ids = np.zeros((b, s), np.int32)
-            mask = np.zeros((b, s), np.int32)
-            for i, toks in enumerate(chunk):
-                ids[i, : len(toks)] = toks
-                mask[i, : len(toks)] = 1
+        for ids, mask, lens in self._padded_chunks(token_lists, cap):
             with self._lock:  # dispatch/compile under the lock, fetch outside
-                fwd = self._sparse_forward((b, s), k)
+                fwd = self._sparse_forward(ids.shape, k_run)
                 dev = fwd(self.params, ids, mask)
             idx, val = unpack_sparse_topk(np.asarray(dev))
-            for i in range(len(chunk)):
-                n = int(np.count_nonzero(val[i] > 0.0))
+            for i in range(len(lens)):
+                n = int(np.count_nonzero(val[i, :k] > 0.0))
                 out.append((idx[i, :n].copy(), val[i, :n].copy()))
         return out
 

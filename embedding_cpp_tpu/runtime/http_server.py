@@ -189,9 +189,9 @@ def _parse_dimensions(payload, n_embd: int) -> int | None:
     return dims
 
 
-def _parse_k(payload) -> int:
-    cap = _caps()[2]
-    k = payload.get("k", 10)
+def _parse_k(payload, default: int = 10, cap: int | None = None) -> int:
+    cap = _caps()[2] if cap is None else cap
+    k = payload.get("k", default)
     if not isinstance(k, int) or isinstance(k, bool) or not 0 < k <= cap:
         raise HttpError(400, f"k must be an integer in 1..{cap}")
     return k
@@ -345,9 +345,7 @@ async def handle_http(reader, writer, batcher, model_name: str,
                             "dimensions is not supported on "
                             "/v1/sparse_embeddings",
                         )
-                    k = int(payload.get("k", 256))
-                    if not (0 < k <= 4096):
-                        raise HttpError(400, "k must be in [1, 4096]")
+                    k = _parse_k(payload, default=256, cap=4096)
                     want_tokens = payload.get("return_tokens", False)
                     if not isinstance(want_tokens, bool):
                         raise HttpError(400, "return_tokens must be boolean")

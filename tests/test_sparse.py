@@ -140,6 +140,133 @@ def test_hf_parity_distilbert():
     np.testing.assert_allclose(got, expected, atol=2e-4)
 
 
+def test_hf_parity_roberta():
+    """RoBERTa MLM head (lm_head.dense/layer_norm/bias) against HF
+    RobertaForMaskedLM (pos_offset=2 positions + tied decoder)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = BertConfig(
+        n_vocab=500, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        layer_norm_eps=1e-5, n_token_types=1, arch="roberta", pos_offset=2,
+        mlm_head=True, name="sparse-roberta-test",
+    )
+    sd = random_state_dict(cfg, seed=15)
+    hf_config = transformers.RobertaConfig(
+        vocab_size=cfg.n_vocab, hidden_size=cfg.n_embd,
+        num_hidden_layers=cfg.n_layer, num_attention_heads=cfg.n_head,
+        intermediate_size=cfg.n_ff,
+        max_position_embeddings=cfg.n_ctx + cfg.pos_offset,
+        type_vocab_size=1, layer_norm_eps=cfg.layer_norm_eps,
+        pad_token_id=1, hidden_act="gelu",
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        tie_word_embeddings=True,
+    )
+    model = transformers.RobertaForMaskedLM(hf_config)
+    model.eval()
+    hf_sd = {
+        (k if k.startswith("lm_head.") else "roberta." + k):
+            torch.from_numpy(v)
+        for k, v in sd.items()
+    }
+    missing, unexpected = model.load_state_dict(hf_sd, strict=False)
+    assert not unexpected
+    assert all(
+        "position_ids" in m or "token_type_ids" in m or "decoder" in m
+        for m in missing
+    ), missing
+    model.tie_weights()
+
+    rng = np.random.default_rng(16)
+    # ids from [4, V): a random pad id (1) inside a sentence would skew HF
+    # RoBERTa's id-derived positions (see test_model_families._ids_and_mask)
+    ids = rng.integers(4, cfg.n_vocab, size=(3, 20)).astype(np.int32)
+    mask = np.ones((3, 20), np.int32)
+    mask[:, 16:] = 0
+    expected = _splade_torch(model, ids, mask, torch)
+
+    params = build_params(source_from_arrays(sd), cfg)
+    packed = np.asarray(
+        bert_sparse_batch(params, ids, mask, cfg, F32, k=cfg.n_vocab)
+    )
+    idx, val = unpack_sparse_topk(packed)
+    got = _dense_from_topk(idx, val, cfg.n_vocab)
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_convert_sparse_roberta(tmp_path):
+    """RobertaForMaskedLM dir (lm_head names + tied decoder dupes) converts
+    with sparse=True and round-trips through Engine.encode_sparse."""
+    pytest.importorskip("torch")
+    pytest.importorskip("tokenizers")
+    import torch
+
+    from embedding_cpp_tpu.models.convert import convert_hf_dir
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.tokenizer.testvocab import build_bpe_tokenizer_json
+
+    tokenizer_json = build_bpe_tokenizer_json(300)
+    spec = json.loads(tokenizer_json)
+    ids = list(spec["model"]["vocab"].values()) + [
+        t["id"] for t in spec.get("added_tokens", [])
+    ]
+    cfg = BertConfig(
+        n_vocab=max(ids) + 1, n_ctx=32, n_embd=32, n_layer=1, n_head=2,
+        n_ff=64, layer_norm_eps=1e-5, n_token_types=1, arch="roberta",
+        pos_offset=2, mlm_head=True, name="hf-roberta-splade",
+    )
+    sd = random_state_dict(cfg, seed=8)
+    hf_sd = {}
+    for k, v in sd.items():
+        hf_sd[k if k.startswith("lm_head.") else "roberta." + k] = v
+    hf_sd["lm_head.decoder.weight"] = sd["embeddings.word_embeddings.weight"]
+    hf_sd["lm_head.decoder.bias"] = sd["lm_head.bias"]
+
+    d = tmp_path / "hf-roberta"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump({
+            "model_type": "roberta",
+            "architectures": ["RobertaForMaskedLM"],
+            "vocab_size": cfg.n_vocab, "hidden_size": cfg.n_embd,
+            "num_hidden_layers": cfg.n_layer,
+            "num_attention_heads": cfg.n_head,
+            "intermediate_size": cfg.n_ff,
+            "max_position_embeddings": cfg.n_ctx + cfg.pos_offset,
+            "layer_norm_eps": cfg.layer_norm_eps, "type_vocab_size": 1,
+            "pad_token_id": 1,
+        }, f)
+    (d / "tokenizer.json").write_bytes(tokenizer_json)
+    torch.save({k: torch.from_numpy(v) for k, v in hf_sd.items()},
+               str(d / "pytorch_model.bin"))
+
+    out = tmp_path / "roberta-splade.gguf"
+    convert_hf_dir(str(d), str(out), sparse=True)
+    eng = Engine.from_gguf(str(out))
+    assert eng.config.mlm_head and eng.config.arch == "roberta"
+    pairs = eng.encode_sparse(["hello world"], k=16)
+    assert len(pairs[0][0]) > 0
+
+
+def test_legacy_conversion_ignores_sparse_autodetect(tmp_path):
+    """--legacy conversion of a SPLADE dir (modules.json present) writes a
+    plain dense .bin: the legacy header has no mlm_head hparam."""
+    pytest.importorskip("torch")
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.models.convert import convert_hf_dir_to_legacy
+
+    d, _ = _write_hf_mlm_dir(tmp_path)
+    out = tmp_path / "legacy.bin"
+    convert_hf_dir_to_legacy(str(d), str(out), "f32")
+    from embedding_cpp_tpu.gguf.legacy import read_legacy_bin
+
+    model = read_legacy_bin(str(out))
+    assert not model.config.mlm_head
+    assert not any(n.startswith("cls.") for n in model.tensors), (
+        sorted(model.tensors)[:5]
+    )
+
+
 def test_pack_roundtrip():
     rng = np.random.default_rng(0)
     idx = rng.integers(0, 30522, size=(5, 32)).astype(np.int32)

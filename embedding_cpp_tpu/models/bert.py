@@ -720,6 +720,44 @@ def bert_score_batch(
     return classifier_head(h, params["head"], config.head_activation)
 
 
+def maxsim_scores(
+    params: dict,
+    q_states: Array,
+    q_mask: Array,
+    d_ids: Array,
+    d_mask: Array,
+    config: BertConfig,
+    opts: ComputeOptions,
+) -> Array:
+    """Late-interaction (ColBERT-style) MaxSim: query token states
+    [Sq, E] + doc token ids [B, S] -> [B] f32 relevance scores.
+
+    score(q, d) = sum over real query tokens of max over real doc tokens of
+    cosine(q_i, d_j) — the MaxSim operator of ColBERT (Khattab & Zaharia
+    2020) computed over the encoder's final hidden states, token vectors
+    L2-normalized so the per-token similarity is cosine.  Works with ANY
+    supported encoder family (no checkpoint-specific projection/markers:
+    this is generic late interaction over token states, not a loader for
+    ColBERT-format checkpoints).  The reference has no token-level surface
+    at all (bert.h:41-92).
+
+    TPU shape: ONE dispatch scores a whole padded doc batch — the doc
+    forward, the [B, Sq, S] similarity tensor, masking, and both reductions
+    all stay on device; only [B] floats cross the link.
+    """
+    d = bert_embed_batch(params, d_ids, d_mask, config, opts,
+                         token_states=True)  # [B, S, E] f32
+    qn = _l2_normalize(q_states.astype(jnp.float32))
+    dn = _l2_normalize(d)
+    sim = jnp.einsum("qe,bse->bqs", qn, dn)
+    sim = jnp.where(d_mask[:, None, :] > 0, sim, -jnp.inf)
+    best = jnp.max(sim, axis=-1)  # [B, Sq]
+    # all-padding doc rows (bucket filler) keep -inf here; callers slice
+    # real rows.  Padded QUERY slots contribute 0.
+    best = jnp.where(q_mask[None, :] > 0, best, 0.0)
+    return jnp.sum(best, axis=-1)
+
+
 def classifier_head(h: Array, head: dict, activation: str) -> Array:
     """logits = out(act(dense(h))) in f32 — the shape every HF
     *ForSequenceClassification head reduces to (schema.py

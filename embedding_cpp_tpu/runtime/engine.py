@@ -694,6 +694,83 @@ class Engine:
                 out.append((idx[i, :n].copy(), val[i, :n].copy()))
         return out
 
+    def _maxsim_forward(self, q_shape: tuple, d_shape: tuple[int, int]):
+        key = ("maxsim", q_shape, d_shape)
+        fwd = self._fwd_cache.get(key)
+        if fwd is None:
+            from ..models.bert import maxsim_scores
+
+            config, opts = self.config, self.opts
+
+            @jax.jit
+            def fwd(params, q, qm, ids, mask):
+                return maxsim_scores(params, q, qm, ids, mask, config, opts)
+
+            self._fwd_cache[key] = fwd
+        return fwd
+
+    def maxsim(self, query: str, documents: Sequence[str]) -> np.ndarray:
+        """Late-interaction (ColBERT-style) MaxSim relevance of each
+        document to the query, over final-hidden-state token vectors
+        (models/bert.maxsim_scores).  Works with any encoder family — no
+        classification head needed (contrast Engine.rerank's cross-encoder
+        path: one joint forward per pair there vs one document forward +
+        a cheap on-device MaxSim here, so this scales to many documents)."""
+        return self.maxsim_tokens(
+            self.tokenize(query), self.tokenize_batch(documents)
+        )
+
+    def maxsim_tokens(
+        self,
+        q_tokens: Sequence[int],
+        doc_token_lists: Sequence[Sequence[int]],
+    ) -> np.ndarray:
+        """Token-id variant of maxsim(): -> [n_docs] f32 scores."""
+        from .batching import bucket_for
+
+        if not q_tokens:
+            raise ValueError("empty query")
+        sq = bucket_for(len(q_tokens), self.seq_buckets)
+        q_ids = np.zeros((1, sq), np.int32)
+        q_ids[0, : len(q_tokens)] = q_tokens
+        q_mask = np.zeros((1, sq), np.int32)
+        q_mask[0, : len(q_tokens)] = 1
+        out = np.empty(len(doc_token_lists), np.float32)
+        pos = 0
+        cap = max(self.batch_buckets)
+        first = True
+        for ids, mask, lens in self._padded_chunks(doc_token_lists, cap):
+            with self._lock:
+                if first:
+                    # query token states once, kept on device for every chunk
+                    q_fwd = self._token_states_forward(q_ids.shape)
+                    q_dev = q_fwd(self.params, q_ids, q_mask)[0]
+                    first = False
+                fwd = self._maxsim_forward(tuple(q_dev.shape), ids.shape)
+                dev = fwd(self.params, q_dev, q_mask[0], ids, mask)
+            scores = np.asarray(dev)
+            out[pos : pos + len(lens)] = scores[: len(lens)]
+            pos += len(lens)
+        return out
+
+    def maxsim_rerank(
+        self,
+        query: str,
+        documents: Sequence[str],
+        *,
+        top_n: int | None = None,
+    ) -> list[dict]:
+        """maxsim() in the standard rerank-API shape: [{"index",
+        "relevance_score"}, ...] sorted descending, truncated to top_n."""
+        scores = self.maxsim(query, documents)
+        order = np.argsort(-scores, kind="stable")
+        if top_n is not None:
+            order = order[:top_n]
+        return [
+            {"index": int(i), "relevance_score": float(scores[i])}
+            for i in order
+        ]
+
     def embed_tokens(self, token_lists: Sequence[Sequence[int]]) -> np.ndarray:
         """Token-id lists -> [n, n_embd] f32 (the reference's
         bert_eval_batch, but actually batched).

@@ -189,6 +189,38 @@ def _parse_dimensions(payload, n_embd: int) -> int | None:
     return dims
 
 
+def _parse_rerank_request(body) -> tuple[str, list, int | None, dict]:
+    """Shared /v1/rerank + /v1/maxsim payload validation ->
+    (query, documents, top_n, payload)."""
+    try:
+        payload = json.loads(body or b"{}")
+    except json.JSONDecodeError as e:
+        raise HttpError(400, f"invalid JSON: {e}")
+    if not isinstance(payload, dict):
+        raise HttpError(400, "body must be a JSON object")
+    query = payload.get("query")
+    docs = payload.get("documents")
+    if not isinstance(query, str) or not query:
+        raise HttpError(400, "'query' must be a string")
+    if (
+        not isinstance(docs, list)
+        or not docs
+        or not all(isinstance(d, str) for d in docs)
+    ):
+        raise HttpError(400, "'documents' must be a list of strings")
+    max_items = _caps()[1]
+    if len(docs) > max_items:
+        raise HttpError(
+            413, f"too many documents ({len(docs)} > {max_items})"
+        )
+    top_n = payload.get("top_n")
+    if top_n is not None and (
+        not isinstance(top_n, int) or isinstance(top_n, bool) or top_n < 1
+    ):
+        raise HttpError(400, "top_n must be a positive integer")
+    return query, docs, top_n, payload
+
+
 def _parse_k(payload, default: int = 10, cap: int | None = None) -> int:
     cap = _caps()[2] if cap is None else cap
     k = payload.get("k", default)
@@ -457,42 +489,46 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         ],
                     })
                     b.stats.requests += 1
+                elif path == "/v1/maxsim":
+                    # late-interaction (ColBERT-style) MaxSim reranking over
+                    # token states (Engine.maxsim_rerank) — same payload and
+                    # response shape as /v1/rerank, but works with ANY
+                    # encoder (no classification head required)
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    query, docs, top_n, payload = _parse_rerank_request(body)
+                    b, req_model = pick(payload)
+                    req_batcher = b
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(docs))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        ranked = await loop.run_in_executor(
+                            None,
+                            lambda: b.engine.maxsim_rerank(
+                                query, docs, top_n=top_n
+                            ),
+                        )
+                    finally:
+                        b.release(len(docs))
+                    if payload.get("return_documents"):
+                        for r in ranked:
+                            r["document"] = {"text": docs[r["index"]]}
+                    out = _json_response(200, {
+                        "object": "maxsim",
+                        "model": req_model,
+                        "results": ranked,
+                    })
+                    b.stats.requests += 1
                 elif path == "/v1/rerank":
                     # cross-encoder reranking (Jina/Cohere-style API); the
                     # engine refuses cleanly when the model has no
                     # classification head (-> 400, a client-config error)
                     if method != "POST":
                         raise HttpError(405, "POST required")
-                    try:
-                        payload = json.loads(body or b"{}")
-                    except json.JSONDecodeError as e:
-                        raise HttpError(400, f"invalid JSON: {e}")
-                    if not isinstance(payload, dict):
-                        raise HttpError(400, "body must be a JSON object")
-                    query = payload.get("query")
-                    docs = payload.get("documents")
-                    if not isinstance(query, str) or not query:
-                        raise HttpError(400, "'query' must be a string")
-                    if (
-                        not isinstance(docs, list)
-                        or not docs
-                        or not all(isinstance(d, str) for d in docs)
-                    ):
-                        raise HttpError(
-                            400, "'documents' must be a list of strings"
-                        )
-                    max_items = _caps()[1]
-                    if len(docs) > max_items:
-                        raise HttpError(
-                            413,
-                            f"too many documents ({len(docs)} > {max_items})",
-                        )
-                    top_n = payload.get("top_n")
-                    if top_n is not None and (
-                        not isinstance(top_n, int) or isinstance(top_n, bool)
-                        or top_n < 1
-                    ):
-                        raise HttpError(400, "top_n must be a positive integer")
+                    query, docs, top_n, payload = _parse_rerank_request(body)
                     b, req_model = pick(payload)
                     req_batcher = b
                     if b.engine.config.n_labels == 0:

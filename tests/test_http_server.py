@@ -607,3 +607,35 @@ def test_token_embeddings_endpoint(http_server):
     status, body = _post(port, "/v1/token_embeddings",
                          {"input": "x", "dimensions": 8})
     assert status == 400
+
+
+def test_maxsim_route(http_server):
+    """POST /v1/maxsim: late-interaction reranking on any encoder (no
+    classification head needed), same payload shape as /v1/rerank."""
+    port, _, engine = http_server
+    docs = ["the dog sat on the mat", "hello world", "hello world again"]
+    status, body = _post(port, "/v1/maxsim",
+                         {"query": "hello world", "documents": docs,
+                          "return_documents": True})
+    assert status == 200, body
+    assert body["object"] == "maxsim"
+    results = body["results"]
+    assert len(results) == 3
+    scores = [r["relevance_score"] for r in results]
+    assert scores == sorted(scores, reverse=True)
+    assert results[0]["document"]["text"] == docs[results[0]["index"]]
+    # engine-surface agreement
+    expected = engine.maxsim("hello world", docs)
+    for r in results:
+        np.testing.assert_allclose(
+            r["relevance_score"], expected[r["index"]], rtol=1e-5
+        )
+
+    status, body = _post(port, "/v1/maxsim", {"documents": ["x"]})
+    assert status == 400
+    status, body = _post(port, "/v1/maxsim",
+                         {"query": "q", "documents": []})
+    assert status == 400
+    status, body = _post(port, "/v1/maxsim",
+                         {"query": "q", "documents": ["x"], "top_n": 0})
+    assert status == 400

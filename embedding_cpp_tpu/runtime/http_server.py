@@ -37,6 +37,18 @@ the same device batches) as the TCP protocol.
       -> {"results": [{"index": i, "relevance_score": s}, ...]}
                           (cross-encoder scoring; needs a model converted
                           from a *ForSequenceClassification checkpoint)
+    POST /v1/maxsim       same payload/response as /v1/rerank
+                          (late-interaction MaxSim over token states —
+                          works with any encoder, no head required)
+    POST /v1/sparse_embeddings {"input": ..., "k": 256,
+                                "return_tokens": false}
+      -> {"data": [{"index": i, "indices": [...], "values": [...]}]}
+                          (SPLADE sparse lexical vectors; needs an
+                          MLM-head model, e.g. naver/splade-*)
+    POST /v1/sparse_index  {"input": ["texts"...]} -> {"total": N}
+    POST /v1/sparse_search {"input": ["queries"...], "k": 10}
+      -> {"results": [[{"index": id, "score": s}, ...k], ...]}
+                          (exact sparse dot-product top-k, host-side CSR)
     GET  /healthz         -> 200 "ok"
     GET  /metrics         -> JSON metrics snapshot (same payload as TPES)
     GET  /v1/models       -> model listing
@@ -417,6 +429,72 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         "object": "list",
                         "data": data,
                         "model": _name,
+                    })
+                    b.stats.requests += 1
+                elif path == "/v1/sparse_index":
+                    # SPLADE corpus building (host-side CSR index,
+                    # runtime/sparse_search.py) — the sparse sibling of
+                    # /v1/index, same admission control
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    if not b.engine.config.mlm_head:
+                        raise HttpError(
+                            400,
+                            f"model {_name!r} has no MLM head (not a SPLADE "
+                            "sparse encoder)",
+                        )
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        total = await loop.run_in_executor(
+                            None, b.sparse_index_texts, texts
+                        )
+                    except RuntimeError as e:
+                        raise HttpError(400, str(e))
+                    finally:
+                        b.release(len(texts))
+                    out = _json_response(200, {"object": "sparse_index",
+                                               "total": total})
+                    b.stats.requests += 1
+                elif path == "/v1/sparse_search":
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    k = _parse_k(payload)
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    if b.sparse_index is None or len(b.sparse_index) == 0:
+                        raise HttpError(
+                            400,
+                            "no sparse index built (POST /v1/sparse_index "
+                            "first)",
+                        )
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        idx, scores = await loop.run_in_executor(
+                            None, b.sparse_search_texts, texts, k
+                        )
+                    finally:
+                        b.release(len(texts))
+                    # same padding contract as /v1/search: id -1 slots mark
+                    # "no result here" (k past the corpus) and are dropped
+                    out = _json_response(200, {
+                        "object": "sparse_search",
+                        "results": [
+                            [{"index": int(i), "score": float(sc)}
+                             for i, sc in zip(row_i, row_s) if i >= 0]
+                            for row_i, row_s in zip(idx, scores)
+                        ],
                     })
                     b.stats.requests += 1
                 elif path == "/v1/index":

@@ -138,6 +138,7 @@ class ContinuousBatcher:
         self.stats = ServerStats()
         self._task: asyncio.Task | None = None
         self.index = None  # lazy on-device VectorIndex (shared, thread-safe)
+        self.sparse_index = None  # lazy host-side SparseIndex (SPLADE)
         self._index_init_lock = threading.Lock()
 
     def try_reserve(self, n: int) -> None:
@@ -193,6 +194,30 @@ class ContinuousBatcher:
         if self.index is None:
             raise RuntimeError("no index built (send an index frame first)")
         return self.index.search(texts, k)
+
+    def sparse_index_texts(self, texts: list[str]) -> int:
+        if self.sparse_index is None:
+            with self._index_init_lock:
+                if self.sparse_index is None:
+                    import jax
+
+                    from .sparse_search import SparseIndex
+
+                    if jax.process_count() > 1:
+                        # host-side corpus: multi-host serving replicates
+                        # requests, which would duplicate every add
+                        raise RuntimeError(
+                            "sparse index is single-host only"
+                        )
+                    self.sparse_index = SparseIndex(self.engine)
+        return self.sparse_index.add(texts)
+
+    def sparse_search_texts(self, texts: list[str], k: int):
+        if self.sparse_index is None:
+            raise RuntimeError(
+                "no sparse index built (POST /v1/sparse_index first)"
+            )
+        return self.sparse_index.search(texts, k)
 
     async def start(self) -> None:
         self._task = asyncio.create_task(self._run())

@@ -539,3 +539,147 @@ def test_http_sparse_on_dense_model_400(sparse_http_server):
                          {"input": "x", "model": "dense-sidecar"})
     assert status == 400
     assert "MLM head" in body["error"]["message"]
+
+
+# --- SparseIndex ----------------------------------------------------------------
+
+def _brute_force(corpus_pairs, query_pairs, n_vocab):
+    """Dense brute-force dot scores [Q, N] from (ids, vals) pairs."""
+    def dense(pairs):
+        out = np.zeros((len(pairs), n_vocab), np.float32)
+        for i, (idx, val) in enumerate(pairs):
+            out[i, np.asarray(idx, np.int64)] = val
+        return out
+
+    return dense(query_pairs) @ dense(corpus_pairs).T
+
+
+def test_sparse_index_exact():
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex
+
+    rng = np.random.default_rng(0)
+    V = 400
+
+    def rand_pairs(n, lo=5, hi=40):
+        out = []
+        for _ in range(n):
+            nnz = int(rng.integers(lo, hi))
+            idx = rng.choice(V, size=nnz, replace=False).astype(np.int32)
+            out.append((idx, np.abs(rng.standard_normal(nnz)).astype(np.float32)))
+        return out
+
+    corpus = rand_pairs(23)
+    queries = rand_pairs(4)
+    index = SparseIndex()
+    assert index.add_vectors(corpus) == 23
+    idx, scores = index.search_vectors(queries, k=5)
+    expected = _brute_force(corpus, queries, V)
+    for qi in range(4):
+        order = np.argsort(-expected[qi], kind="stable")[:5]
+        np.testing.assert_allclose(scores[qi], expected[qi][order], rtol=1e-5)
+        # equal-score ties may permute ids; scores above pin correctness
+        assert set(idx[qi]) <= set(np.where(
+            expected[qi] >= expected[qi][order[-1]] - 1e-6)[0])
+
+    # k past the corpus pads with -1 / -inf (dense VectorIndex contract)
+    idx, scores = index.search_vectors(queries[:1], k=30)
+    assert list(idx[0, 23:]) == [-1] * 7
+    assert np.all(np.isneginf(scores[0, 23:]))
+
+
+def test_sparse_index_empty_doc_and_errors():
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex
+
+    index = SparseIndex()
+    with pytest.raises(RuntimeError, match="empty index"):
+        index.search_vectors([(np.array([0], np.int32),
+                               np.array([1.0], np.float32))], k=1)
+    # empty docs score 0, never crash the reduction (reduceat would)
+    index.add_vectors([
+        (np.zeros(0, np.int32), np.zeros(0, np.float32)),
+        (np.array([3], np.int32), np.array([2.0], np.float32)),
+    ])
+    idx, scores = index.search_vectors(
+        [(np.array([3], np.int32), np.array([1.0], np.float32))], k=2
+    )
+    assert list(idx[0]) == [1, 0]
+    np.testing.assert_allclose(scores[0], [2.0, 0.0])
+    with pytest.raises(ValueError, match="k must be positive"):
+        index.search_vectors([(np.array([3], np.int32),
+                               np.array([1.0], np.float32))], k=0)
+    # out-of-vocab query terms contribute 0 (engine-less index sizes
+    # n_vocab from the corpus), never crash
+    idx, scores = index.search_vectors(
+        [(np.array([3, 999], np.int32),
+          np.array([1.0, 5.0], np.float32))], k=1
+    )
+    assert list(idx[0]) == [1] and scores[0, 0] == 2.0
+
+
+def test_sparse_index_save_load(tmp_path):
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex
+
+    rng = np.random.default_rng(1)
+    corpus = [
+        (rng.choice(200, size=9, replace=False).astype(np.int32),
+         np.abs(rng.standard_normal(9)).astype(np.float32))
+        for _ in range(7)
+    ]
+    a = SparseIndex()
+    a.add_vectors(corpus)
+    path = str(tmp_path / "sparse.npz")
+    a.save(path)
+    b = SparseIndex()
+    assert b.load(path) == 7
+    q = [corpus[3]]
+    ia, sa = a.search_vectors(q, k=3)
+    ib, sb = b.search_vectors(q, k=3)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb)
+    assert ia[0, 0] == 3  # self-retrieval
+
+
+def test_sparse_index_engine_backed(tmp_path):
+    """Engine-backed add/search scores equal brute force over
+    encode_sparse vectors; identical text self-retrieves."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex
+
+    eng = Engine.synthetic(CFG, opts=F32)
+    docs = ["the dog sat", "hello world", "partly cloudy skies"]
+    index = SparseIndex(eng, k_encode=64)
+    assert index.add(docs) == 3
+    idx, scores = index.search(["hello world"], k=3)
+    pairs = eng.encode_sparse(docs + ["hello world"], k=64)
+    expected = _brute_force(pairs[:3], pairs[3:], CFG.n_vocab)[0]
+    order = np.argsort(-expected, kind="stable")
+    np.testing.assert_array_equal(idx[0], order)
+    np.testing.assert_allclose(scores[0], expected[order], rtol=1e-5)
+
+    dense_eng = Engine.synthetic(
+        BertConfig(n_vocab=200, n_ctx=32, n_embd=32, n_layer=1, n_head=2,
+                   n_ff=64, name="dense"), opts=F32)
+    with pytest.raises(ValueError, match="MLM head"):
+        SparseIndex(dense_eng)
+
+
+def test_http_sparse_index_search(sparse_http_server):
+    port, engine = sparse_http_server
+    status, body = _post(port, "/v1/sparse_search",
+                         {"input": ["hello"], "k": 2})
+    assert status == 400  # no index yet
+    docs = ["the dog sat", "hello world", "partly cloudy skies"]
+    status, body = _post(port, "/v1/sparse_index", {"input": docs})
+    assert status == 200 and body["total"] == 3
+    status, body = _post(port, "/v1/sparse_search",
+                         {"input": ["hello world"], "k": 5})
+    assert status == 200, body
+    rows = body["results"]
+    assert len(rows) == 1 and len(rows[0]) == 3  # -1 pads dropped
+    scores = [r["score"] for r in rows[0]]
+    assert scores == sorted(scores, reverse=True)
+    status, body = _post(port, "/v1/sparse_index",
+                         {"input": ["x"], "model": "dense-sidecar"})
+    assert status == 400
+    assert "MLM head" in body["error"]["message"]

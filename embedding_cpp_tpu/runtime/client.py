@@ -16,8 +16,10 @@ from .server import (
     MAGIC,
     MAGIC_ENCODE_I8,
     MAGIC_INDEX,
+    MAGIC_MAXSIM,
     MAGIC_RERANK,
     MAGIC_SEARCH,
+    MAGIC_SPARSE,
 )
 
 
@@ -106,6 +108,37 @@ class EmbeddingClient:
         q = query.encode("utf-8")
         self._send_texts(
             MAGIC_RERANK, list(documents),
+            struct.pack("<II", top_n or 0, len(q)) + q,
+        )
+        (m,) = struct.unpack("<I", self._read_exactly(4))
+        self._check_error(m)
+        idx = np.frombuffer(self._read_exactly(4 * m), np.int32).copy()
+        scores = np.frombuffer(self._read_exactly(4 * m), np.float32).copy()
+        return idx, scores
+
+    def encode_sparse(self, texts: Sequence[str], k: int = 256):
+        """SPLADE sparse vectors from an MLM-head model: one
+        (int32 term ids, f32 weights) pair per text (\\x01TPW).  The server
+        refuses cleanly (error frame) for dense models."""
+        self._send_texts(MAGIC_SPARSE, list(texts), struct.pack("<I", k))
+        (n,) = struct.unpack("<I", self._read_exactly(4))
+        self._check_error(n)
+        out = []
+        for _ in range(n):
+            (nnz,) = struct.unpack("<I", self._read_exactly(4))
+            idx = np.frombuffer(self._read_exactly(4 * nnz), np.int32).copy()
+            val = np.frombuffer(self._read_exactly(4 * nnz), np.float32).copy()
+            out.append((idx, val))
+        return out
+
+    def maxsim(self, query: str, documents: Sequence[str],
+               top_n: int | None = None):
+        """Late-interaction MaxSim rerank (\\x01TPX; any model, no head
+        needed): (indices [m] int32 descending, scores [m] f32 raw MaxSim
+        sums)."""
+        q = query.encode("utf-8")
+        self._send_texts(
+            MAGIC_MAXSIM, list(documents),
             struct.pack("<II", top_n or 0, len(q)) + q,
         )
         (m,) = struct.unpack("<I", self._read_exactly(4))

@@ -62,6 +62,15 @@ MAGIC_SEARCH = b"\x01TPS"
 #           u32 n | n*(u32 len | utf8 doc)
 #        -> u32 m | m i32 idx | m f32 sigmoid score (descending)
 MAGIC_RERANK = b"\x01TPR"
+# SPLADE sparse encode (needs an MLM-head model; runtime/engine
+# .encode_sparse): u32 k | u32 n | n*(u32 len | utf8)
+#        -> u32 n | n*(u32 nnz | nnz i32 term ids | nnz f32 weights)
+MAGIC_SPARSE = b"\x01TPW"
+# late-interaction MaxSim rerank (any model; runtime/engine.maxsim_rerank):
+# same request/reply layout as MAGIC_RERANK (scores are raw MaxSim sums,
+# not sigmoid)
+MAGIC_MAXSIM = b"\x01TPX"
+MAX_SPARSE_K = 4096  # device top-k width cap (matches /v1/sparse_embeddings)
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 # protocol sanity caps: a malformed/hostile frame must not drive unbounded
 # reads or allocations (the reference has no framing at all to validate)
@@ -339,7 +348,7 @@ async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
 
 _MAGICS = (MAGIC, MAGIC_STATS, MAGIC_HEALTH, MAGIC_TOKENIZE, MAGIC_EVAL,
            MAGIC_META, MAGIC_VOCAB, MAGIC_ENCODE_I8, MAGIC_INDEX,
-           MAGIC_SEARCH, MAGIC_RERANK)
+           MAGIC_SEARCH, MAGIC_RERANK, MAGIC_SPARSE, MAGIC_MAXSIM)
 
 
 def _quantize_i8_np(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -547,6 +556,62 @@ async def handle_client(
                         ranked = await loop.run_in_executor(
                             None,
                             lambda: batcher.engine.rerank(
+                                query, docs,
+                                top_n=int(top_n) if top_n else None,
+                            ),
+                        )
+                    finally:
+                        batcher.release(len(docs))
+                except Exception as e:
+                    await _request_failed(e)
+                    continue
+                writer.write(struct.pack("<I", len(ranked)))
+                writer.write(np.asarray(
+                    [r["index"] for r in ranked], np.int32).tobytes())
+                writer.write(np.asarray(
+                    [r["relevance_score"] for r in ranked],
+                    np.float32).tobytes())
+            elif head == MAGIC_SPARSE:
+                (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                _check(0 < k <= MAX_SPARSE_K, f"sparse k {k}")
+                texts = await _read_texts(reader)
+                loop = asyncio.get_running_loop()
+                try:
+                    batcher.try_reserve(len(texts))
+                    try:
+                        pairs = await loop.run_in_executor(
+                            None,
+                            lambda: batcher.engine.encode_sparse(
+                                texts, k=int(k)
+                            ),
+                        )
+                    finally:
+                        batcher.release(len(texts))
+                except Exception as e:
+                    await _request_failed(e)
+                    continue
+                writer.write(struct.pack("<I", len(pairs)))
+                for idx, val in pairs:
+                    writer.write(struct.pack("<I", len(idx)))
+                    writer.write(np.ascontiguousarray(idx, np.int32).tobytes())
+                    writer.write(
+                        np.ascontiguousarray(val, np.float32).tobytes()
+                    )
+            elif head == MAGIC_MAXSIM:
+                (top_n,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                _check(top_n <= MAX_ITEMS, f"top_n {top_n}")
+                (qlen,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                _check(0 < qlen <= MAX_TEXT_BYTES, f"query length {qlen}")
+                query = (await _read_exactly(reader, qlen)).decode("utf-8")
+                docs = await _read_texts(reader)
+                loop = asyncio.get_running_loop()
+                try:
+                    _check(len(docs) > 0, "no documents")
+                    batcher.try_reserve(len(docs))
+                    try:
+                        ranked = await loop.run_in_executor(
+                            None,
+                            lambda: batcher.engine.maxsim_rerank(
                                 query, docs,
                                 top_n=int(top_n) if top_n else None,
                             ),

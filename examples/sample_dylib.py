@@ -73,6 +73,14 @@ class TpuEmbedModel:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
         ]
+        self.lib.tpe_maxsim.restype = ctypes.c_int32
+        self.lib.tpe_maxsim.argtypes = self.lib.tpe_rerank.argtypes
+        self.lib.tpe_encode_sparse.restype = ctypes.c_int32
+        self.lib.tpe_encode_sparse.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
 
         if model_path is not None:
             self.ctx = self.lib.tpe_load_from_file(model_path.encode())
@@ -170,6 +178,42 @@ class TpuEmbedModel:
         if m < 0:
             raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
         return idx[:m], scores[:m]
+
+    def maxsim(self, query, documents, top_n=None):
+        """Late-interaction MaxSim rerank (tpe_maxsim; any model):
+        returns (indices [m], raw MaxSim scores [m]) descending."""
+        n = len(documents)
+        texts = (ctypes.c_char_p * n)(*[d.encode() for d in documents])
+        cap = min(top_n, n) if top_n else n
+        idx = np.zeros(cap, dtype=np.int32)
+        scores = np.zeros(cap, dtype=np.float32)
+        m = self.lib.tpe_maxsim(
+            self.ctx, query.encode(), n, texts, top_n or 0,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if m < 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return idx[:m], scores[:m]
+
+    def encode_sparse(self, sentences, k=256):
+        """SPLADE sparse vectors (tpe_encode_sparse; needs an MLM-head
+        model): one (term ids, weights) pair per sentence, descending."""
+        n = len(sentences)
+        texts = (ctypes.c_char_p * n)(*[s.encode() for s in sentences])
+        ids = np.zeros((n, k), dtype=np.int32)
+        ws = np.zeros((n, k), dtype=np.float32)
+        nnz = np.zeros(n, dtype=np.int32)
+        rc = self.lib.tpe_encode_sparse(
+            self.ctx, n, texts, k,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ws.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return [(ids[i, : nnz[i]].copy(), ws[i, : nnz[i]].copy())
+                for i in range(n)]
 
     def encode(self, sentences):
         one = isinstance(sentences, str)

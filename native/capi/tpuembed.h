@@ -81,6 +81,25 @@ int32_t tpe_rerank(tpe_ctx* ctx, const char* query, int32_t n_docs,
                    const char** docs, int32_t top_n, int32_t* out_idx,
                    float* out_scores);
 
+// SPLADE sparse encode (needs an MLM-head model; the reference is
+// dense-only).  For each text, up to k (term id, weight) entries arrive
+// sorted by descending weight: out_ids/out_weights must hold n_texts * k
+// entries, out_nnz holds the per-text active count.  Unused slots are
+// padded with id -1 / weight 0.  Returns 0, or -1 on error (e.g. the
+// served model has no MLM head — see tpe_last_error).
+int32_t tpe_encode_sparse(tpe_ctx* ctx, int32_t n_texts, const char** texts,
+                          int32_t k, int32_t* out_ids, float* out_weights,
+                          int32_t* out_nnz);
+
+// Late-interaction MaxSim rerank (works with ANY served model — ColBERT-
+// style sum-of-max cosine over token states, no classification head
+// needed).  Same buffer contract as tpe_rerank; scores are raw MaxSim
+// sums (unbounded, larger = more relevant).  Returns the result count,
+// or -1 on error.
+int32_t tpe_maxsim(tpe_ctx* ctx, const char* query, int32_t n_docs,
+                   const char** docs, int32_t top_n, int32_t* out_idx,
+                   float* out_scores);
+
 // Requantize a GGUF model file (bert_model_quantize, bert.h:92).  ftype
 // uses the reference's numeric codes (2=q4_0, 3=q4_1) plus 7=q8_0 (our
 // extension).  Runs the quantize tool in a child process; returns 0 on

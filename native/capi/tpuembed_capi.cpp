@@ -518,6 +518,97 @@ int32_t tpe_rerank(tpe_ctx* ctx, const char* query, int32_t n_docs,
     return static_cast<int32_t>(m);
 }
 
+// SPLADE sparse encode (the \x01TPW frame; runtime/engine.encode_sparse).
+// Per text the server sends nnz <= k (term id, weight) entries sorted by
+// descending weight; the remainder of each row pads with id -1 / weight 0.
+// A dense model fails with an error frame in last_error, stream intact.
+int32_t tpe_encode_sparse(tpe_ctx* ctx, int32_t n_texts, const char** texts,
+                          int32_t k, int32_t* out_ids, float* out_weights,
+                          int32_t* out_nnz) {
+    if (!ctx || ctx->fd < 0 || n_texts <= 0 || k <= 0 || !out_ids ||
+        !out_weights || !out_nnz)
+        return -1;
+    std::string req;
+    req.append("\x01TPW", 4);
+    uint32_t ku = static_cast<uint32_t>(k);
+    req.append(reinterpret_cast<const char*>(&ku), 4);
+    append_texts(&req, n_texts, texts);
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+    uint32_t n = 0;
+    if (!read_reply_count(ctx, &n)) return -1;
+    if (n != static_cast<uint32_t>(n_texts)) {
+        ctx->last_error = "bad sparse reply";
+        kill_conn(ctx);
+        return -1;
+    }
+    for (uint32_t i = 0; i < n; ++i) {
+        uint32_t nnz = 0;
+        if (!read_exactly(ctx->fd, &nnz, 4) || nnz > ku) {
+            ctx->last_error = "bad sparse row";
+            kill_conn(ctx);
+            return -1;
+        }
+        int32_t* ids = out_ids + static_cast<size_t>(i) * ku;
+        float* ws = out_weights + static_cast<size_t>(i) * ku;
+        if (!read_exactly(ctx->fd, ids, 4ull * nnz) ||
+            !read_exactly(ctx->fd, ws, 4ull * nnz)) {
+            ctx->last_error = "recv failed";
+            kill_conn(ctx);
+            return -1;
+        }
+        for (uint32_t j = nnz; j < ku; ++j) {
+            ids[j] = -1;
+            ws[j] = 0.0f;
+        }
+        out_nnz[i] = static_cast<int32_t>(nnz);
+    }
+    return 0;
+}
+
+// Late-interaction MaxSim rerank (the \x01TPX frame; runtime/engine
+// .maxsim_rerank) — the \x01TPR wire layout with raw MaxSim sums instead
+// of sigmoid scores, and no head requirement on the served model.
+int32_t tpe_maxsim(tpe_ctx* ctx, const char* query, int32_t n_docs,
+                   const char** docs, int32_t top_n, int32_t* out_idx,
+                   float* out_scores) {
+    if (!ctx || ctx->fd < 0 || !query || n_docs <= 0 || !out_idx ||
+        !out_scores)
+        return -1;
+    std::string req;
+    req.append("\x01TPX", 4);
+    uint32_t tn = top_n > 0 ? static_cast<uint32_t>(top_n) : 0;
+    req.append(reinterpret_cast<const char*>(&tn), 4);
+    uint32_t qlen = static_cast<uint32_t>(strlen(query));
+    req.append(reinterpret_cast<const char*>(&qlen), 4);
+    req.append(query, qlen);
+    append_texts(&req, n_docs, docs);
+    if (!write_all(ctx->fd, req.data(), req.size())) {
+        ctx->last_error = "send failed";
+        return -1;
+    }
+    uint32_t m = 0;
+    if (!read_reply_count(ctx, &m)) return -1;
+    uint32_t cap = tn ? (tn < static_cast<uint32_t>(n_docs)
+                             ? tn
+                             : static_cast<uint32_t>(n_docs))
+                      : static_cast<uint32_t>(n_docs);
+    if (m > cap) {
+        ctx->last_error = "bad maxsim reply";
+        kill_conn(ctx);
+        return -1;
+    }
+    if (!read_exactly(ctx->fd, out_idx, 4ull * m) ||
+        !read_exactly(ctx->fd, out_scores, 4ull * m)) {
+        ctx->last_error = "recv failed";
+        kill_conn(ctx);
+        return -1;
+    }
+    return static_cast<int32_t>(m);
+}
+
 // Token id -> token string (bert_vocab_id_to_token, bert.h:90).  Writes a
 // NUL-terminated string into buf[cap]; returns the token byte length
 // (excluding NUL), or -1 on error.

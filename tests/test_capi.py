@@ -336,3 +336,91 @@ def test_rerank_via_capi_no_head(running_server):
         assert out.shape == (engine.n_embd,)
     finally:
         model.close()
+
+
+def test_maxsim_via_capi(running_server):
+    """tpe_maxsim against the plain embedding model (no head needed):
+    matches Engine.maxsim_rerank; top_n honored."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    engine, port = running_server
+    docs = ["the dog sat on the mat", "hello world", "hello world again"]
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        idx, scores = model.maxsim("hello world", docs)
+        want = engine.maxsim_rerank("hello world", docs)
+        assert idx.tolist() == [w["index"] for w in want]
+        np.testing.assert_allclose(
+            scores, [w["relevance_score"] for w in want], rtol=1e-6
+        )
+        idx2, _ = model.maxsim("hello world", docs, top_n=1)
+        assert idx2.tolist() == idx[:1].tolist()
+    finally:
+        model.close()
+
+
+def test_encode_sparse_via_capi(tmp_path):
+    """tpe_encode_sparse against a SPLADE GGUF: pairs match
+    Engine.encode_sparse; a dense model fails with last_error set."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from embedding_cpp_tpu.cli.make_test_model import make_test_model
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.runtime.server import serve
+    from examples.sample_dylib import TpuEmbedModel
+
+    path = tmp_path / "tiny-splade.gguf"
+    make_test_model(str(path), "tiny-splade", "f32")
+    engine = Engine.from_gguf(str(path))
+    port = _free_port()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        holder["task"] = loop.create_task(serve(engine, "127.0.0.1", port))
+        try:
+            loop.run_until_complete(holder["task"])
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.1)
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        texts = ["hello world", "another test"]
+        pairs = model.encode_sparse(texts, k=16)
+        want = engine.encode_sparse(texts, k=16)
+        for (gi, gv), (wi, wv) in zip(pairs, want):
+            np.testing.assert_array_equal(gi, wi)
+            np.testing.assert_allclose(gv, wv, rtol=1e-6)
+    finally:
+        model.close()
+        loop.call_soon_threadsafe(holder["task"].cancel)
+        t.join(timeout=5)
+
+
+def test_encode_sparse_via_capi_dense_model(running_server):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.sample_dylib import TpuEmbedModel
+
+    _engine, port = running_server
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        with pytest.raises(RuntimeError, match="MLM head"):
+            model.encode_sparse(["a"])
+        # connection survives the error frame
+        assert model.encode("still alive").shape == (model.n_embd,)
+    finally:
+        model.close()

@@ -629,3 +629,81 @@ def test_server_t5_no_cls_family(tmp_path):
     finally:
         loop.call_soon_threadsafe(holder["task"].cancel)
         t.join(timeout=5)
+
+
+def test_maxsim_frame(server):
+    """\\x01TPX: late-interaction MaxSim over the wire — works on the
+    module fixture's plain embedding model (no head needed)."""
+    port, engine = server
+    docs = ["the dog sat on the mat", "hello world", "hello world again"]
+    with EmbeddingClient("127.0.0.1", port) as c:
+        idx, scores = c.maxsim("hello world", docs)
+        assert idx.shape == (3,) and np.all(np.diff(scores) <= 1e-6)
+        want = engine.maxsim_rerank("hello world", docs)
+        assert idx.tolist() == [w["index"] for w in want]
+        np.testing.assert_allclose(
+            scores, [w["relevance_score"] for w in want], rtol=1e-6
+        )
+        idx2, scores2 = c.maxsim("hello world", docs, top_n=2)
+        assert idx2.tolist() == idx[:2].tolist()
+        np.testing.assert_allclose(scores2, scores[:2], rtol=1e-6)
+
+
+def test_sparse_frame():
+    """\\x01TPW: SPLADE sparse encode over the wire against an MLM-head
+    model, matching Engine.encode_sparse exactly."""
+    pytest.importorskip("tokenizers")
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, mlm_head=True, name="tcp-splade")
+    engine = Engine.synthetic(cfg, opts=ComputeOptions(dtype="float32"))
+    loop = asyncio.new_event_loop()
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(serve(engine, "127.0.0.1", port, window_ms=1.0))
+        holder["task"] = task
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    texts = ["hello world", "a longer sentence with more words"]
+    with EmbeddingClient("127.0.0.1", port) as c:
+        pairs = c.encode_sparse(texts, k=24)
+        want = engine.encode_sparse(texts, k=24)
+        assert len(pairs) == 2
+        for (gi, gv), (wi, wv) in zip(pairs, want):
+            np.testing.assert_array_equal(gi, wi)
+            np.testing.assert_allclose(gv, wv, rtol=1e-6)
+    loop.call_soon_threadsafe(holder["task"].cancel)
+    t.join(timeout=5)
+
+
+def test_sparse_frame_dense_model_error(server):
+    """Dense fixture model: the sparse frame gets a per-request error frame
+    and the connection stays usable."""
+    port, _engine = server
+    with EmbeddingClient("127.0.0.1", port) as c:
+        with pytest.raises(RuntimeError, match="MLM head"):
+            c.encode_sparse(["a"])
+        vecs = c.embed(["still alive"])
+        assert vecs.shape[0] == 1

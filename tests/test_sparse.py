@@ -683,3 +683,31 @@ def test_http_sparse_index_search(sparse_http_server):
                          {"input": ["x"], "model": "dense-sidecar"})
     assert status == 400
     assert "MLM head" in body["error"]["message"]
+
+
+def test_mesh_sparse_and_maxsim_match_single(eight_devices):
+    """Mesh-constructed engine (dp=2 tp=4): encode_sparse and maxsim run
+    over the sharded params (mlm subtree replicates via param_pspecs'
+    default) and match the single-device engine exactly."""
+    pytest.importorskip("tokenizers")
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    cfg = BertConfig(
+        n_vocab=500, n_ctx=64, n_embd=128, n_layer=2, n_head=4, n_ff=256,
+        mlm_head=True, name="mesh-splade",
+    )
+    opts = ComputeOptions(dtype="float32", q4_impl="xla")
+    single = Engine.synthetic(cfg, opts=opts)
+    mesh = make_mesh(dp=2, tp=4, devices=eight_devices)
+    meshed = Engine.synthetic(cfg, opts=opts, mesh=mesh)
+    texts = ["hello world", "a longer sentence with many words", "third"]
+    for (ia, va), (ib, vb) in zip(
+        single.encode_sparse(texts, k=32), meshed.encode_sparse(texts, k=32)
+    ):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_allclose(va, vb, atol=2e-5)
+    np.testing.assert_allclose(
+        single.maxsim("hello world", texts),
+        meshed.maxsim("hello world", texts), atol=2e-4, rtol=1e-4,
+    )

@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from kernels import DISPATCH_FLOOR_S  # noqa: E402 (canonical relay floor)
+from kernels import _dispatch_floor  # noqa: E402 (canonical relay floor)
 
 
 def main() -> None:
@@ -70,7 +70,7 @@ def main() -> None:
             t0 = time.perf_counter()
             float(np.asarray(loop(corpus, qs)))
             best = min(best, time.perf_counter() - t0)
-        return max((best - DISPATCH_FLOOR_S) / args.iters, 1e-9)
+        return max((best - _dispatch_floor()) / args.iters, 1e-9)
 
     per = measure(exact=True)
     per_approx = measure(exact=False)

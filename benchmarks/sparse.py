@@ -1,0 +1,137 @@
+"""SPLADE sparse-encoding + MaxSim benchmark at splade-base geometry.
+
+Two layers of numbers, mirroring benchmarks/search.py:
+
+- **kernel**: chained in-device iterations of the full sparse forward
+  (encoder + chunked MLM-logits scan + top-k + bit-packing) — the pure
+  device cost per batch.  The loop carries a REAL data dependency (the
+  packed output's value bytes feed the next iteration's ids; see
+  CLAUDE.md's hoisting traps) and fetches a scalar per timing.
+- **end_to_end**: Engine.encode_sparse wall time including the packed
+  top-k fetch (~8 KB/sentence-batch — the transfer-compression story:
+  a dense 30522-float row would be 120 KB/sentence).
+
+    python benchmarks/sparse.py [--batch 32] [--seq 128] [--k 256]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from kernels import _dispatch_floor  # noqa: E402 (canonical relay floor)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--seq", type=int, default=128)
+    p.add_argument("--k", type=int, default=256)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--ftype", default="q4_0")
+    p.add_argument("--json-out")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.models import BertConfig, ComputeOptions, random_params
+    from embedding_cpp_tpu.models.bert import bert_sparse_batch
+
+    # naver/splade-cocondenser-* geometry: bert-base + full WordPiece vocab
+    cfg = BertConfig(
+        n_vocab=30522, n_ctx=512, n_embd=768, n_layer=12, n_head=12,
+        n_ff=3072, mlm_head=True, name="splade-base-synthetic",
+    )
+    opts = ComputeOptions(dtype="bfloat16", q4_impl="auto")
+    from embedding_cpp_tpu.models.convert import FTYPE_NAMES
+
+    params = random_params(cfg, FTYPE_NAMES[args.ftype], seed=0,
+                           dense_dtype=jnp.bfloat16)
+    b, s, k = args.batch, args.seq, args.k
+    rng = np.random.default_rng(0)
+    ids0 = rng.integers(0, cfg.n_vocab, size=(b, s)).astype(np.int32)
+    mask = np.ones((b, s), np.int32)
+
+    @jax.jit
+    def loop(ids, mask):
+        def body(i, carry):
+            ids, acc = carry
+            packed = bert_sparse_batch(params, ids, mask, cfg, opts, k=k)
+            # real data dependency: the packed values feed the next ids
+            vals = jax.lax.bitcast_convert_type(
+                packed[..., k:], jnp.float32
+            )
+            total = jnp.sum(vals)
+            ids = ids + (total > 1e30).astype(ids.dtype)
+            return ids, acc + total
+        _, acc = jax.lax.fori_loop(0, args.iters, body,
+                                   (jnp.asarray(ids0), jnp.float32(0)))
+        return acc
+
+    float(np.asarray(loop(ids0, mask)))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(loop(ids0, mask)))
+        best = min(best, time.perf_counter() - t0)
+    per_batch = max((best - _dispatch_floor()) / args.iters, 1e-9)
+    sps_kernel = b / per_batch
+
+    # end-to-end through the engine (tokenize + dispatch + packed fetch)
+    from embedding_cpp_tpu.runtime.engine import Engine
+
+    result = {
+        "metric": "sparse_sentences_per_sec_device",
+        "value": round(sps_kernel, 1),
+        "unit": "sentences/s",
+        "batch": b, "seq": s, "k": k, "ftype": args.ftype,
+        "kernel_ms_per_batch": round(per_batch * 1e3, 2),
+        "platform": jax.devices()[0].platform,
+    }
+    try:
+        from embedding_cpp_tpu.tokenizer.testvocab import _COMMON_WORDS
+
+        eng = Engine.synthetic(cfg, args.ftype, opts=opts)
+        words = np.array(_COMMON_WORDS)
+        texts = [" ".join(rng.choice(words, size=12)) for _ in range(256)]
+        # warm the EXACT shapes the timed runs hit (the batch planner may
+        # split 256 texts into smaller buckets under the sparse row cap)
+        eng.encode_sparse(texts, k=k)
+        best_e2e = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.encode_sparse(texts, k=k)
+            best_e2e = min(best_e2e, time.perf_counter() - t0)
+        result["end_to_end_sentences_per_sec"] = round(
+            len(texts) / best_e2e, 1
+        )
+        # MaxSim: one query against the same texts (doc forward dominates)
+        eng.maxsim(texts[0], texts)  # warm the exact chunk shapes
+        best_ms = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.maxsim(texts[0], texts)
+            best_ms = min(best_ms, time.perf_counter() - t0)
+        result["maxsim_docs_per_sec"] = round(len(texts) / best_ms, 1)
+    except Exception as e:  # no tokenizer backend available
+        result["end_to_end_error"] = str(e)
+
+    print(f"# sparse [{b}, {s}] k={k} {args.ftype}: "
+          f"{per_batch*1e3:.1f} ms/batch ({sps_kernel:,.0f} sent/s device); "
+          f"e2e {result.get('end_to_end_sentences_per_sec')} sent/s; "
+          f"maxsim {result.get('maxsim_docs_per_sec')} docs/s")
+    print(json.dumps(result))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

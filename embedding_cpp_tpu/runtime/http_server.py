@@ -49,6 +49,10 @@ the same device batches) as the TCP protocol.
     POST /v1/sparse_search {"input": ["queries"...], "k": 10}
       -> {"results": [[{"index": id, "score": s}, ...k], ...]}
                           (exact sparse dot-product top-k, host-side CSR)
+    POST /v1/hybrid_index  {"input": ["texts"...]} -> {"total": N}
+                          (adds to BOTH the dense and sparse indexes)
+    POST /v1/hybrid_search {"input": ["queries"...], "k": 10}
+      -> dense + sparse retrieval fused by reciprocal rank (RRF c=60)
     GET  /healthz         -> 200 "ok"
     GET  /metrics         -> JSON metrics snapshot (same payload as TPES)
     GET  /v1/models       -> model listing
@@ -429,6 +433,66 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         "object": "list",
                         "data": data,
                         "model": _name,
+                    })
+                    b.stats.requests += 1
+                elif path == "/v1/hybrid_index":
+                    # add to BOTH the dense and sparse indexes (identical
+                    # doc ids — the hybrid-search corpus contract)
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    if not b.engine.config.mlm_head:
+                        raise HttpError(
+                            400,
+                            f"model {_name!r} has no MLM head (hybrid "
+                            "search needs a SPLADE sparse encoder)",
+                        )
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        total = await loop.run_in_executor(
+                            None, b.hybrid_index_texts, texts
+                        )
+                    except RuntimeError as e:
+                        raise HttpError(400, str(e))
+                    finally:
+                        b.release(len(texts))
+                    out = _json_response(200, {"object": "hybrid_index",
+                                               "total": total})
+                    b.stats.requests += 1
+                elif path == "/v1/hybrid_search":
+                    # dense + sparse retrieval fused by reciprocal rank
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    k = _parse_k(payload)
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        idx, scores = await loop.run_in_executor(
+                            None, b.hybrid_search_texts, texts, k
+                        )
+                    except RuntimeError as e:
+                        raise HttpError(400, str(e))
+                    finally:
+                        b.release(len(texts))
+                    out = _json_response(200, {
+                        "object": "hybrid_search",
+                        "results": [
+                            [{"index": int(i), "score": float(sc)}
+                             for i, sc in zip(row_i, row_s) if i >= 0]
+                            for row_i, row_s in zip(idx, scores)
+                        ],
                     })
                     b.stats.requests += 1
                 elif path == "/v1/sparse_index":

@@ -228,6 +228,38 @@ class ContinuousBatcher:
             )
         return self.sparse_index.search(texts, k)
 
+    def hybrid_index_texts(self, texts: list[str]) -> int:
+        """Add the same documents to BOTH the dense and the sparse index
+        (the hybrid-search corpus contract: identical doc ids)."""
+        total = self.index_texts(texts)
+        sparse_total = self.sparse_index_texts(texts)
+        if total != sparse_total:
+            raise RuntimeError(
+                f"hybrid corpus desync: dense {total} != sparse "
+                f"{sparse_total} docs (mixed /v1/index and "
+                "/v1/hybrid_index calls?)"
+            )
+        return total
+
+    def hybrid_search_texts(self, texts: list[str], k: int):
+        """Dense + sparse retrieval fused by reciprocal rank (rrf_fuse):
+        retrieve k candidates from each index, fuse, return the top k."""
+        from .sparse_search import rrf_fuse
+
+        if self.index is None or self.sparse_index is None:
+            raise RuntimeError(
+                "hybrid search needs both indexes (POST /v1/hybrid_index "
+                "first)"
+            )
+        if len(self.index) != len(self.sparse_index):
+            raise RuntimeError(
+                f"hybrid corpus desync: dense {len(self.index)} != sparse "
+                f"{len(self.sparse_index)} docs"
+            )
+        d_idx, _ = self.index.search(texts, k)
+        s_idx, _ = self.sparse_index.search(texts, k)
+        return rrf_fuse([np.asarray(d_idx), np.asarray(s_idx)], k)
+
     async def start(self) -> None:
         self._task = asyncio.create_task(self._run())
 

@@ -23,6 +23,38 @@ from typing import Sequence
 import numpy as np
 
 
+def rrf_fuse(rankings: Sequence[np.ndarray], k: int, c: float = 60.0):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of per-query rankings:
+    fused_score(d) = sum over rankings of 1 / (c + rank_d), rank 1-based,
+    absent docs contribute 0.  `rankings` are [Q, k_i] int id arrays with
+    -1 marking empty slots (the search padding contract) — the standard
+    way to combine dense-cosine and sparse-SPLADE retrieval without score
+    calibration.  Returns (ids [Q, k] int32, scores [Q, k] f32), -1 / 0.0
+    past the fused candidate count."""
+    if not rankings:
+        raise ValueError("no rankings to fuse")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q = rankings[0].shape[0]
+    if any(r.shape[0] != q for r in rankings):
+        raise ValueError("rankings disagree on query count")
+    out_i = np.full((q, k), -1, np.int32)
+    out_s = np.zeros((q, k), np.float32)
+    for qi in range(q):
+        scores: dict[int, float] = {}
+        for r in rankings:
+            for rank, doc in enumerate(r[qi], start=1):
+                if doc >= 0:
+                    scores[int(doc)] = scores.get(int(doc), 0.0) + 1.0 / (
+                        c + rank
+                    )
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for j, (doc, sc) in enumerate(top):
+            out_i[qi, j] = doc
+            out_s[qi, j] = sc
+    return out_i, out_s
+
+
 class SparseIndex:
     """Append-only sparse corpus + exact dot-product top-k search.
 

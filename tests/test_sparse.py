@@ -450,8 +450,8 @@ def _free_port():
     return port
 
 
-@pytest.fixture(scope="module")
-def sparse_http_server():
+def _serve_sparse_engine():
+    """Generator body shared by the module- and function-scoped fixtures."""
     pytest.importorskip("tokenizers")
     from embedding_cpp_tpu.runtime.engine import Engine
     from embedding_cpp_tpu.runtime.server import serve
@@ -495,6 +495,11 @@ def sparse_http_server():
     yield http_port, engine
     loop.call_soon_threadsafe(holder["task"].cancel)
     t.join(timeout=5)
+
+
+@pytest.fixture(scope="module")
+def sparse_http_server():
+    yield from _serve_sparse_engine()
 
 
 def _post(port, path, payload):
@@ -711,3 +716,65 @@ def test_mesh_sparse_and_maxsim_match_single(eight_devices):
         single.maxsim("hello world", texts),
         meshed.maxsim("hello world", texts), atol=2e-4, rtol=1e-4,
     )
+
+
+def test_rrf_fuse():
+    from embedding_cpp_tpu.runtime.sparse_search import rrf_fuse
+
+    a = np.array([[2, 0, 1]], np.int32)   # doc2 rank1, doc0 rank2, doc1 rank3
+    b = np.array([[0, 2, -1]], np.int32)  # doc0 rank1, doc2 rank2, pad
+    idx, scores = rrf_fuse([a, b], k=4, c=60.0)
+    want = {
+        2: 1 / 61 + 1 / 62,
+        0: 1 / 62 + 1 / 61,
+        1: 1 / 63,
+    }
+    # docs 0 and 2 tie exactly; ties break by doc id ascending
+    assert idx[0, 0] == 0 and idx[0, 1] == 2 and idx[0, 2] == 1
+    np.testing.assert_allclose(scores[0, 0], want[0], rtol=1e-6)
+    np.testing.assert_allclose(scores[0, 2], want[1], rtol=1e-6)
+    # pads past the fused candidate count
+    assert idx[0, 3] == -1 and scores[0, 3] == 0.0
+    with pytest.raises(ValueError, match="k must be positive"):
+        rrf_fuse([a], k=0)
+    with pytest.raises(ValueError, match="no rankings"):
+        rrf_fuse([], k=1)
+
+
+def test_http_hybrid_desync_rejected(sparse_http_server):
+    """Mixing /v1/sparse_index with /v1/hybrid_index desyncs the corpora —
+    hybrid calls detect it and 400 instead of fusing misaligned ids.
+    (Runs on the shared fixture AFTER the sparse-only index test.)"""
+    port, _ = sparse_http_server
+    status, body = _post(port, "/v1/hybrid_index", {"input": ["x"]})
+    if status == 200:  # sparse-only test didn't run first: force the skew
+        _post(port, "/v1/sparse_index", {"input": ["y"]})
+    status, body = _post(port, "/v1/hybrid_search",
+                         {"input": ["hello"], "k": 2})
+    assert status == 400
+    assert "desync" in body["error"]["message"]
+
+
+@pytest.fixture()
+def hybrid_http_server():
+    """Function-scoped server: hybrid tests need virgin index state."""
+    yield from _serve_sparse_engine()
+
+
+def test_http_hybrid_search(hybrid_http_server):
+    port, engine = hybrid_http_server
+    status, body = _post(port, "/v1/hybrid_search",
+                         {"input": ["hello"], "k": 2})
+    assert status == 400  # no indexes yet -> clean client error
+    docs = ["the dog sat", "hello world", "partly cloudy skies"]
+    status, body = _post(port, "/v1/hybrid_index", {"input": docs})
+    assert status == 200 and body["total"] == 3
+    status, body = _post(port, "/v1/hybrid_search",
+                         {"input": ["hello world"], "k": 3})
+    assert status == 200, body
+    rows = body["results"]
+    assert len(rows) == 1 and len(rows[0]) == 3
+    # the identical document tops both rankings, so it tops the fusion
+    assert rows[0][0]["index"] == 1
+    scores = [r["score"] for r in rows[0]]
+    assert scores == sorted(scores, reverse=True)

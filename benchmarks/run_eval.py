@@ -72,7 +72,8 @@ def check_baseline(model_name: str, mode: str, task: str, score: float):
 
 
 def make_engine_encoder(gguf_path: str, dtype: str = "bfloat16",
-                        output_dtype: str = "float32"):
+                        output_dtype: str = "float32",
+                        sparse: bool = False):
     from embedding_cpp_tpu.models.bert import ComputeOptions
     from embedding_cpp_tpu.runtime.engine import Engine
 
@@ -80,6 +81,21 @@ def make_engine_encoder(gguf_path: str, dtype: str = "bfloat16",
         gguf_path,
         opts=ComputeOptions(dtype=dtype, output_dtype=output_dtype),
     )
+    if sparse:
+        # SPLADE mode (needs an MLM-head model, e.g. --preset tiny-splade):
+        # the eval similarity runs over densified sparse lexical vectors —
+        # cosine over SPLADE vectors is the standard STS proxy for sparse
+        # encoders (sentence-transformers SparseEncoder evaluators)
+        import numpy as np
+
+        def encode(texts):
+            pairs = engine.encode_sparse(list(texts))
+            out = np.zeros((len(pairs), engine.config.n_vocab), np.float32)
+            for i, (idx, val) in enumerate(pairs):
+                out[i, idx] = val
+            return out
+
+        return encode
     return engine.encode
 
 
@@ -203,6 +219,10 @@ def main() -> None:
                         "a miss.  Use with a real checkpoint, e.g. "
                         "--hf-dir .../all-MiniLM-L6-v2")
     p.add_argument("--model-name")
+    p.add_argument("--sparse-encode", action="store_true",
+                   help="evaluate SPLADE sparse vectors (MLM-head model, "
+                        "e.g. --preset tiny-splade) instead of dense "
+                        "embeddings")
     p.add_argument("--preset", default="minilm-l6",
                    help="synthetic-mode model preset (make_test_model): "
                         "covers every encoder/tokenizer family, e.g. "
@@ -233,7 +253,9 @@ def main() -> None:
                 path = f"{td}/model-{mode}.gguf"
                 make_test_model(path, args.preset, mode)
                 scores = run_mode(
-                    mode, model_name, make_engine_encoder(path, args.dtype, args.output_dtype),
+                    mode, model_name,
+                    make_engine_encoder(path, args.dtype, args.output_dtype,
+                                        sparse=args.sparse_encode),
                     sts, clf, args.tasks, warmup=args.warmup)
                 _gate_baseline(failures, model_name, mode, scores,
                                args.assert_baseline)
@@ -251,7 +273,9 @@ def main() -> None:
     elif args.gguf:
         model_name = args.model_name or Path(args.gguf).stem
         scores = run_mode(
-            "gguf", model_name, make_engine_encoder(args.gguf, args.dtype, args.output_dtype),
+            "gguf", model_name,
+            make_engine_encoder(args.gguf, args.dtype, args.output_dtype,
+                                sparse=args.sparse_encode),
             sts, clf, args.tasks, warmup=args.warmup)
         _gate_baseline(failures, model_name, "gguf", scores,
                        args.assert_baseline)

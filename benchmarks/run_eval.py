@@ -288,10 +288,17 @@ def main() -> None:
             for mode in args.modes:
                 if mode in ENGINE_MODES:
                     path = f"{td}/model-{mode}.gguf"
-                    convert_hf_dir(args.hf_dir, path, mode)
+                    # --sparse-encode implies the MLM head must survive
+                    # conversion (a SPLADE checkpoint without modules.json
+                    # would otherwise auto-detect as dense)
+                    convert_hf_dir(args.hf_dir, path, mode,
+                                   sparse=True if args.sparse_encode
+                                   else None)
                     scores = run_mode(
                         mode, model_name,
-                        make_engine_encoder(path, args.dtype, args.output_dtype),
+                        make_engine_encoder(path, args.dtype,
+                                            args.output_dtype,
+                                            sparse=args.sparse_encode),
                         sts, clf, args.tasks, warmup=args.warmup)
                     _gate_baseline(failures, model_name, mode, scores,
                                    args.assert_baseline)

@@ -64,15 +64,18 @@ def main() -> None:
         def body(i, carry):
             ids, acc = carry
             packed = bert_sparse_batch(params, ids, mask, cfg, opts, k=k)
-            # real data dependency: the packed values feed the next ids
+            # real data dependency on the FULL packed output — summing only
+            # the value half would let XLA dead-code the index half of the
+            # top-k/bit-packing (CLAUDE.md column-slicing trap); u32 sum
+            # wraps, which is fine: only the dependency matters
+            total_u = jnp.sum(packed, dtype=jnp.uint32)
+            ids = ids + (total_u > jnp.uint32(0xFFFFFFF0)).astype(ids.dtype)
             vals = jax.lax.bitcast_convert_type(
                 packed[..., k:], jnp.float32
             )
-            total = jnp.sum(vals)
-            ids = ids + (total > 1e30).astype(ids.dtype)
-            return ids, acc + total
+            return ids, acc + jnp.sum(vals)
         _, acc = jax.lax.fori_loop(0, args.iters, body,
-                                   (jnp.asarray(ids0), jnp.float32(0)))
+                                   (ids, jnp.float32(0)))
         return acc
 
     float(np.asarray(loop(ids0, mask)))  # compile

@@ -149,6 +149,9 @@ class ContinuousBatcher:
         self.index = None  # lazy on-device VectorIndex (shared, thread-safe)
         self.sparse_index = None  # lazy host-side SparseIndex (SPLADE)
         self._index_init_lock = threading.Lock()
+        # spans BOTH adds of hybrid_index_texts: executor threads must not
+        # interleave dense/sparse appends into different doc-id assignments
+        self._hybrid_lock = threading.Lock()
 
     def try_reserve(self, n: int) -> None:
         """Admission control for index/search work, which runs on executor
@@ -230,16 +233,41 @@ class ContinuousBatcher:
 
     def hybrid_index_texts(self, texts: list[str]) -> int:
         """Add the same documents to BOTH the dense and the sparse index
-        (the hybrid-search corpus contract: identical doc ids)."""
-        total = self.index_texts(texts)
-        sparse_total = self.sparse_index_texts(texts)
-        if total != sparse_total:
-            raise RuntimeError(
-                f"hybrid corpus desync: dense {total} != sparse "
-                f"{sparse_total} docs (mixed /v1/index and "
-                "/v1/hybrid_index calls?)"
+        (the hybrid-search corpus contract: identical doc ids).
+
+        Serialized under _hybrid_lock so concurrent calls cannot interleave
+        the two adds into different id assignments, and ordered
+        fallible-first: the sparse ENCODE (MLM-head check, the likely
+        failure) runs before either index mutates, and the sparse APPEND
+        (infallible) runs last — a failure leaves both indexes unchanged."""
+        with self._hybrid_lock:
+            if self.sparse_index is None:
+                with self._index_init_lock:
+                    if self.sparse_index is None:
+                        import jax
+
+                        from .sparse_search import SparseIndex
+
+                        if jax.process_count() > 1:
+                            raise RuntimeError(
+                                "sparse index is single-host only"
+                            )
+                        self.sparse_index = SparseIndex(self.engine)
+            if self.index is not None and (
+                len(self.index) != len(self.sparse_index)
+            ):
+                raise RuntimeError(
+                    f"hybrid corpus desync: dense {len(self.index)} != "
+                    f"sparse {len(self.sparse_index)} docs (mixed "
+                    "/v1/index|/v1/sparse_index and /v1/hybrid_index "
+                    "calls?)"
+                )
+            pairs = self.sparse_index.engine.encode_sparse(
+                texts, k=self.sparse_index.k_encode
             )
-        return total
+            total = self.index_texts(texts)
+            self.sparse_index.add_vectors(pairs)
+            return total
 
     def hybrid_search_texts(self, texts: list[str], k: int):
         """Dense + sparse retrieval fused by reciprocal rank (rrf_fuse):

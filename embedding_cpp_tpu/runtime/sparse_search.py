@@ -102,6 +102,14 @@ class SparseIndex:
                         f"sparse vector must be two aligned 1-D arrays, got "
                         f"{idx.shape} / {val.shape}"
                     )
+                if idx.size and int(idx.min()) < 0:
+                    # -1 is the wire/C-ABI PAD marker, not a term — storing
+                    # it would alias qd[-1] onto the last vocab term and
+                    # silently corrupt scores; callers must trim pad slots
+                    raise ValueError(
+                        "negative term id in sparse vector (trim the "
+                        "-1 pad slots before add_vectors)"
+                    )
                 if idx.size:
                     self.n_vocab = max(self.n_vocab, int(idx.max()) + 1)
                 self._indices.append(idx)
@@ -147,18 +155,22 @@ class SparseIndex:
             if n == 0:
                 raise RuntimeError("empty index")
             flat_idx, flat_val, doc_ids = self._flattened()
+            # snapshot under the lock: a concurrent add_vectors may grow
+            # n_vocab past the scratch buffer allocated below
+            n_vocab = self.n_vocab
         q = len(pairs)
         out_i = np.full((q, k), -1, np.int32)
         out_s = np.full((q, k), -np.inf, np.float32)
         kk = min(k, n)
-        qd = np.zeros(self.n_vocab, np.float32)
+        qd = np.zeros(n_vocab, np.float32)
         for qi, (idx, val) in enumerate(pairs):
             idx = np.asarray(idx, np.int64)
             val = np.asarray(val, np.float32)
-            # query terms past the corpus vocab can't match any document —
-            # they contribute exactly 0, so drop rather than reject them
-            # (an engine-less index sizes n_vocab from the corpus alone)
-            keep = idx < self.n_vocab
+            # drop query terms outside [0, n_vocab): ids past the corpus
+            # vocab can't match any document (engine-less indexes size
+            # n_vocab from the corpus alone), and negative ids are wire
+            # pad slots (-1), not terms — neither may touch qd
+            keep = (idx >= 0) & (idx < n_vocab)
             idx, val = idx[keep], val[keep]
             qd[idx] = val
             per_nnz = flat_val * qd[flat_idx]

@@ -37,3 +37,55 @@ def tpu_atol(cpu_atol: float, tpu_atol_val: float = 2e-3) -> float:
     import jax
 
     return cpu_atol if jax.devices()[0].platform != "tpu" else tpu_atol_val
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def serve_in_thread(engine, **serve_kw):
+    """Run runtime.server.serve on a background event-loop thread; yields
+    the TCP port once it accepts connections.  The shared harness for
+    wire-protocol tests (test_server / test_capi / test_sparse grew three
+    hand-rolled copies of this dance)."""
+    import asyncio
+    import socket
+    import threading
+    import time
+
+    from embedding_cpp_tpu.runtime.server import serve
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def thread_main():
+        asyncio.set_event_loop(loop)
+        holder["task"] = loop.create_task(
+            serve(engine, "127.0.0.1", port, **serve_kw)
+        )
+        try:
+            loop.run_until_complete(holder["task"])
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    t = threading.Thread(target=thread_main, daemon=True)
+    t.start()
+    wait_port = serve_kw.get("http_port") or port
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", wait_port), 0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    try:
+        yield port
+    finally:
+        loop.call_soon_threadsafe(holder["task"].cancel)
+        t.join(timeout=5)

@@ -366,49 +366,24 @@ def test_encode_sparse_via_capi(tmp_path):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from embedding_cpp_tpu.cli.make_test_model import make_test_model
     from embedding_cpp_tpu.runtime.engine import Engine
-    from embedding_cpp_tpu.runtime.server import serve
     from examples.sample_dylib import TpuEmbedModel
+
+    from conftest import serve_in_thread
 
     path = tmp_path / "tiny-splade.gguf"
     make_test_model(str(path), "tiny-splade", "f32")
     engine = Engine.from_gguf(str(path))
-    port = _free_port()
-    loop = asyncio.new_event_loop()
-    holder = {}
-
-    def thread_main():
-        asyncio.set_event_loop(loop)
-        holder["task"] = loop.create_task(serve(engine, "127.0.0.1", port))
+    with serve_in_thread(engine) as port:
+        model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
         try:
-            loop.run_until_complete(holder["task"])
-        except asyncio.CancelledError:
-            pass
+            texts = ["hello world", "another test"]
+            pairs = model.encode_sparse(texts, k=16)
+            want = engine.encode_sparse(texts, k=16)
+            for (gi, gv), (wi, wv) in zip(pairs, want):
+                np.testing.assert_array_equal(gi, wi)
+                np.testing.assert_allclose(gv, wv, rtol=1e-6)
         finally:
-            loop.close()
-
-    t = threading.Thread(target=thread_main, daemon=True)
-    t.start()
-    import time
-
-    for _ in range(100):
-        try:
-            s = socket.create_connection(("127.0.0.1", port), timeout=0.2)
-            s.close()
-            break
-        except OSError:
-            time.sleep(0.1)
-    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
-    try:
-        texts = ["hello world", "another test"]
-        pairs = model.encode_sparse(texts, k=16)
-        want = engine.encode_sparse(texts, k=16)
-        for (gi, gv), (wi, wv) in zip(pairs, want):
-            np.testing.assert_array_equal(gi, wi)
-            np.testing.assert_allclose(gv, wv, rtol=1e-6)
-    finally:
-        model.close()
-        loop.call_soon_threadsafe(holder["task"].cancel)
-        t.join(timeout=5)
+            model.close()
 
 
 def test_encode_sparse_via_capi_dense_model(running_server):

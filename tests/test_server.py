@@ -655,47 +655,19 @@ def test_sparse_frame():
     pytest.importorskip("tokenizers")
     import dataclasses
 
+    from conftest import serve_in_thread
+
     cfg = dataclasses.replace(CFG, mlm_head=True, name="tcp-splade")
     engine = Engine.synthetic(cfg, opts=ComputeOptions(dtype="float32"))
-    loop = asyncio.new_event_loop()
-    sock = socket.socket()
-    sock.bind(("127.0.0.1", 0))
-    port = sock.getsockname()[1]
-    sock.close()
-    holder = {}
-
-    def thread_main():
-        asyncio.set_event_loop(loop)
-        task = loop.create_task(serve(engine, "127.0.0.1", port, window_ms=1.0))
-        holder["task"] = task
-        try:
-            loop.run_until_complete(task)
-        except asyncio.CancelledError:
-            pass
-        finally:
-            loop.close()
-
-    t = threading.Thread(target=thread_main, daemon=True)
-    t.start()
-    import time
-
-    for _ in range(100):
-        try:
-            s = socket.create_connection(("127.0.0.1", port), 0.2)
-            s.close()
-            break
-        except OSError:
-            time.sleep(0.05)
     texts = ["hello world", "a longer sentence with more words"]
-    with EmbeddingClient("127.0.0.1", port) as c:
-        pairs = c.encode_sparse(texts, k=24)
-        want = engine.encode_sparse(texts, k=24)
-        assert len(pairs) == 2
-        for (gi, gv), (wi, wv) in zip(pairs, want):
-            np.testing.assert_array_equal(gi, wi)
-            np.testing.assert_allclose(gv, wv, rtol=1e-6)
-    loop.call_soon_threadsafe(holder["task"].cancel)
-    t.join(timeout=5)
+    with serve_in_thread(engine, window_ms=1.0) as port:
+        with EmbeddingClient("127.0.0.1", port) as c:
+            pairs = c.encode_sparse(texts, k=24)
+            want = engine.encode_sparse(texts, k=24)
+            assert len(pairs) == 2
+            for (gi, gv), (wi, wv) in zip(pairs, want):
+                np.testing.assert_array_equal(gi, wi)
+                np.testing.assert_allclose(gv, wv, rtol=1e-6)
 
 
 def test_sparse_frame_dense_model_error(server):

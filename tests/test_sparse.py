@@ -453,8 +453,8 @@ def _free_port():
 def _serve_sparse_engine():
     """Generator body shared by the module- and function-scoped fixtures."""
     pytest.importorskip("tokenizers")
+    from conftest import serve_in_thread
     from embedding_cpp_tpu.runtime.engine import Engine
-    from embedding_cpp_tpu.runtime.server import serve
 
     engine = Engine.synthetic(CFG, opts=F32)
     dense_cfg = BertConfig(
@@ -462,39 +462,10 @@ def _serve_sparse_engine():
         name="dense-sidecar",
     )
     dense_engine = Engine.synthetic(dense_cfg, opts=F32)
-    http_port, tcp_port = _free_port(), _free_port()
-    loop = asyncio.new_event_loop()
-    holder = {}
-
-    def thread_main():
-        asyncio.set_event_loop(loop)
-        task = loop.create_task(
-            serve(engine, "127.0.0.1", tcp_port, window_ms=2.0,
-                  http_port=http_port,
-                  extra_engines={"dense-sidecar": dense_engine})
-        )
-        holder["task"] = task
-        try:
-            loop.run_until_complete(task)
-        except asyncio.CancelledError:
-            pass
-        finally:
-            loop.close()
-
-    t = threading.Thread(target=thread_main, daemon=True)
-    t.start()
-    import time
-
-    for _ in range(100):
-        try:
-            s = socket.create_connection(("127.0.0.1", http_port), 0.2)
-            s.close()
-            break
-        except OSError:
-            time.sleep(0.05)
-    yield http_port, engine
-    loop.call_soon_threadsafe(holder["task"].cancel)
-    t.join(timeout=5)
+    http_port = _free_port()
+    with serve_in_thread(engine, window_ms=2.0, http_port=http_port,
+                         extra_engines={"dense-sidecar": dense_engine}):
+        yield http_port, engine
 
 
 @pytest.fixture(scope="module")
@@ -599,6 +570,11 @@ def test_sparse_index_empty_doc_and_errors():
     with pytest.raises(RuntimeError, match="empty index"):
         index.search_vectors([(np.array([0], np.int32),
                                np.array([1.0], np.float32))], k=1)
+    # pad-marker ids (-1) are rejected at add time: storing them would
+    # alias the last vocab term
+    with pytest.raises(ValueError, match="negative term id"):
+        index.add_vectors([(np.array([-1, 3], np.int32),
+                            np.array([1.0, 2.0], np.float32))])
     # empty docs score 0, never crash the reduction (reduceat would)
     index.add_vectors([
         (np.zeros(0, np.int32), np.zeros(0, np.float32)),

@@ -679,3 +679,51 @@ def test_sparse_frame_dense_model_error(server):
             c.encode_sparse(["a"])
         vecs = c.embed(["still alive"])
         assert vecs.shape[0] == 1
+
+
+def test_hostile_sparse_maxsim_frames(server):
+    """Hostile TPW/TPX frames produce error frames, not hangs or unbounded
+    allocations."""
+    port, _ = server
+
+    def read_u32(s):
+        buf = b""
+        while len(buf) < 4:
+            buf += s.recv(4 - len(buf))
+        return struct.unpack("<I", buf)[0]
+
+    # sparse k = 0 violates the frame contract
+    s = socket.create_connection(("127.0.0.1", port), 10)
+    s.recv(4)
+    s.sendall(b"\x01TPW" + struct.pack("<I", 0) + struct.pack("<I", 1)
+              + struct.pack("<I", 1) + b"x")
+    assert read_u32(s) == 0xFFFFFFFF
+    assert b"malformed" in s.recv(read_u32(s))
+    s.close()
+
+    # sparse k over the cap
+    s = socket.create_connection(("127.0.0.1", port), 10)
+    s.recv(4)
+    s.sendall(b"\x01TPW" + struct.pack("<I", 1 << 20))
+    assert read_u32(s) == 0xFFFFFFFF
+    s.close()
+
+    # maxsim with a zero-length query
+    s = socket.create_connection(("127.0.0.1", port), 10)
+    s.recv(4)
+    s.sendall(b"\x01TPX" + struct.pack("<II", 0, 0))
+    assert read_u32(s) == 0xFFFFFFFF
+    s.close()
+
+    # maxsim with zero documents -> per-request error, connection SURVIVES
+    s = socket.create_connection(("127.0.0.1", port), 10)
+    s.recv(4)
+    q = b"hi"
+    s.sendall(b"\x01TPX" + struct.pack("<II", 0, len(q)) + q
+              + struct.pack("<I", 0))
+    assert read_u32(s) == 0xFFFFFFFF
+    assert b"no documents" in s.recv(read_u32(s))
+    s.sendall(b"\x01TPM")  # meta frame still answers on the same socket
+    ln = read_u32(s)
+    assert ln > 0 and b"n_embd" in s.recv(ln)
+    s.close()

@@ -15,11 +15,15 @@ import numpy as np
 from .server import (
     MAGIC,
     MAGIC_ENCODE_I8,
+    MAGIC_HYBRID_INDEX,
+    MAGIC_HYBRID_SEARCH,
     MAGIC_INDEX,
     MAGIC_MAXSIM,
     MAGIC_RERANK,
     MAGIC_SEARCH,
     MAGIC_SPARSE,
+    MAGIC_SPARSE_INDEX,
+    MAGIC_SPARSE_SEARCH,
 )
 
 
@@ -78,16 +82,22 @@ class EmbeddingClient:
     def index(self, texts: Sequence[str]) -> int:
         """Embed texts into the server's on-device vector index; returns the
         total indexed count.  The vectors never leave the device."""
-        self._send_texts(MAGIC_INDEX, list(texts))
-        (total,) = struct.unpack("<I", self._read_exactly(4))
-        self._check_error(total)
-        return total
+        return self._index_like(MAGIC_INDEX, texts)
 
     def search(self, queries: Sequence[str], k: int = 10):
         """Top-k over the server's on-device index: returns
         (indices [n, k] int32, scores [n, k] f32) — only ids + scores cross
         the wire (the reference's sample_client pulls every corpus vector)."""
-        self._send_texts(MAGIC_SEARCH, list(queries), struct.pack("<I", k))
+        return self._search_like(MAGIC_SEARCH, queries, k)
+
+    def _index_like(self, magic: bytes, texts: Sequence[str]) -> int:
+        self._send_texts(magic, list(texts))
+        (total,) = struct.unpack("<I", self._read_exactly(4))
+        self._check_error(total)
+        return total
+
+    def _search_like(self, magic: bytes, queries: Sequence[str], k: int):
+        self._send_texts(magic, list(queries), struct.pack("<I", k))
         (n,) = struct.unpack("<I", self._read_exactly(4))
         self._check_error(n)
         (kk,) = struct.unpack("<I", self._read_exactly(4))
@@ -98,6 +108,27 @@ class EmbeddingClient:
             self._read_exactly(4 * n * kk), np.float32
         ).reshape(n, kk).copy()
         return idx, scores
+
+    def sparse_index(self, texts: Sequence[str]) -> int:
+        """SPLADE-encode texts into the server's sparse index (\\x01TPY);
+        returns the total indexed count.  Needs an MLM-head model."""
+        return self._index_like(MAGIC_SPARSE_INDEX, texts)
+
+    def sparse_search(self, queries: Sequence[str], k: int = 10):
+        """Exact sparse dot-product top-k over the server's sparse index
+        (\\x01TPZ): (indices [n, k] int32, scores [n, k] f32; -1/-inf
+        padding past the corpus)."""
+        return self._search_like(MAGIC_SPARSE_SEARCH, queries, k)
+
+    def hybrid_index(self, texts: Sequence[str]) -> int:
+        """Add texts to BOTH the dense and sparse indexes (\\x01TPF, the
+        hybrid-search corpus contract)."""
+        return self._index_like(MAGIC_HYBRID_INDEX, texts)
+
+    def hybrid_search(self, queries: Sequence[str], k: int = 10):
+        """Dense + sparse retrieval fused by reciprocal rank (\\x01TPG):
+        (indices [n, k], RRF scores [n, k]; -1/0.0 padding)."""
+        return self._search_like(MAGIC_HYBRID_SEARCH, queries, k)
 
     def rerank(self, query: str, documents: Sequence[str],
                top_n: int | None = None):

@@ -71,6 +71,15 @@ MAGIC_SPARSE = b"\x01TPW"
 # not sigmoid)
 MAGIC_MAXSIM = b"\x01TPX"
 MAX_SPARSE_K = 4096  # device top-k width cap (matches /v1/sparse_embeddings)
+# sparse corpus building/search (host-side CSR SparseIndex): the \x01TPB /
+# \x01TPS layouts verbatim — index: texts -> u32 total; search: u32 k |
+# texts -> u32 n | u32 k | n*k i32 ids | n*k f32 scores (-1/-inf padding)
+MAGIC_SPARSE_INDEX = b"\x01TPY"
+MAGIC_SPARSE_SEARCH = b"\x01TPZ"
+# hybrid retrieval (dense+sparse RRF): same layouts again; index adds to
+# BOTH indexes atomically (hybrid_index_texts), search fuses k-from-each
+MAGIC_HYBRID_INDEX = b"\x01TPF"
+MAGIC_HYBRID_SEARCH = b"\x01TPG"
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 # protocol sanity caps: a malformed/hostile frame must not drive unbounded
 # reads or allocations (the reference has no framing at all to validate)
@@ -408,7 +417,9 @@ async def _read_exactly(reader: asyncio.StreamReader, n: int) -> bytes:
 
 _MAGICS = (MAGIC, MAGIC_STATS, MAGIC_HEALTH, MAGIC_TOKENIZE, MAGIC_EVAL,
            MAGIC_META, MAGIC_VOCAB, MAGIC_ENCODE_I8, MAGIC_INDEX,
-           MAGIC_SEARCH, MAGIC_RERANK, MAGIC_SPARSE, MAGIC_MAXSIM)
+           MAGIC_SEARCH, MAGIC_RERANK, MAGIC_SPARSE, MAGIC_MAXSIM,
+           MAGIC_SPARSE_INDEX, MAGIC_SPARSE_SEARCH, MAGIC_HYBRID_INDEX,
+           MAGIC_HYBRID_SEARCH)
 
 
 def _quantize_i8_np(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -631,6 +642,46 @@ async def handle_client(
                 writer.write(np.asarray(
                     [r["relevance_score"] for r in ranked],
                     np.float32).tobytes())
+            elif head in (MAGIC_SPARSE_INDEX, MAGIC_HYBRID_INDEX):
+                texts = await _read_texts(reader)
+                fn = (batcher.sparse_index_texts
+                      if head == MAGIC_SPARSE_INDEX
+                      else batcher.hybrid_index_texts)
+                loop = asyncio.get_running_loop()
+                try:
+                    batcher.try_reserve(len(texts))
+                    try:
+                        total = await loop.run_in_executor(None, fn, texts)
+                    finally:
+                        batcher.release(len(texts))
+                except Exception as e:
+                    await _request_failed(e)
+                    continue
+                writer.write(struct.pack("<I", total))
+            elif head in (MAGIC_SPARSE_SEARCH, MAGIC_HYBRID_SEARCH):
+                (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
+                _check(0 < k <= MAX_TOPK, f"top-k {k}")
+                texts = await _read_texts(reader)
+                fn = (batcher.sparse_search_texts
+                      if head == MAGIC_SPARSE_SEARCH
+                      else batcher.hybrid_search_texts)
+                loop = asyncio.get_running_loop()
+                try:
+                    batcher.try_reserve(len(texts))
+                    try:
+                        idx, scores = await loop.run_in_executor(
+                            None, fn, texts, int(k)
+                        )
+                    finally:
+                        batcher.release(len(texts))
+                except Exception as e:
+                    await _request_failed(e)
+                    continue
+                writer.write(struct.pack("<II", idx.shape[0], idx.shape[1]))
+                writer.write(np.ascontiguousarray(idx, np.int32).tobytes())
+                writer.write(
+                    np.ascontiguousarray(scores, np.float32).tobytes()
+                )
             elif head == MAGIC_SPARSE:
                 (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
                 _check(0 < k <= MAX_SPARSE_K, f"sparse k {k}")

@@ -75,6 +75,12 @@ class TpuEmbedModel:
         ]
         self.lib.tpe_maxsim.restype = ctypes.c_int32
         self.lib.tpe_maxsim.argtypes = self.lib.tpe_rerank.argtypes
+        for fn in (self.lib.tpe_sparse_index, self.lib.tpe_hybrid_index):
+            fn.restype = ctypes.c_int32
+            fn.argtypes = self.lib.tpe_index.argtypes
+        for fn in (self.lib.tpe_sparse_search, self.lib.tpe_hybrid_search):
+            fn.restype = ctypes.c_int32
+            fn.argtypes = self.lib.tpe_search.argtypes
         self.lib.tpe_encode_sparse.restype = ctypes.c_int32
         self.lib.tpe_encode_sparse.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_char_p),
@@ -142,6 +148,43 @@ class TpuEmbedModel:
         if total < 0:
             raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
         return total
+
+    def _index_like(self, fn, sentences):
+        n = len(sentences)
+        texts = (ctypes.c_char_p * n)(*[s.encode() for s in sentences])
+        total = fn(self.ctx, n, texts)
+        if total < 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return total
+
+    def _search_like(self, fn, queries, k):
+        n = len(queries)
+        texts = (ctypes.c_char_p * n)(*[q.encode() for q in queries])
+        idx = np.zeros((n, k), dtype=np.int32)
+        scores = np.zeros((n, k), dtype=np.float32)
+        kr = fn(self.ctx, n, texts, k,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if kr < 0:
+            raise RuntimeError(self.lib.tpe_last_error(self.ctx).decode())
+        return (idx.reshape(-1)[: n * kr].reshape(n, kr),
+                scores.reshape(-1)[: n * kr].reshape(n, kr))
+
+    def sparse_index(self, sentences):
+        """SPLADE-encode into the server's sparse index (tpe_sparse_index)."""
+        return self._index_like(self.lib.tpe_sparse_index, sentences)
+
+    def sparse_search(self, queries, k=5):
+        """Exact sparse dot-product top-k (tpe_sparse_search)."""
+        return self._search_like(self.lib.tpe_sparse_search, queries, k)
+
+    def hybrid_index(self, sentences):
+        """Add to BOTH the dense and sparse indexes (tpe_hybrid_index)."""
+        return self._index_like(self.lib.tpe_hybrid_index, sentences)
+
+    def hybrid_search(self, queries, k=5):
+        """Dense + sparse RRF-fused top-k (tpe_hybrid_search)."""
+        return self._search_like(self.lib.tpe_hybrid_search, queries, k)
 
     def search(self, queries, k=5):
         """Top-k over the on-device index (tpe_search): returns

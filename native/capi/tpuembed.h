@@ -81,6 +81,19 @@ int32_t tpe_rerank(tpe_ctx* ctx, const char* query, int32_t n_docs,
                    const char** docs, int32_t top_n, int32_t* out_idx,
                    float* out_scores);
 
+// Sparse (SPLADE) corpus building/search and hybrid dense+sparse retrieval
+// — the tpe_index/tpe_search contracts verbatim.  Sparse needs an MLM-head
+// model; hybrid_index adds to BOTH indexes (identical doc ids) and
+// hybrid_search fuses the dense and sparse rankings by reciprocal rank.
+int32_t tpe_sparse_index(tpe_ctx* ctx, int32_t n_texts, const char** texts);
+int32_t tpe_sparse_search(tpe_ctx* ctx, int32_t n_queries,
+                          const char** queries, int32_t k, int32_t* out_idx,
+                          float* out_scores);
+int32_t tpe_hybrid_index(tpe_ctx* ctx, int32_t n_texts, const char** texts);
+int32_t tpe_hybrid_search(tpe_ctx* ctx, int32_t n_queries,
+                          const char** queries, int32_t k, int32_t* out_idx,
+                          float* out_scores);
+
 // SPLADE sparse encode (needs an MLM-head model; the reference is
 // dense-only).  For each text, up to k (term id, weight) entries arrive
 // sorted by descending weight: out_ids/out_weights must hold n_texts * k

@@ -423,10 +423,11 @@ void append_texts(std::string* req, int32_t n, const char** texts) {
 // Build/append the server's on-device vector index (the \x01TPB frame —
 // embeddings stay in device HBM; runtime/search.py).  Returns the total
 // indexed count, or -1 (see tpe_last_error).
-int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts) {
+static int32_t index_like(tpe_ctx* ctx, const char* magic, int32_t n_texts,
+                          const char** texts) {
     if (!ctx || ctx->fd < 0 || n_texts <= 0) return -1;
     std::string req;
-    req.append("\x01TPB", 4);
+    req.append(magic, 4);
     append_texts(&req, n_texts, texts);
     if (!write_all(ctx->fd, req.data(), req.size())) {
         ctx->last_error = "send failed";
@@ -437,19 +438,24 @@ int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts) {
     return static_cast<int32_t>(total);
 }
 
+int32_t tpe_index(tpe_ctx* ctx, int32_t n_texts, const char** texts) {
+    return index_like(ctx, "\x01TPB", n_texts, texts);
+}
+
 // Top-k search over the on-device index (the \x01TPS frame): out_idx and
 // out_scores must each hold n_queries * k entries.  Only ids + scores cross
 // the wire.  The server always replies with the REQUESTED k columns; slots
 // without a result (k beyond the corpus size) carry id -1 / score -inf.
 // Returns the reply's k (== the requested k against current servers; older
 // servers clamped, hence kr <= ku is still accepted), or -1.
-int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
-                   int32_t k, int32_t* out_idx, float* out_scores) {
+static int32_t search_like(tpe_ctx* ctx, const char* magic,
+                           int32_t n_queries, const char** queries,
+                           int32_t k, int32_t* out_idx, float* out_scores) {
     if (!ctx || ctx->fd < 0 || n_queries <= 0 || k <= 0 || !out_idx ||
         !out_scores)
         return -1;
     std::string req;
-    req.append("\x01TPS", 4);
+    req.append(magic, 4);
     uint32_t ku = static_cast<uint32_t>(k);
     req.append(reinterpret_cast<const char*>(&ku), 4);
     append_texts(&req, n_queries, queries);
@@ -474,6 +480,38 @@ int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
         return -1;
     }
     return static_cast<int32_t>(kr);
+}
+
+int32_t tpe_search(tpe_ctx* ctx, int32_t n_queries, const char** queries,
+                   int32_t k, int32_t* out_idx, float* out_scores) {
+    return search_like(ctx, "\x01TPS", n_queries, queries, k, out_idx,
+                       out_scores);
+}
+
+// Sparse (SPLADE) corpus building/search and hybrid dense+sparse retrieval
+// (the \x01TPY/\x01TPZ/\x01TPF/\x01TPG frames) — the tpe_index/tpe_search
+// buffer contracts verbatim.  Sparse needs an MLM-head model; hybrid adds
+// to BOTH indexes atomically and fuses rankings by reciprocal rank.
+int32_t tpe_sparse_index(tpe_ctx* ctx, int32_t n_texts, const char** texts) {
+    return index_like(ctx, "\x01TPY", n_texts, texts);
+}
+
+int32_t tpe_sparse_search(tpe_ctx* ctx, int32_t n_queries,
+                          const char** queries, int32_t k, int32_t* out_idx,
+                          float* out_scores) {
+    return search_like(ctx, "\x01TPZ", n_queries, queries, k, out_idx,
+                       out_scores);
+}
+
+int32_t tpe_hybrid_index(tpe_ctx* ctx, int32_t n_texts, const char** texts) {
+    return index_like(ctx, "\x01TPF", n_texts, texts);
+}
+
+int32_t tpe_hybrid_search(tpe_ctx* ctx, int32_t n_queries,
+                          const char** queries, int32_t k, int32_t* out_idx,
+                          float* out_scores) {
+    return search_like(ctx, "\x01TPG", n_queries, queries, k, out_idx,
+                       out_scores);
 }
 
 // Cross-encoder rerank (the \x01TPR frame; runtime/engine.rerank).  The

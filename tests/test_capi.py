@@ -399,3 +399,34 @@ def test_encode_sparse_via_capi_dense_model(running_server):
         assert model.encode("still alive").shape == (model.n_embd,)
     finally:
         model.close()
+
+
+def test_sparse_hybrid_index_search_via_capi(tmp_path):
+    """tpe_sparse_index/search + tpe_hybrid_index/search against a SPLADE
+    server: totals and rankings match the wire client."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from conftest import serve_in_thread
+    from embedding_cpp_tpu.cli.make_test_model import make_test_model
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from examples.sample_dylib import TpuEmbedModel
+
+    path = tmp_path / "tiny-splade-idx.gguf"
+    make_test_model(str(path), "tiny-splade", "f32")
+    engine = Engine.from_gguf(str(path))
+    docs = ["the dog sat", "hello world", "partly cloudy"]
+    with serve_in_thread(engine) as port:
+        model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+        try:
+            assert model.hybrid_index(docs) == 3
+            idx, scores = model.hybrid_search(["hello world"], k=3)
+            assert idx.shape == (1, 3)
+            s_idx, s_scores = model.sparse_search(["hello world"], k=3)
+            assert s_idx.shape == (1, 3)
+            assert np.all(np.diff(s_scores[0]) <= 1e-6)
+            assert model.sparse_index(["extra"]) == 4
+            # desync -> -1 with the message in last_error, stream intact
+            with pytest.raises(RuntimeError, match="desync"):
+                model.hybrid_search(["q"], k=1)
+            assert model.encode("still alive").shape == (model.n_embd,)
+        finally:
+            model.close()

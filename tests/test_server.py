@@ -727,3 +727,31 @@ def test_hostile_sparse_maxsim_frames(server):
     ln = read_u32(s)
     assert ln > 0 and b"n_embd" in s.recv(ln)
     s.close()
+
+
+def test_sparse_and_hybrid_index_search_frames():
+    """\\x01TPY/\\x01TPZ/\\x01TPF/\\x01TPG: sparse and hybrid corpus
+    build/search over the wire, matching the batcher-level results."""
+    pytest.importorskip("tokenizers")
+    import dataclasses
+
+    from conftest import serve_in_thread
+
+    cfg = dataclasses.replace(CFG, mlm_head=True, name="tcp-splade-idx")
+    engine = Engine.synthetic(cfg, opts=ComputeOptions(dtype="float32"))
+    docs = ["the dog sat on the mat", "hello world", "partly cloudy skies"]
+    with serve_in_thread(engine, window_ms=1.0) as port:
+        with EmbeddingClient("127.0.0.1", port) as c:
+            # search before indexing -> per-request error, connection lives
+            with pytest.raises(RuntimeError, match="no sparse index"):
+                c.sparse_search(["q"], k=2)
+            assert c.hybrid_index(docs) == 3
+            # hybrid_index populated BOTH indexes: all four surfaces answer
+            assert c.sparse_index(["extra doc"]) == 4
+            idx, scores = c.sparse_search(["hello world"], k=2)
+            assert idx.shape == (1, 2) and scores[0, 0] >= scores[0, 1]
+            d_idx, _ = c.search(["hello world"], k=2)
+            assert d_idx.shape == (1, 2)
+            # hybrid now desyncs (sparse has one extra doc) -> clean error
+            with pytest.raises(RuntimeError, match="desync"):
+                c.hybrid_search(["hello world"], k=2)

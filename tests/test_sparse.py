@@ -754,3 +754,38 @@ def test_http_hybrid_search(hybrid_http_server):
     assert rows[0][0]["index"] == 1
     scores = [r["score"] for r in rows[0]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_index_concurrent_adds_stay_aligned():
+    """Parallel hybrid_index_texts calls must assign the SAME doc id in
+    both indexes (the _hybrid_lock spans the two adds — interleaved adds
+    would silently fuse rankings of different documents)."""
+    pytest.importorskip("tokenizers")
+    import concurrent.futures
+
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.runtime.server import ContinuousBatcher
+
+    engine = Engine.synthetic(CFG, opts=F32)
+    b = ContinuousBatcher(engine, 32, 1.0)
+    batches = [[f"document number {i} about topic {i % 5}"] for i in range(12)]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(b.hybrid_index_texts, batches))
+    assert len(b.index) == len(b.sparse_index) == 12
+    # both indexes must agree on which document each id names: for every
+    # text, the dense index's top-1 self-retrieval gives its dense-side id;
+    # the sparse vector stored AT THAT ID must equal a fresh sparse encode
+    # of the same text (an interleaving bug would pair different docs)
+    texts = [t for batch in batches for t in batch]
+    for text in texts:
+        d_idx, d_scores = b.index.search([text], k=1)
+        doc_id = int(d_idx[0, 0])
+        # bf16 corpus storage rounds the cosine slightly below 1.0
+        assert d_scores[0, 0] > 0.995  # self-retrieval
+        fresh_i, fresh_v = engine.encode_sparse([text], k=256)[0]
+        np.testing.assert_array_equal(
+            b.sparse_index._indices[doc_id], fresh_i
+        )
+        np.testing.assert_allclose(
+            b.sparse_index._values[doc_id], fresh_v, rtol=1e-5
+        )

@@ -1,0 +1,129 @@
+"""Real-TPU smoke + parity for the bias / local-window attention kernels.
+
+Pallas `interpret=True` (CPU tests) checks none of Mosaic's tiling
+constraints (CLAUDE.md), so before `attn_impl="auto"` may route a family to
+a kernel, that kernel needs (a) a real-TPU run at the family's production
+geometry that compiles and executes, and (b) numerical parity vs the XLA
+einsum path.  This script is that record:
+
+  - [H, S, S] additive bias (MPNet relative attention, gtr/t5 position
+    bias) at mpnet-base / gtr-base geometry (h=12, d=64, S=512)
+  - [1, S, S] head-invariant bias (ModernBERT's windowed global fallback)
+  - local sliding-window kernel (ModernBERT local layers) at S=1024/2048,
+    window=128
+
+Run on the TPU: python benchmarks/attn_bias_smoke.py
+Results land in benchmarks/results/attn_bias_smoke_v5e.json.
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _xla_attn(q, k, v, mask_bias, pos_bias=None, window=None):
+    import jax
+    import jax.numpy as jnp
+
+    d = q.shape[-1]
+    sc = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                    preferred_element_type=jnp.float32)
+    sc = sc * (1.0 / d**0.5) + mask_bias[:, None, None, :]
+    if pos_bias is not None:
+        sc = sc + pos_bias
+    if window is not None:
+        s = q.shape[1]
+        pos = np.arange(s)
+        dist_ok = np.abs(pos[:, None] - pos[None, :]) <= window // 2
+        sc = sc + jnp.asarray(np.where(dist_ok, 0.0, -1e9), jnp.float32)
+    p = jax.nn.softmax(sc, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _mae(a, b, valid_q: int | None = None) -> float:
+    """Max |a-b| over VALID query rows.  Padded query positions attend only
+    masked keys (every score -1e9): both paths emit garbage there, differing
+    garbage is not a kernel bug, and pooling drops those rows anyway."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    if valid_q is not None:
+        a, b = a[:, :valid_q], b[:, :valid_q]
+    return float(np.max(np.abs(a - b)))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.ops.attention import (
+        flash_attention, flash_attention_local,
+    )
+
+    platform = jax.devices()[0].platform
+    results = {"platform": platform, "cases": {}}
+    rng = np.random.default_rng(0)
+
+    def qkv(b, s, h, d):
+        q = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+        mb = np.zeros((b, s), np.float32)
+        mb[:, (s * 3) // 4:] = -1e9
+        return q, k, v, jnp.asarray(mb)
+
+    # --- [H, S, S] bias: mpnet-base / gtr-base geometry -------------------
+    for name, (b, s, h, d) in {
+        "bias_h_mpnet_base": (8, 512, 12, 64),
+        "bias_h_mpnet_base_s384": (8, 384, 12, 64),
+        "bias_h_minilm_d32": (8, 512, 12, 32),
+    }.items():
+        q, k, v, mb = qkv(b, s, h, d)
+        pb = jnp.asarray(rng.normal(size=(h, s, s)).astype(np.float32))
+        got = flash_attention(q, k, v, mb, pos_bias=pb)
+        ref = _xla_attn(q, k, v, mb, pos_bias=pb)
+        results["cases"][name] = {"max_abs_err": _mae(got, ref)}
+        print(f"{name}: max|err| {results['cases'][name]['max_abs_err']:.5f}",
+              file=sys.stderr)
+
+    # --- [1, S, S] head-invariant bias (ModernBERT global-window path) ----
+    b, s, h, d = 8, 512, 12, 64
+    q, k, v, mb = qkv(b, s, h, d)
+    win = np.where(
+        np.abs(np.arange(s)[:, None] - np.arange(s)[None, :]) <= 64,
+        0.0, -1e9).astype(np.float32)
+    pb1 = jnp.asarray(win[None])
+    got = flash_attention(q, k, v, mb, pos_bias=pb1)
+    ref = _xla_attn(q, k, v, mb, pos_bias=pb1)
+    results["cases"]["bias_1_head_invariant"] = {"max_abs_err": _mae(got, ref)}
+    print(f"bias_1_head_invariant: max|err| {_mae(got, ref):.5f}",
+          file=sys.stderr)
+
+    # --- local sliding-window kernel (ModernBERT local layers) ------------
+    for name, (b, s, h, d, w) in {
+        "local_s1024_w128": (4, 1024, 12, 64, 128),
+        "local_s2048_w128": (2, 2048, 12, 64, 128),
+    }.items():
+        q, k, v, mb = qkv(b, s, h, d)
+        got = flash_attention_local(q, k, v, mb, w)
+        ref = _xla_attn(q, k, v, mb, window=w)
+        results["cases"][name] = {"max_abs_err": _mae(got, ref, (s * 3) // 4)}
+        print(f"{name}: max|err| {results['cases'][name]['max_abs_err']:.5f}",
+              file=sys.stderr)
+
+    tol = 0.06  # bf16 PV dot over S<=2048 keys: |err| ~ sqrt(S) * 2^-8
+    ok = all(c["max_abs_err"] < tol for c in results["cases"].values())
+    results["tolerance"] = tol
+    results["ok"] = bool(ok)
+    print(json.dumps(results))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -620,9 +620,30 @@ def main() -> None:
                    help="only the full-forward q4_impl A/B")
     p.add_argument("--mpnet-forward", action="store_true",
                    help="only the MPNet full-forward attn_impl A/B")
+    p.add_argument("--bias-ab", action="store_true",
+                   help="bias/local kernel A/B across the gated families "
+                        "(mpnet, gtr/t5, modernbert) — the record that "
+                        "decides the attn_impl='auto' routing")
     args = p.parse_args()
 
     platform = jax.devices()[0].platform
+    if args.bias_ab:
+        results = {"platform": platform}
+        r = bench_attention_bias()
+        results["attention_bias_b32_s512_d64"] = r
+        print(f"bias kernel B=32 S=512 d=64: pallas {r['pallas']['us']}us | "
+              f"xla {r['xla']['us']}us", file=sys.stderr)
+        for preset, (b, s) in (("mpnet-base", (32, 512)),
+                               ("gtr-base", (32, 512)),
+                               ("modernbert-base", (32, 512)),
+                               ("modernbert-base", (8, 1024))):
+            r = bench_forward_attn_impl(b, s, preset=preset)
+            results[f"{preset}_forward_b{b}_s{s}"] = r
+            print(f"{preset} forward attn A/B b={b} s={s}: "
+                  f"pallas {r['pallas']['ms']}ms | xla {r['xla']['ms']}ms",
+                  file=sys.stderr)
+        print(json.dumps(results))
+        return
     if args.mpnet_forward:
         results = {"platform": platform}
         r = bench_forward_attn_impl()

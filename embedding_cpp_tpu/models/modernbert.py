@@ -137,10 +137,13 @@ def _attention(x, lp, aux, bias_global, bias_local, pos, config, opts,
         and (jax.device_count() == 1 or opts.inside_shard_map)
     )
     if impl == "auto":
-        # stays XLA until the window/head-invariant-bias kernels have a
-        # real-TPU smoke + A/B on record (interpret mode checks no tiling
-        # constraints — CLAUDE.md); force attn_impl="pallas" to take them
-        impl = "xla"
+        # real-TPU record (attn_bias_smoke_v5e.json / attn_bias_ab_v5e.json):
+        # the local-window kernel wins 1.32x at [8,1024] but LOSES 6% at
+        # [32,512] — at S=512 the window slice (wmax=384) barely narrows the
+        # [TQ,S] tile while the per-cell overhead stays.  auto takes the
+        # kernels only where the measured win is: S >= 1024.
+        on_tpu = jax.devices()[0].platform == "tpu"
+        impl = "pallas" if (on_tpu and fusable and s >= 1024) else "xla"
     elif impl == "pallas" and not fusable:
         impl = "xla"
 

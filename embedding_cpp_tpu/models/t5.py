@@ -93,12 +93,17 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
     # fused bias-attention kernel (the MPNet kernel, ops/attention.py) for
     # plain batches: it applies 1/sqrt(d) internally and T5 attention is
     # UNSCALED, so q is pre-multiplied by sqrt(d) to cancel the factor.
-    # auto stays XLA until the bias kernel has a real-TPU A/B on record for
-    # this pattern (same policy as bert._attention's bias case); forcing
-    # attn_impl="pallas" takes it — like bert, a forced impl trusts the
-    # caller about locality (pallas cannot be GSPMD-partitioned).
+    # auto takes it on a local TPU: real-TPU parity + A/B on record
+    # (attn_bias_ab_v5e.json: gtr-base forward 24.9 vs 30.4 ms at [32,512]).
+    # A forced "pallas" trusts the caller about locality (pallas cannot be
+    # GSPMD-partitioned); auto requires single-device or a shard_map body.
+    impl = opts.attn_impl
+    if impl == "auto":
+        local = jax.device_count() == 1 or opts.inside_shard_map
+        on_tpu = jax.devices()[0].platform == "tpu"
+        impl = "pallas" if (on_tpu and local and s >= 128) else "xla"
     if (
-        opts.attn_impl == "pallas"
+        impl == "pallas"
         and mask_bias.ndim == 2 and pos_bias.ndim == 3
         and s % 8 == 0 and d % 8 == 0
     ):

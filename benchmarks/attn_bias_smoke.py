@@ -116,6 +116,50 @@ def main() -> None:
         print(f"{name}: max|err| {results['cases'][name]['max_abs_err']:.5f}",
               file=sys.stderr)
 
+    # --- disentangled attention (DeBERTa-v2/v3) ----------------------------
+    from embedding_cpp_tpu.models.deberta import (
+        _gather_indices, deberta_log_bucket,
+    )
+    from embedding_cpp_tpu.ops.deberta_attention import disentangled_attention
+
+    for name, (b, s, h, d, span, max_dist) in {
+        "deberta_v3_base_s512": (4, 512, 12, 64, 256, 512),
+        "deberta_v3_base_s384": (4, 384, 12, 64, 256, 512),
+        "deberta_small_span_s128": (4, 128, 12, 64, 32, 128),
+    }.items():
+        q, k, v, mb = qkv(b, s, h, d)
+        pos_k = jnp.asarray(rng.normal(size=(2 * span, h, d)),
+                            dtype=jnp.bfloat16)
+        pos_q = jnp.asarray(rng.normal(size=(2 * span, h, d)),
+                            dtype=jnp.bfloat16)
+        got = disentangled_attention(q, k, v, mb, pos_k, pos_q, span,
+                                     max_dist)
+        # the exact einsum/gather sequence of models/deberta.py _attention
+        rel = deberta_log_bucket(
+            np.arange(s)[:, None] - np.arange(s)[None, :], span, max_dist,
+            xp=np,
+        )
+        c2p_pos, p2c_pos = _gather_indices(rel, span, xp=np)
+        scale = 1.0 / float(np.sqrt(d * 3))
+        sc = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+        c2p = jnp.einsum("bqhd,rhd->bhqr", q, pos_k,
+                         preferred_element_type=jnp.float32)
+        sc = sc + jnp.take_along_axis(
+            c2p, jnp.asarray(c2p_pos)[None, None], axis=-1) * scale
+        p2c = jnp.einsum("bkhd,rhd->bhkr", k, pos_q,
+                         preferred_element_type=jnp.float32)
+        gathered = jnp.take_along_axis(
+            p2c, jnp.asarray(p2c_pos)[None, None], axis=-1)
+        sc = sc + jnp.swapaxes(gathered, -1, -2) * scale
+        sc = sc + mb[:, None, None, :]
+        p = jax.nn.softmax(sc, axis=-1).astype(q.dtype)
+        ref = jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        results["cases"][name] = {"max_abs_err": _mae(got, ref, (s * 3) // 4)}
+        print(f"{name}: max|err| {results['cases'][name]['max_abs_err']:.5f}",
+              file=sys.stderr)
+
     tol = 0.06  # bf16 PV dot over S<=2048 keys: |err| ~ sqrt(S) * 2^-8
     ok = all(c["max_abs_err"] < tol for c in results["cases"].values())
     results["tolerance"] = tol

@@ -463,6 +463,85 @@ def bench_attention_bias(b: int = 32, s: int = 512, h: int = 12, d: int = 64,
     return out
 
 
+def bench_deberta_attention(b: int = 16, s: int = 512, h: int = 12,
+                            d: int = 64, span: int = 256,
+                            iters: int = 30) -> dict:
+    """Disentangled attention at deberta-v3-base geometry: fused kernel
+    (skewed matmuls + barrel-shift diagonal alignment, everything in VMEM)
+    vs the XLA path (materialized [B, H, S, S]-class score + c2p + p2c
+    tensors in HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.models.deberta import (
+        _gather_indices, deberta_log_bucket,
+    )
+    from embedding_cpp_tpu.ops.deberta_attention import disentangled_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype=jnp.bfloat16)
+    pos_k = jnp.asarray(rng.normal(size=(2 * span, h, d)), dtype=jnp.bfloat16)
+    pos_q = jnp.asarray(rng.normal(size=(2 * span, h, d)), dtype=jnp.bfloat16)
+    bias_np = np.zeros((b, s), np.float32)
+    bias_np[:, (s * 3) // 4:] = -1e9
+    bias = jnp.asarray(bias_np)
+    max_dist = 2 * span
+    # qk + pv dots plus the two delta-table dots ([S, 2S] each)
+    flops = b * h * s * d * (4 * s + 4 * 2 * s)
+
+    rel = deberta_log_bucket(
+        np.arange(s)[:, None] - np.arange(s)[None, :], span, max_dist, xp=np
+    )
+    c2p_pos, p2c_pos = _gather_indices(rel, span, xp=np)
+    c2p_pos, p2c_pos = jnp.asarray(c2p_pos), jnp.asarray(p2c_pos)
+    scale = 1.0 / float(np.sqrt(d * 3))
+
+    def xla_attn(q, k, v, bias):
+        # the exact einsum/gather sequence of models/deberta.py _attention
+        qt, kt = q, k
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qt, kt,
+                            preferred_element_type=jnp.float32) * scale
+        c2p = jnp.einsum("bqhd,rhd->bhqr", qt, pos_k,
+                         preferred_element_type=jnp.float32)
+        scores = scores + jnp.take_along_axis(
+            c2p, c2p_pos[None, None], axis=-1
+        ) * scale
+        p2c = jnp.einsum("bkhd,rhd->bhkr", kt, pos_q,
+                         preferred_element_type=jnp.float32)
+        gathered = jnp.take_along_axis(p2c, p2c_pos[None, None], axis=-1)
+        scores = scores + jnp.swapaxes(gathered, -1, -2) * scale
+        scores = scores + bias[:, None, None, :]
+        p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    def pallas_attn(q, k, v, bias):
+        return disentangled_attention(q, k, v, bias, pos_k, pos_q, span,
+                                      max_dist)
+
+    out = {}
+    for name, f in (("pallas", pallas_attn), ("xla", xla_attn)):
+        # full output fed back as the next q: no column-slicing/DCE escape
+        # hatch for XLA (see CLAUDE.md chained-loop traps)
+        @jax.jit
+        def loop(q, k, v, bias):
+            def body(i, qq):
+                return f(qq, k, v, bias).astype(qq.dtype)
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32)
+            )
+
+        _sync(loop(q, k, v, bias))
+        best = min(_timed(lambda: _sync(loop(q, k, v, bias))) for _ in range(2))
+        per = max((best - _dispatch_floor()) / iters, 1e-9)
+        out[name] = {"us": round(per * 1e6, 1),
+                     "tflops": round(flops / per / 1e12, 2)}
+    return out
+
+
 def bench_packed_attention(b: int = 64, s: int = 512, h: int = 12, d: int = 32,
                            seg_len: int = 16, iters: int = 50) -> dict:
     """Segment-masked (sequence-packed) attention: pallas kernel vs the XLA
@@ -624,9 +703,27 @@ def main() -> None:
                    help="bias/local kernel A/B across the gated families "
                         "(mpnet, gtr/t5, modernbert) — the record that "
                         "decides the attn_impl='auto' routing")
+    p.add_argument("--deberta-ab", action="store_true",
+                   help="disentangled-attention kernel A/B (deberta-v3-base "
+                        "geometry) + full deberta forward A/B — the record "
+                        "that decides the deberta attn_impl='auto' routing")
     args = p.parse_args()
 
     platform = jax.devices()[0].platform
+    if args.deberta_ab:
+        results = {"platform": platform}
+        r = bench_deberta_attention()
+        results["deberta_attention_b16_s512_d64"] = r
+        print(f"deberta attn B=16 S=512 d=64: pallas {r['pallas']['us']}us | "
+              f"xla {r['xla']['us']}us", file=sys.stderr)
+        for b, s in ((32, 512), (32, 256)):
+            r = bench_forward_attn_impl(b, s, preset="deberta-base")
+            results[f"deberta-base_forward_b{b}_s{s}"] = r
+            print(f"deberta-base forward attn A/B b={b} s={s}: "
+                  f"pallas {r['pallas']['ms']}ms | xla {r['xla']['ms']}ms",
+                  file=sys.stderr)
+        print(json.dumps(results))
+        return
     if args.bias_ab:
         results = {"platform": platform}
         r = bench_attention_bias()

@@ -131,6 +131,31 @@ def _attention(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias, config, opts):
     pos_k = linear(rel_table, lp["k_w"], lp["k_b"],
                    q4_impl=opts.q4_impl).reshape(span2, h, d)
 
+    impl = opts.attn_impl
+    if impl == "auto":
+        # pallas needs per-device local arrays: single-device jit, or inside
+        # a shard_map body (GSPMD jit cannot partition a pallas_call)
+        local = jax.device_count() == 1 or opts.inside_shard_map
+        on_tpu = jax.devices()[0].platform == "tpu"
+        impl = "pallas" if (on_tpu and local) else "xla"
+    if impl == "pallas" and (
+        mask_bias.ndim != 2        # packed rows: [B, S, S] segment bias
+        or c2p_pos.ndim != 2       # packed rows: per-row bucket indices
+        or s % 64 or d % 8 or s > 512  # whole-sequence kernel tiles
+    ):
+        # the fused kernel covers the plain padded-batch path only; packed
+        # rows rebuild buckets per segment ([B, S, S] gather indices, no
+        # trace-time delta structure) and ride the XLA path
+        impl = "xla"
+    if impl == "pallas":
+        from ..ops.deberta_attention import disentangled_attention
+
+        att = disentangled_attention(
+            q, k, v, mask_bias, pos_k, pos_q,
+            config.rel_attn_buckets, config.rel_attn_max_dist,
+        )
+        return att.reshape(b, s, h * d)
+
     scale = 1.0 / math.sqrt(d * 3)  # scale_factor = 1 + |{c2p, p2c}|
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32

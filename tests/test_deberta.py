@@ -407,3 +407,26 @@ def test_manual_shard_map_tp(eight_devices):
     )
     got = np.asarray(fwd(sharded, ids, mask))
     np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_kernel_matches_xla():
+    """The fused disentangled-attention kernel (ops/deberta_attention.py,
+    interpret mode on CPU) reproduces the XLA einsum+gather path bit-close:
+    the skewed-matmul + barrel-shift diagonal alignment must be an exact
+    re-indexing of HF's c2p/p2c gathers.  Real-TPU parity at deberta-v3-base
+    geometry is recorded separately (benchmarks/attn_bias_smoke.py ->
+    attn_bias_smoke_v5e.json)."""
+    rng = np.random.default_rng(7)
+    # s=64 exercises the small-edge tiles; span > s exercises v3-base's
+    # regime (position_buckets 256 > bucket length); span < s the clipping
+    for s, span, max_dist in ((64, 96, 192), (64, 16, 64)):
+        cfg = dataclasses.replace(
+            DEBERTA_CFG, rel_attn_buckets=span, rel_attn_max_dist=max_dist
+        )
+        params = random_params(cfg, GGUFFileType.ALL_F32, seed=3)
+        ids, mask, _ = _ids_and_mask(rng, cfg, batch=3, max_len=s)
+        ref = np.asarray(bert_embed_batch(
+            params, ids, mask, cfg, ComputeOptions(attn_impl="xla")))
+        got = np.asarray(bert_embed_batch(
+            params, ids, mask, cfg, ComputeOptions(attn_impl="pallas")))
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)

@@ -181,9 +181,29 @@ def _attention(
     q = linear(x, lp["q_w"], lp["q_b"], q4_impl=opts.q4_impl)
     # head count from the (possibly tp-local) projection width
     h = q.shape[-1] // d
+    k = linear(x, lp["k_w"], lp["k_b"], q4_impl=opts.q4_impl)
+    v = linear(x, lp["v_w"], lp["v_b"], q4_impl=opts.q4_impl)
+
+    if opts.attn_impl == "pallas" or (
+        opts.attn_impl == "auto"
+        and (jax.device_count() == 1 or opts.inside_shard_map)
+        and jax.devices()[0].platform == "tpu"
+    ):
+        if (pos_bias is None and seg is None
+                and 128 <= s <= 1024 and s % 8 == 0 and d % 8 == 0):
+            # plain padded batches take the projection-layout kernel: heads
+            # are lane slices of [B, S, H*d], so the [B,S,H,d]<->[B,H,S,d]
+            # transposes (measured ~135 us/layer HBM time at MiniLM
+            # [32,512]) never exist on either side.  Whole attn block 456
+            # vs 794 us, bit-identical output on v5e
+            # (benchmarks/results/q4_forward_breakdown.md).
+            from ..ops.attention import flash_attention_bse
+
+            return flash_attention_bse(q, k, v, mask_bias, h)
+
     q = q.reshape(b, s, h, d)
-    k = linear(x, lp["k_w"], lp["k_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
-    v = linear(x, lp["v_w"], lp["v_b"], q4_impl=opts.q4_impl).reshape(b, s, h, d)
+    k = k.reshape(b, s, h, d)
+    v = v.reshape(b, s, h, d)
 
     if pos_bias is not None and pos_bias.shape[-3] != h:
         # manual-TP shard_map body: the bias table replicates while the head

@@ -210,6 +210,90 @@ def _flash_attention_bias(q: Array, k: Array, v: Array, mask_bias: Array,
     )(q, k, v, mask_bias[:, None, :], pos_bias)
 
 
+def _attn_bse_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, h, d):
+    # blocks: q/k/v/o [1, S, H*d]; bias [1, 1, S] f32.  Heads are LANE
+    # SLICES of the projection output — no [B,S,H,d] reshape/transpose ever
+    # happens.  The r4 forward breakdown measured the layout transposes of
+    # the [B,H,S,d] kernel at ~135 us/layer HBM-roofline time and the whole
+    # attn block at 794 us; this layout runs the same block at 456 us with
+    # bit-identical output (q4_forward_breakdown.md).  Lane-sliced [S, d]
+    # operands cost VPU-local relayout instead of HBM round trips, and the
+    # [S, E] tiles DMA fully contiguous.
+    bias = bias_ref[0, 0]
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S]
+        scores = scores * scale + bias[None, :]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
+        acc = jnp.dot(  # softmax divide deferred to the [S, d] output
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, sl] = (acc / se).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def _flash_attention_bse(q: Array, k: Array, v: Array, mask_bias: Array, *,
+                         h: int) -> Array:
+    """q/k/v: [B, S, H*d] (projection-output layout); mask_bias: [B, S]
+    f32 additive. -> [B, S, H*d]"""
+    b, s, e = q.shape
+    d = e // h
+    scale = 1.0 / (d**0.5)
+
+    kernel = functools.partial(_attn_bse_kernel, scale=scale, h=h, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=4 * b * s * e * q.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, mask_bias[:, None, :])
+
+
+def flash_attention_bse(q: Array, k: Array, v: Array, mask_bias: Array,
+                        h: int) -> Array:
+    """Masked multi-head attention over the PROJECTION-OUTPUT layout.
+
+    q, k, v: [B, S, H*d] exactly as the q/k/v linears produce them;
+    mask_bias: [B, S] f32 (0 valid / -1e9 padding).  Returns [B, S, H*d],
+    ready for the output projection.  Numerics identical to
+    flash_attention (measured max|err| 0.0 on v5e); the win is layout —
+    no [B,S,H,d]<->[B,H,S,d] transposes on either side.  Callers guarantee
+    S % 8 == 0, (H*d) % H == 0, d % 8 == 0, and S small enough for a
+    whole-sequence [S, S] f32 score tile (<= 1024).
+    """
+    return _flash_attention_bse(q, k, v, mask_bias.astype(jnp.float32), h=h)
+
+
 def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
                      scale, hb):
     # blocks: q [1,HB,TQ,d]; k, v [1,HB,S,d]; segq [1,1,TQ]; segk [1,1,S].

@@ -19,6 +19,8 @@ from .server import (
     MAGIC_HYBRID_SEARCH,
     MAGIC_INDEX,
     MAGIC_MAXSIM,
+    MAGIC_MAXSIM_INDEX,
+    MAGIC_MAXSIM_SEARCH,
     MAGIC_RERANK,
     MAGIC_SEARCH,
     MAGIC_SPARSE,
@@ -129,6 +131,18 @@ class EmbeddingClient:
         """Dense + sparse retrieval fused by reciprocal rank (\\x01TPG):
         (indices [n, k], RRF scores [n, k]; -1/0.0 padding)."""
         return self._search_like(MAGIC_HYBRID_SEARCH, queries, k)
+
+    def maxsim_index(self, texts: Sequence[str]) -> int:
+        """Encode texts' TOKEN states into the server's on-device
+        late-interaction index (\\x01TPJ); returns the total indexed count.
+        Token states never leave the device."""
+        return self._index_like(MAGIC_MAXSIM_INDEX, texts)
+
+    def maxsim_search(self, queries: Sequence[str], k: int = 10):
+        """Batched MaxSim top-k over the server's token-state index
+        (\\x01TPK): (indices [n, k] int32, scores [n, k] f32 MaxSim sums;
+        -1/-inf padding past the corpus)."""
+        return self._search_like(MAGIC_MAXSIM_SEARCH, queries, k)
 
     def rerank(self, query: str, documents: Sequence[str],
                top_n: int | None = None):

@@ -626,6 +626,24 @@ class Engine:
             out.extend(arr[i, :n] for i, n in enumerate(lens))
         return out
 
+    def token_states_device(self, token_lists: Sequence[Sequence[int]]):
+        """Like token_states_tokens, but the per-token states never leave
+        the device: yields (positions, device [B, S, E] f32 states,
+        mask [B, S] np.int32, lens) per dispatched chunk.  The token-level
+        MaxSimIndex ingests through this — at Sd x E floats per document a
+        host round trip would dominate indexing the way the embedding fetch
+        dominates encode (CLAUDE.md relay numbers), so corpus token states
+        go straight from the forward pass into index HBM."""
+        pos = 0
+        cap = max(self.batch_buckets)
+        for ids, mask, lens in self._padded_chunks(token_lists, cap):
+            with self._lock:  # dispatch/compile under the lock
+                fwd = self._token_states_forward(ids.shape)
+                dev = fwd(self.params, ids, mask)
+            positions = list(range(pos, pos + len(lens)))
+            pos += len(lens)
+            yield positions, dev, mask, lens
+
     def _sparse_forward(self, shape: tuple[int, int], k: int):
         key = ("sparse", shape, k)
         fwd = self._fwd_cache.get(key)

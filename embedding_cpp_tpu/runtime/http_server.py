@@ -40,6 +40,12 @@ the same device batches) as the TCP protocol.
     POST /v1/maxsim       same payload/response as /v1/rerank
                           (late-interaction MaxSim over token states —
                           works with any encoder, no head required)
+    POST /v1/maxsim_index  {"input": ["texts"...]} -> {"total": N}
+                          (documents' token states into the on-device
+                          late-interaction index)
+    POST /v1/maxsim_search {"input": ["queries"...], "k": 10}
+      -> {"results": [[{"index": id, "score": s}, ...k], ...]}
+                          (batched MaxSim top-k over resident token states)
     POST /v1/sparse_embeddings {"input": ..., "k": 256,
                                 "return_tokens": false}
       -> {"data": [{"index": i, "indices": [...], "values": [...]}]}
@@ -624,6 +630,65 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     # row simply carries fewer than k entries
                     out = _json_response(200, {
                         "object": "search",
+                        "results": [
+                            [{"index": int(i), "score": float(sc)}
+                             for i, sc in zip(row_i, row_s) if i >= 0]
+                            for row_i, row_s in zip(idx, scores)
+                        ],
+                    })
+                    b.stats.requests += 1
+                elif path == "/v1/maxsim_index":
+                    # late-interaction corpus building: documents' TOKEN
+                    # states into the on-device MaxSimIndex
+                    # (runtime/maxsim_search.py) — /v1/index's contract
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        total = await loop.run_in_executor(
+                            None, b.maxsim_index_texts, texts
+                        )
+                    except RuntimeError as e:
+                        raise HttpError(400, str(e))
+                    finally:
+                        b.release(len(texts))
+                    out = _json_response(200, {"object": "maxsim_index",
+                                               "total": total})
+                    b.stats.requests += 1
+                elif path == "/v1/maxsim_search":
+                    if method != "POST":
+                        raise HttpError(405, "POST required")
+                    texts, _, payload = _parse_embed_request(body)
+                    k = _parse_k(payload)
+                    b, _name = pick(payload)
+                    req_batcher = b
+                    if b.maxsim_index is None or len(b.maxsim_index) == 0:
+                        raise HttpError(
+                            400,
+                            "no MaxSim index built (POST /v1/maxsim_index "
+                            "first)",
+                        )
+                    loop = asyncio.get_running_loop()
+                    try:
+                        b.try_reserve(len(texts))
+                    except OverloadedError as e:
+                        raise HttpError(429, str(e))
+                    try:
+                        idx, scores = await loop.run_in_executor(
+                            None, b.maxsim_search_texts, texts, k
+                        )
+                    finally:
+                        b.release(len(texts))
+                    # /v1/search's padding contract: id -1 slots drop
+                    out = _json_response(200, {
+                        "object": "maxsim_search",
                         "results": [
                             [{"index": int(i), "score": float(sc)}
                              for i, sc in zip(row_i, row_s) if i >= 0]

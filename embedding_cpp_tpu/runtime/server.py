@@ -80,6 +80,12 @@ MAGIC_SPARSE_SEARCH = b"\x01TPZ"
 # BOTH indexes atomically (hybrid_index_texts), search fuses k-from-each
 MAGIC_HYBRID_INDEX = b"\x01TPF"
 MAGIC_HYBRID_SEARCH = b"\x01TPG"
+# late-interaction retrieval over the on-device token-state corpus
+# (runtime/maxsim_search.MaxSimIndex): the \x01TPB / \x01TPS layouts
+# verbatim — index: texts -> u32 total; search: u32 k | texts ->
+# u32 n | u32 k | n*k i32 ids | n*k f32 MaxSim scores (-1/-inf padding)
+MAGIC_MAXSIM_INDEX = b"\x01TPJ"
+MAGIC_MAXSIM_SEARCH = b"\x01TPK"
 RAW_CHUNK = 1 << 15  # reference message cap (server.cpp:27)
 # protocol sanity caps: a malformed/hostile frame must not drive unbounded
 # reads or allocations (the reference has no framing at all to validate)
@@ -157,6 +163,7 @@ class ContinuousBatcher:
         self._task: asyncio.Task | None = None
         self.index = None  # lazy on-device VectorIndex (shared, thread-safe)
         self.sparse_index = None  # lazy host-side SparseIndex (SPLADE)
+        self.maxsim_index = None  # lazy on-device MaxSimIndex (token states)
         self._index_init_lock = threading.Lock()
         # spans BOTH adds of hybrid_index_texts: executor threads must not
         # interleave dense/sparse appends into different doc-id assignments
@@ -239,6 +246,26 @@ class ContinuousBatcher:
                 "no sparse index built (POST /v1/sparse_index first)"
             )
         return self.sparse_index.search(texts, k)
+
+    def maxsim_index_texts(self, texts: list[str]) -> int:
+        if self.maxsim_index is None:
+            with self._index_init_lock:
+                if self.maxsim_index is None:
+                    from .maxsim_search import MaxSimIndex
+
+                    # MaxSimIndex itself rejects multi-host processes; the
+                    # corpus dp-shards over a single-controller mesh
+                    self.maxsim_index = MaxSimIndex(
+                        self.engine, mesh=self.engine.mesh
+                    )
+        return self.maxsim_index.add(texts)
+
+    def maxsim_search_texts(self, texts: list[str], k: int):
+        if self.maxsim_index is None:
+            raise RuntimeError(
+                "no MaxSim index built (send a maxsim_index frame first)"
+            )
+        return self.maxsim_index.search(texts, k)
 
     def hybrid_index_texts(self, texts: list[str]) -> int:
         """Add the same documents to BOTH the dense and the sparse index
@@ -419,7 +446,7 @@ _MAGICS = (MAGIC, MAGIC_STATS, MAGIC_HEALTH, MAGIC_TOKENIZE, MAGIC_EVAL,
            MAGIC_META, MAGIC_VOCAB, MAGIC_ENCODE_I8, MAGIC_INDEX,
            MAGIC_SEARCH, MAGIC_RERANK, MAGIC_SPARSE, MAGIC_MAXSIM,
            MAGIC_SPARSE_INDEX, MAGIC_SPARSE_SEARCH, MAGIC_HYBRID_INDEX,
-           MAGIC_HYBRID_SEARCH)
+           MAGIC_HYBRID_SEARCH, MAGIC_MAXSIM_INDEX, MAGIC_MAXSIM_SEARCH)
 
 
 def _quantize_i8_np(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -642,11 +669,12 @@ async def handle_client(
                 writer.write(np.asarray(
                     [r["relevance_score"] for r in ranked],
                     np.float32).tobytes())
-            elif head in (MAGIC_SPARSE_INDEX, MAGIC_HYBRID_INDEX):
+            elif head in (MAGIC_SPARSE_INDEX, MAGIC_HYBRID_INDEX,
+                          MAGIC_MAXSIM_INDEX):
                 texts = await _read_texts(reader)
-                fn = (batcher.sparse_index_texts
-                      if head == MAGIC_SPARSE_INDEX
-                      else batcher.hybrid_index_texts)
+                fn = {MAGIC_SPARSE_INDEX: batcher.sparse_index_texts,
+                      MAGIC_HYBRID_INDEX: batcher.hybrid_index_texts,
+                      MAGIC_MAXSIM_INDEX: batcher.maxsim_index_texts}[head]
                 loop = asyncio.get_running_loop()
                 try:
                     batcher.try_reserve(len(texts))
@@ -658,13 +686,14 @@ async def handle_client(
                     await _request_failed(e)
                     continue
                 writer.write(struct.pack("<I", total))
-            elif head in (MAGIC_SPARSE_SEARCH, MAGIC_HYBRID_SEARCH):
+            elif head in (MAGIC_SPARSE_SEARCH, MAGIC_HYBRID_SEARCH,
+                          MAGIC_MAXSIM_SEARCH):
                 (k,) = struct.unpack("<I", await _read_exactly(reader, 4))
                 _check(0 < k <= MAX_TOPK, f"top-k {k}")
                 texts = await _read_texts(reader)
-                fn = (batcher.sparse_search_texts
-                      if head == MAGIC_SPARSE_SEARCH
-                      else batcher.hybrid_search_texts)
+                fn = {MAGIC_SPARSE_SEARCH: batcher.sparse_search_texts,
+                      MAGIC_HYBRID_SEARCH: batcher.hybrid_search_texts,
+                      MAGIC_MAXSIM_SEARCH: batcher.maxsim_search_texts}[head]
                 loop = asyncio.get_running_loop()
                 try:
                     batcher.try_reserve(len(texts))

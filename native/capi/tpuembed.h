@@ -94,6 +94,14 @@ int32_t tpe_hybrid_search(tpe_ctx* ctx, int32_t n_queries,
                           const char** queries, int32_t k, int32_t* out_idx,
                           float* out_scores);
 
+// Late-interaction retrieval over the on-device token-state corpus
+// (MaxSimIndex) — the tpe_index/tpe_search contracts verbatim; any encoder,
+// scores are raw MaxSim sums.
+int32_t tpe_maxsim_index(tpe_ctx* ctx, int32_t n_texts, const char** texts);
+int32_t tpe_maxsim_search(tpe_ctx* ctx, int32_t n_queries,
+                          const char** queries, int32_t k, int32_t* out_idx,
+                          float* out_scores);
+
 // SPLADE sparse encode (needs an MLM-head model; the reference is
 // dense-only).  For each text, up to k (term id, weight) entries arrive
 // sorted by descending weight: out_ids/out_weights must hold n_texts * k

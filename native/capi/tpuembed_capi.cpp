@@ -514,6 +514,21 @@ int32_t tpe_hybrid_search(tpe_ctx* ctx, int32_t n_queries,
                        out_scores);
 }
 
+// Late-interaction retrieval over the on-device token-state corpus
+// (runtime/maxsim_search.MaxSimIndex; the \x01TPJ/\x01TPK frames) — the
+// tpe_index/tpe_search buffer contracts verbatim.  Works with any encoder
+// (no classification head needed); scores are raw MaxSim sums.
+int32_t tpe_maxsim_index(tpe_ctx* ctx, int32_t n_texts, const char** texts) {
+    return index_like(ctx, "\x01TPJ", n_texts, texts);
+}
+
+int32_t tpe_maxsim_search(tpe_ctx* ctx, int32_t n_queries,
+                          const char** queries, int32_t k, int32_t* out_idx,
+                          float* out_scores) {
+    return search_like(ctx, "\x01TPK", n_queries, queries, k, out_idx,
+                       out_scores);
+}
+
 // Cross-encoder rerank (the \x01TPR frame; runtime/engine.rerank).  The
 // reply is m ranked (index, sigmoid score) pairs, m = min(top_n, n_docs);
 // a model without a classification head fails with an error frame that

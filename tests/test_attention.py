@@ -283,3 +283,49 @@ def test_modernbert_forward_pallas_matches_xla(s):
     b = np.asarray(bert_embed_batch(params, ids, mask, cfg,
                                     ComputeOptions(attn_impl="pallas")))
     np.testing.assert_allclose(a, b, atol=_tpu_atol(1e-5), rtol=1e-4)
+
+
+def test_bse_kernel_matches_reference():
+    """flash_attention_bse (projection-output layout, heads as lane
+    slices) == the [B,S,H,d] reference — the layout change must be
+    numerically invisible (measured bit-exact on v5e,
+    q4_forward_breakdown.md)."""
+    from embedding_cpp_tpu.ops.attention import flash_attention_bse
+
+    rng = np.random.default_rng(5)
+    for b, s, h, d in ((2, 128, 4, 32), (1, 256, 3, 64), (2, 136, 2, 40)):
+        q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+        bias = np.zeros((b, s), np.float32)
+        bias[:, (s * 3) // 4:] = -1e9
+        bias = jnp.asarray(bias)
+        expected = np.asarray(_reference(q, k, v, bias)).reshape(b, s, h * d)
+        got = np.asarray(flash_attention_bse(
+            q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+            v.reshape(b, s, h * d), bias, h,
+        ))
+        np.testing.assert_allclose(got, expected, atol=_tpu_atol(2e-5),
+                                   rtol=1e-4)
+
+
+def test_full_model_bse_path_matches_xla():
+    """attn_impl='pallas' at S >= 128 routes the plain BERT path through
+    the BSE kernel (models/bert._attention gate); outputs match XLA."""
+    from embedding_cpp_tpu.models import (
+        BertConfig, ComputeOptions, bert_embed_batch, random_params,
+    )
+
+    cfg = BertConfig(n_vocab=256, n_ctx=128, n_embd=128, n_layer=2,
+                     n_head=4, n_ff=256)
+    params = random_params(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 256, size=(3, 128)).astype(np.int32)
+    mask = np.ones((3, 128), np.int32)
+    mask[1, 70:] = 0
+    ids[mask == 0] = 0
+    a = np.asarray(bert_embed_batch(params, ids, mask, cfg,
+                                    ComputeOptions(attn_impl="xla")))
+    b = np.asarray(bert_embed_batch(params, ids, mask, cfg,
+                                    ComputeOptions(attn_impl="pallas")))
+    np.testing.assert_allclose(a, b, atol=_tpu_atol(1e-5), rtol=1e-4)

@@ -90,3 +90,129 @@ def test_t5_family(tmp_path):
     scores = eng.maxsim(query, [query, "the quick brown fox"])
     assert scores.shape == (2,)
     assert int(np.argmax(scores)) == 0
+
+
+# --- MaxSimIndex: on-device late-interaction retrieval ----------------------
+
+DOCS = [
+    "the dog sat on the mat",
+    "quantum mechanics is hard",
+    "a cat and a dog played in the yard",
+    "where is the dog",
+    "embeddings map text to vectors",
+    "the weather is sunny today",
+    "dogs and cats are pets",
+    "a treatise on vector search",
+]
+QUERIES = ["where is the dog", "vector embeddings"]
+
+
+def _expected_index_scores(engine, queries, docs, doc_maxlen=256):
+    q_states = engine.encode_token_states(list(queries))
+    d_states = engine.encode_token_states(list(docs))
+    return np.stack([
+        _numpy_maxsim(q, [d[:doc_maxlen] for d in d_states])
+        for q in q_states
+    ])
+
+
+def test_index_matches_bruteforce(engine):
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    idx = MaxSimIndex(engine, dtype="float32")
+    assert idx.add(DOCS) == len(DOCS)
+    ids, scores = idx.search(QUERIES, k=len(DOCS))
+    expected = _expected_index_scores(engine, QUERIES, DOCS)
+    for qi in range(len(QUERIES)):
+        order = np.argsort(-expected[qi], kind="stable")
+        np.testing.assert_array_equal(ids[qi], order)
+        np.testing.assert_allclose(
+            scores[qi], expected[qi][order], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_index_doc_maxlen_truncates(engine):
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    sd = 4  # shorter than every doc: scores must reflect the first 4 tokens
+    idx = MaxSimIndex(engine, doc_maxlen=sd, dtype="float32")
+    idx.add(DOCS)
+    ids, scores = idx.search(QUERIES[:1], k=3)
+    expected = _expected_index_scores(engine, QUERIES[:1], DOCS,
+                                      doc_maxlen=sd)[0]
+    order = np.argsort(-expected, kind="stable")[:3]
+    np.testing.assert_array_equal(ids[0], order)
+    np.testing.assert_allclose(scores[0], expected[order], rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_index_padding_contract(engine):
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    idx = MaxSimIndex(engine, dtype="float32")
+    idx.add(DOCS[:3])
+    ids, scores = idx.search(QUERIES[:1], k=10)
+    assert ids.shape == (1, 10) and scores.shape == (1, 10)
+    assert set(ids[0, 3:].tolist()) == {-1}
+    assert np.all(np.isneginf(scores[0, 3:]))
+    assert np.all(ids[0, :3] >= 0)
+
+
+def test_index_save_load_roundtrip(engine, tmp_path):
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    idx = MaxSimIndex(engine, dtype="float32")
+    idx.add(DOCS)
+    path = str(tmp_path / "maxsim.npz")
+    idx.save(path)
+    idx2 = MaxSimIndex(engine, dtype="float32")
+    assert idx2.load(path) == len(DOCS)
+    i1, s1 = idx.search(QUERIES, k=5)
+    i2, s2 = idx2.search(QUERIES, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    # save stores f16 states: scores match to f16 resolution
+    np.testing.assert_allclose(s1, s2, rtol=2e-3, atol=2e-3)
+
+
+def test_index_rejects_bad_inputs(engine):
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    idx = MaxSimIndex(engine)
+    with pytest.raises(ValueError, match="empty"):
+        idx.search(QUERIES[:1], k=3)
+    with pytest.raises(ValueError, match="expected"):
+        idx.add_token_vectors([np.zeros((3, 7), np.float32)])
+    with pytest.raises(ValueError, match="no token vectors"):
+        idx.add_token_vectors([np.zeros((0, engine.config.n_embd),
+                                        np.float32)])
+    idx.add(DOCS[:2])
+    with pytest.raises(ValueError, match="k must be positive"):
+        idx.search(QUERIES[:1], k=0)
+
+
+def test_index_device_ingest_equals_host(engine):
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    dev = MaxSimIndex(engine, dtype="float32")
+    dev.add(DOCS)  # single-device engine: device-resident ingest
+    host = MaxSimIndex(engine, dtype="float32")
+    host.add_token_vectors(engine.encode_token_states(DOCS))
+    i1, s1 = dev.search(QUERIES, k=4)
+    i2, s2 = host.search(QUERIES, k=4)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_index_mesh_matches_single(engine, eight_devices):
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    mesh = make_mesh(dp=8, tp=1, devices=eight_devices)
+    plain = MaxSimIndex(engine, dtype="float32")
+    sharded = MaxSimIndex(engine, dtype="float32", mesh=mesh)
+    plain.add(DOCS)
+    sharded.add(DOCS)
+    i1, s1 = plain.search(QUERIES, k=6)
+    i2, s2 = sharded.search(QUERIES, k=6)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)

@@ -75,10 +75,12 @@ class TpuEmbedModel:
         ]
         self.lib.tpe_maxsim.restype = ctypes.c_int32
         self.lib.tpe_maxsim.argtypes = self.lib.tpe_rerank.argtypes
-        for fn in (self.lib.tpe_sparse_index, self.lib.tpe_hybrid_index):
+        for fn in (self.lib.tpe_sparse_index, self.lib.tpe_hybrid_index,
+                   self.lib.tpe_maxsim_index):
             fn.restype = ctypes.c_int32
             fn.argtypes = self.lib.tpe_index.argtypes
-        for fn in (self.lib.tpe_sparse_search, self.lib.tpe_hybrid_search):
+        for fn in (self.lib.tpe_sparse_search, self.lib.tpe_hybrid_search,
+                   self.lib.tpe_maxsim_search):
             fn.restype = ctypes.c_int32
             fn.argtypes = self.lib.tpe_search.argtypes
         self.lib.tpe_encode_sparse.restype = ctypes.c_int32
@@ -185,6 +187,16 @@ class TpuEmbedModel:
     def hybrid_search(self, queries, k=5):
         """Dense + sparse RRF-fused top-k (tpe_hybrid_search)."""
         return self._search_like(self.lib.tpe_hybrid_search, queries, k)
+
+    def maxsim_index(self, sentences):
+        """Token states into the on-device late-interaction index
+        (tpe_maxsim_index)."""
+        return self._index_like(self.lib.tpe_maxsim_index, sentences)
+
+    def maxsim_search(self, queries, k=5):
+        """Batched MaxSim top-k over resident token states
+        (tpe_maxsim_search)."""
+        return self._search_like(self.lib.tpe_maxsim_search, queries, k)
 
     def search(self, queries, k=5):
         """Top-k over the on-device index (tpe_search): returns

@@ -430,3 +430,25 @@ def test_sparse_hybrid_index_search_via_capi(tmp_path):
             assert model.encode("still alive").shape == (model.n_embd,)
         finally:
             model.close()
+
+
+def test_maxsim_index_search_via_capi(running_server):
+    """tpe_maxsim_index/tpe_maxsim_search: late-interaction retrieval
+    through the C ABI — totals, ranking, and the -1/-inf padding."""
+    engine, port = running_server
+    from examples.sample_dylib import TpuEmbedModel
+
+    docs = [f"capi doc {i} about subject {i}" for i in range(5)]
+    model = TpuEmbedModel(host="127.0.0.1", port=port, lib_path=LIB)
+    try:
+        with pytest.raises(RuntimeError, match="no MaxSim index"):
+            model.maxsim_search(["q"], k=2)
+        assert model.maxsim_index(docs) == 5
+        idx, scores = model.maxsim_search([docs[3]], k=2)
+        assert idx.shape == (1, 2) and idx[0, 0] == 3
+        assert scores[0, 0] >= scores[0, 1]
+        idx, scores = model.maxsim_search([docs[0]], k=8)
+        assert np.all(idx[0, 5:] == -1)
+        assert model.encode("still alive").shape == (model.n_embd,)
+    finally:
+        model.close()

@@ -639,3 +639,31 @@ def test_maxsim_route(http_server):
     status, body = _post(port, "/v1/maxsim",
                          {"query": "q", "documents": ["x"], "top_n": 0})
     assert status == 400
+
+
+def test_http_maxsim_index_and_search(http_server):
+    """/v1/maxsim_index + /v1/maxsim_search: on-device late-interaction
+    retrieval over HTTP (token-state corpus, batched MaxSim top-k)."""
+    port, _, _ = http_server
+    corpus = [f"late interaction doc {i} about theme {i}" for i in range(6)]
+    status, body = _post(port, "/v1/maxsim_search",
+                         {"input": ["q"], "k": 2})
+    assert status == 400 and "no MaxSim index" in body["error"]["message"]
+    status, body = _post(port, "/v1/maxsim_index", {"input": corpus})
+    assert status == 200 and body["total"] == 6
+    status, body = _post(port, "/v1/maxsim_search",
+                         {"input": [corpus[2], corpus[5]], "k": 3})
+    assert status == 200
+    res = body["results"]
+    assert len(res) == 2
+    assert res[0][0]["index"] == 2 and res[1][0]["index"] == 5
+    assert res[0][0]["score"] >= res[0][1]["score"]
+    # k past the corpus: no-result slots filtered, no -Infinity JSON
+    status, body = _post(port, "/v1/maxsim_search",
+                         {"input": [corpus[0]], "k": 50})
+    assert status == 200
+    hits = body["results"][0]
+    assert len(hits) == 6
+    assert all(h["index"] >= 0 and np.isfinite(h["score"]) for h in hits)
+    status, body = _post(port, "/v1/maxsim_search", {"input": ["q"], "k": 0})
+    assert status == 400

@@ -755,3 +755,28 @@ def test_sparse_and_hybrid_index_search_frames():
             # hybrid now desyncs (sparse has one extra doc) -> clean error
             with pytest.raises(RuntimeError, match="desync"):
                 c.hybrid_search(["hello world"], k=2)
+
+
+def test_maxsim_index_search_frames(server):
+    """\\x01TPJ / \\x01TPK: on-device token-state corpus build + batched
+    MaxSim top-k over the wire; scores match the engine-side index."""
+    port, engine = server
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    corpus = [f"document number {i} about topic {i}" for i in range(9)]
+    with EmbeddingClient("127.0.0.1", port) as c:
+        with pytest.raises(RuntimeError, match="no MaxSim index"):
+            c.maxsim_search(["q"], k=2)
+        assert c.maxsim_index(corpus) == 9
+        idx, scores = c.maxsim_search([corpus[4], corpus[7]], k=3)
+        assert idx.shape == (2, 3) and scores.shape == (2, 3)
+        assert idx[0, 0] == 4 and idx[1, 0] == 7
+        # padding contract: k past the corpus -> -1 ids, -inf scores
+        idx2, scores2 = c.maxsim_search([corpus[0]], k=12)
+        assert np.all(idx2[0, 9:] == -1) and np.all(np.isneginf(scores2[0, 9:]))
+        # engine-side reference
+        local = MaxSimIndex(engine)
+        local.add(corpus)
+        li, ls = local.search([corpus[4]], k=3)
+        np.testing.assert_array_equal(idx[0], li[0])
+        np.testing.assert_allclose(scores[0], ls[0], rtol=1e-3, atol=1e-3)

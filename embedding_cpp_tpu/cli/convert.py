@@ -30,9 +30,16 @@ def main() -> None:
                    default=None,
                    help="keep the MLM head for SPLADE sparse encoding "
                         "(default: auto-detect from modules.json)")
+    p.add_argument("--colbert", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="keep the ColBERT per-token projection and framing "
+                        "config (default: auto-detect from architectures / "
+                        "artifact.metadata)")
     args = p.parse_args()
     if args.sparse and (args.legacy or args.model_dir.endswith(".bin")):
         p.error("--sparse applies to HF-dir -> GGUF conversion only")
+    if args.colbert and (args.legacy or args.model_dir.endswith(".bin")):
+        p.error("--colbert applies to HF-dir -> GGUF conversion only")
     if args.all_ftypes and (args.legacy or args.model_dir.endswith(".bin")):
         p.error("--all-ftypes applies to HF-dir -> GGUF conversion only "
                 "(not --legacy output or .bin upgrades)")
@@ -51,11 +58,12 @@ def main() -> None:
         os.makedirs(args.output, exist_ok=True)
         for ftype in ("f32", "f16", "q4_0", "q4_1", "q8_0"):
             out = os.path.join(args.output, f"ggml-model-{ftype}.gguf")
-            convert_hf_dir(args.model_dir, out, ftype, sparse=args.sparse)
+            convert_hf_dir(args.model_dir, out, ftype, sparse=args.sparse,
+                           colbert=args.colbert)
             print(f"wrote {out}")
     else:
         convert_hf_dir(args.model_dir, args.output, args.ftype or "f32",
-                       sparse=args.sparse)
+                       sparse=args.sparse, colbert=args.colbert)
         print(f"wrote {args.output}")
 
 

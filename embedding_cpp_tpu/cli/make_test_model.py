@@ -1,7 +1,7 @@
 """Build a synthetic GGUF model (random weights + synthetic vocab).
 
 Usage: python -m embedding_cpp_tpu.cli.make_test_model out.gguf \
-           [--preset tiny|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-albert|tiny-electra|tiny-t5|tiny-deberta|tiny-splade|tiny-reranker|tiny-modernbert-reranker|tiny-deberta-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
+           [--preset tiny|tiny-colbert|tiny-roberta|tiny-xlmr|tiny-distilbert|tiny-mpnet|tiny-modernbert|tiny-albert|tiny-electra|tiny-t5|tiny-deberta|tiny-splade|tiny-reranker|tiny-modernbert-reranker|tiny-deberta-reranker|minilm-l6|minilm-l12|bert-base|mpnet-base|modernbert-base]\
            [--ftype f32] [--seed 0]
 
 The roberta preset carries a trained byte-level BPE tokenizer; xlmr a trained
@@ -128,6 +128,16 @@ PRESETS = {
         n_labels=1, head_activation="gelu", pooling="cls",
         name="tiny-modernbert-reranker-test",
     ),
+    # ColBERT late-interaction checkpoint (colbertv2 shape at tiny scale):
+    # per-token 32-dim projection, [Q]/[D] markers, [MASK] query
+    # augmentation, punctuation skiplist.  Marker/mask ids here are
+    # placeholders; make_test_model resolves them from the built test vocab
+    # ([unused0]/[unused1]/[MASK]) exactly like the converter does.
+    "tiny-colbert": BertConfig(
+        n_vocab=300, n_ctx=64, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        colbert_dim=32, query_maxlen=16, mask_punctuation=True,
+        q_marker_id=5, d_marker_id=6, mask_id=4, name="tiny-colbert-test",
+    ),
     "minilm-l6": replace(MINILM_L6, n_vocab=1000, name="minilm-l6-synthetic"),
     "minilm-l12": replace(MINILM_L12, n_vocab=1000, name="minilm-l12-synthetic"),
     "bert-base": replace(BERT_BASE, n_vocab=1000, name="bert-base-synthetic"),
@@ -169,6 +179,17 @@ def make_test_model(
         config = replace(config, n_vocab=max(ids) + 1)
     else:
         tokenizer_json = build_tokenizer_json(config.n_vocab)
+    if config.colbert_dim:
+        # resolve the marker/mask ids from the actual test vocab, the same
+        # lookup the HF converter performs (models/convert.py)
+        from ..models.convert import _vocab_token_id
+
+        config = replace(
+            config,
+            q_marker_id=_vocab_token_id(tokenizer_json, "[unused0]"),
+            d_marker_id=_vocab_token_id(tokenizer_json, "[unused1]"),
+            mask_id=_vocab_token_id(tokenizer_json, "[MASK]"),
+        )
     sd = random_state_dict(config, seed=seed)
     write_bert_gguf(out_path, config, sd, tokenizer_json, FTYPE_NAMES[ftype])
 

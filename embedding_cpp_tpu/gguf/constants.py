@@ -184,6 +184,16 @@ class Keys:
     # DEFAULT_PROMPT names the prefix applied when the caller names none.
     PROMPTS = f"{ARCH}.prompts"
     DEFAULT_PROMPT = f"{ARCH}.default_prompt_name"
+    # ColBERT late-interaction checkpoints (our extension): per-token dense
+    # projection width (0/absent = not a ColBERT model), the query token
+    # budget ([MASK]-augmented), punctuation filtering of doc tokens, and
+    # the [Q]/[D] marker + [MASK] token ids the framing inserts
+    COLBERT_DIM = f"{ARCH}.colbert.dim"
+    COLBERT_QUERY_MAXLEN = f"{ARCH}.colbert.query_maxlen"
+    COLBERT_MASK_PUNCT = f"{ARCH}.colbert.mask_punctuation"
+    COLBERT_Q_MARKER = f"{ARCH}.colbert.query_marker_id"
+    COLBERT_D_MARKER = f"{ARCH}.colbert.doc_marker_id"
+    COLBERT_MASK_ID = f"{ARCH}.colbert.mask_token_id"
 
     # tokenizer
     TOKENIZER_MODEL = "tokenizer.ggml.model"

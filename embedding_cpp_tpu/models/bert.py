@@ -740,6 +740,20 @@ def bert_score_batch(
     return classifier_head(h, params["head"], config.head_activation)
 
 
+def project_token_states(params: dict, x: Array) -> Array:
+    """Apply the ColBERT per-token projection when the checkpoint carries
+    one (params["colbert"], HF_ColBERT's bias-free `linear`): [..., E] ->
+    [..., colbert_dim] in f32.  Identity for non-ColBERT models — callers
+    on the token-states surface route through here so ColBERT checkpoints
+    always emit projected vectors."""
+    cb = params.get("colbert")
+    if cb is None:
+        return x
+    return jnp.matmul(
+        x.astype(jnp.float32), cb["w"], preferred_element_type=jnp.float32
+    )
+
+
 def maxsim_scores(
     params: dict,
     q_states: Array,
@@ -748,9 +762,14 @@ def maxsim_scores(
     d_mask: Array,
     config: BertConfig,
     opts: ComputeOptions,
+    d_keep: Array | None = None,
 ) -> Array:
     """Late-interaction (ColBERT-style) MaxSim: query token states
     [Sq, E] + doc token ids [B, S] -> [B] f32 relevance scores.
+
+    `d_keep` ([B, S], optional) restricts which doc tokens participate in
+    SCORING while `d_mask` stays the attention mask — ColBERT checkpoints
+    attend punctuation but filter it from the similarity (the skiplist).
 
     score(q, d) = sum over real query tokens of max over real doc tokens of
     cosine(q_i, d_j) — the MaxSim operator of ColBERT (Khattab & Zaharia
@@ -767,10 +786,12 @@ def maxsim_scores(
     """
     d = bert_embed_batch(params, d_ids, d_mask, config, opts,
                          token_states=True)  # [B, S, E] f32
+    d = project_token_states(params, d)  # ColBERT checkpoints: [B, S, dim]
     qn = _l2_normalize(q_states.astype(jnp.float32))
     dn = _l2_normalize(d)
     sim = jnp.einsum("qe,bse->bqs", qn, dn)
-    sim = jnp.where(d_mask[:, None, :] > 0, sim, -jnp.inf)
+    score_mask = d_mask if d_keep is None else d_keep
+    sim = jnp.where(score_mask[:, None, :] > 0, sim, -jnp.inf)
     best = jnp.max(sim, axis=-1)  # [B, Sq]
     # all-padding doc rows (bucket filler) keep -inf here; callers slice
     # real rows.  Padded QUERY slots contribute 0.

@@ -147,6 +147,23 @@ class BertConfig:
     # of dense pooled embeddings.  The decoder projection is the tied
     # word-embedding table (conversion rejects untied checkpoints).
     mlm_head: bool = False
+    # ColBERT late-interaction checkpoint (colbert-ir/colbertv2.0,
+    # answerai-colbert-small-v1 and friends): colbert_dim > 0 marks the
+    # model as ColBERT and is the per-token dense projection width (HF
+    # HF_ColBERT's bias-free `linear`, e.g. 768 -> 128).  Queries frame
+    # [CLS] [Q] tokens [SEP] then pad with [MASK] to query_maxlen (the
+    # MASK positions are NOT attended to — attend_to_mask_tokens=False,
+    # the published default — but their projected states participate in
+    # scoring: ColBERT's query augmentation).  Documents frame
+    # [CLS] [D] tokens [SEP]; mask_punctuation drops punctuation-token
+    # vectors from scoring (the skiplist).  Marker/mask token ids are
+    # resolved from the tokenizer at conversion.
+    colbert_dim: int = 0
+    query_maxlen: int = 32
+    mask_punctuation: bool = True
+    q_marker_id: int = -1
+    d_marker_id: int = -1
+    mask_id: int = -1
     # factorized embedding-table width (ALBERT's embedding_size 128,
     # ELECTRA-small's 128; 0 = the table is n_embd wide, no projection).
     # When set, the word/position/token-type tables and the embedding
@@ -202,6 +219,27 @@ class BertConfig:
                 "mlm_head (SPLADE sparse encoding) is only supported for "
                 f"bert/roberta/distilbert, not {self.arch!r}"
             )
+        if self.colbert_dim:
+            if self.arch == "t5":
+                raise ValueError(
+                    "colbert_dim needs a CLS-framed family, not t5"
+                )
+            if self.mlm_head or self.n_labels or self.dense_out:
+                raise ValueError(
+                    "colbert_dim is exclusive with mlm_head / n_labels / "
+                    "dense_out (a ColBERT checkpoint has exactly the "
+                    "per-token projection head)"
+                )
+            if min(self.q_marker_id, self.d_marker_id, self.mask_id) < 0:
+                raise ValueError(
+                    "ColBERT models need q_marker_id, d_marker_id and "
+                    "mask_id (resolved from the tokenizer at conversion)"
+                )
+            if self.query_maxlen < 4:
+                raise ValueError(
+                    f"query_maxlen {self.query_maxlen} leaves no room for "
+                    "[CLS] [Q] token [SEP]"
+                )
         if self.n_embd_emb and self.arch not in ("albert", "electra"):
             raise ValueError(
                 "factorized embeddings (n_embd_emb) are only supported for "
@@ -260,6 +298,12 @@ class BertConfig:
             global_attn_every=int(kv.get(Keys.GLOBAL_ATTN_EVERY, 0)),
             local_window=int(kv.get(Keys.LOCAL_ATTN_WINDOW, 0)),
             mlm_head=bool(kv.get(Keys.MLM_HEAD, False)),
+            colbert_dim=int(kv.get(Keys.COLBERT_DIM, 0)),
+            query_maxlen=int(kv.get(Keys.COLBERT_QUERY_MAXLEN, 32)),
+            mask_punctuation=bool(kv.get(Keys.COLBERT_MASK_PUNCT, True)),
+            q_marker_id=int(kv.get(Keys.COLBERT_Q_MARKER, -1)),
+            d_marker_id=int(kv.get(Keys.COLBERT_D_MARKER, -1)),
+            mask_id=int(kv.get(Keys.COLBERT_MASK_ID, -1)),
             n_labels=int(kv.get(Keys.N_LABELS, 0)),
             head_activation=str(
                 kv.get(

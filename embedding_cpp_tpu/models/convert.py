@@ -138,6 +138,13 @@ def write_bert_gguf(
         w.add_string(Keys.HEAD_ACTIVATION, config.head_activation)
     if config.mlm_head:
         w.add_bool(Keys.MLM_HEAD, True)
+    if config.colbert_dim:
+        w.add_uint32(Keys.COLBERT_DIM, config.colbert_dim)
+        w.add_uint32(Keys.COLBERT_QUERY_MAXLEN, config.query_maxlen)
+        w.add_bool(Keys.COLBERT_MASK_PUNCT, config.mask_punctuation)
+        w.add_uint32(Keys.COLBERT_Q_MARKER, config.q_marker_id)
+        w.add_uint32(Keys.COLBERT_D_MARKER, config.d_marker_id)
+        w.add_uint32(Keys.COLBERT_MASK_ID, config.mask_id)
     if prompts:
         # named prompt prefixes (config_sentence_transformers.json); JSON
         # object so arbitrary names/unicode survive the kv string type
@@ -251,7 +258,41 @@ def _detect_sparse(model_dir: Path) -> bool:
     return any("SpladePooling" in t for t in types)
 
 
-def load_hf_dir(model_dir: str | os.PathLike, *, sparse: bool | None = None):
+def _vocab_token_id(tokenizer_json: bytes, token: str) -> int:
+    """Resolve a token string to its id via tokenizer.json (model.vocab,
+    both WordPiece/BPE dicts and Unigram piece lists, plus added_tokens).
+    -1 when absent."""
+    tok = json.loads(tokenizer_json)
+    vocab = tok.get("model", {}).get("vocab", {})
+    if isinstance(vocab, dict) and token in vocab:
+        return int(vocab[token])
+    if isinstance(vocab, list):
+        for i, item in enumerate(vocab):
+            if isinstance(item, (list, tuple)) and item and item[0] == token:
+                return i
+    for added in tok.get("added_tokens", []):
+        if added.get("content") == token:
+            return int(added["id"])
+    return -1
+
+
+def _read_colbert_metadata(model_dir: Path) -> dict:
+    """colbert-ai's artifact.metadata (JSON; carries query_maxlen,
+    mask_punctuation, dim, query_token_id/doc_token_id token strings).
+    Empty dict when absent — conversion then uses the published defaults."""
+    path = model_dir / "artifact.metadata"
+    if not path.is_file():
+        return {}
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return meta if isinstance(meta, dict) else {}
+
+
+def load_hf_dir(model_dir: str | os.PathLike, *, sparse: bool | None = None,
+                colbert: bool | None = None):
     """Load a local HF BERT checkpoint directory (config.json /
     tokenizer.json / safetensors-or-pytorch weights, no network) into
     (config, state_dict, tokenizer_json, special_id_overrides, hf_repo).
@@ -259,7 +300,12 @@ def load_hf_dir(model_dir: str | os.PathLike, *, sparse: bool | None = None):
     sparse: keep the MLM prediction head and mark the model as a SPLADE
     sparse encoder (config.mlm_head) instead of dropping the head like the
     dense conversion does.  None = auto-detect from modules.json
-    (SpladePooling)."""
+    (SpladePooling).
+
+    colbert: treat the checkpoint as ColBERT (keep the per-token
+    `linear.weight` projection, resolve [Q]/[D]/[MASK] token ids, record
+    query_maxlen/mask_punctuation).  None = auto-detect from the
+    architectures list ("HF_ColBERT"/"ColBERT") or artifact.metadata."""
     model_dir = Path(model_dir)
     if sparse is None:
         sparse = _detect_sparse(model_dir)
@@ -297,9 +343,21 @@ def load_hf_dir(model_dir: str | os.PathLike, *, sparse: bool | None = None):
         # DeBERTa-v2/v3 (the v3 feature set is validated in from_hf_config)
         "DebertaV2Model", "DebertaV2ForMaskedLM",
         "DebertaV2ForSequenceClassification",
+        # ColBERT late-interaction checkpoints (colbert-ir/colbertv2.0,
+        # answerai-colbert-small-v1): a BERT-family encoder + a bias-free
+        # per-token projection (`linear.weight`), packaged with
+        # artifact.metadata by the colbert-ai trainer
+        "HF_ColBERT", "ColBERT",
     )
     if archs and archs[0] not in _SUPPORTED:
         raise ValueError(f"unsupported architecture: {archs[0]}")
+    colbert_meta = _read_colbert_metadata(model_dir)
+    if colbert is None:
+        colbert = bool(
+            archs and archs[0] in ("HF_ColBERT", "ColBERT")
+        ) or bool(colbert_meta.get("dim") or colbert_meta.get("query_maxlen"))
+    if colbert and sparse:
+        raise ValueError("a checkpoint cannot be both ColBERT and SPLADE")
     config = BertConfig.from_hf_config(hf_config, name=model_dir.name)
     import dataclasses
 
@@ -360,6 +418,38 @@ def load_hf_dir(model_dir: str | os.PathLike, *, sparse: bool | None = None):
     if sparse:
         config = dataclasses.replace(config, mlm_head=True)
         state_dict = _canonicalize_mlm_head(config, state_dict)
+    if colbert:
+        if "linear.weight" not in state_dict:
+            raise ValueError(
+                "ColBERT conversion needs the per-token projection "
+                "`linear.weight` (not found in the checkpoint)"
+            )
+        dim = int(np.asarray(state_dict["linear.weight"]).shape[0])
+        # marker/mask token ids: artifact.metadata names the marker TOKENS
+        # (strings); the published checkpoints use [unused0]/[unused1] for
+        # BERT vocabs.  The mask token comes from the tokenizer family.
+        q_tok = str(colbert_meta.get("query_token_id") or "[unused0]")
+        d_tok = str(colbert_meta.get("doc_token_id") or "[unused1]")
+        q_id = _vocab_token_id(tokenizer_json, q_tok)
+        d_id = _vocab_token_id(tokenizer_json, d_tok)
+        mask_id = next(
+            (i for i in (_vocab_token_id(tokenizer_json, t)
+                         for t in ("[MASK]", "<mask>")) if i >= 0),
+            -1,
+        )
+        if min(q_id, d_id, mask_id) < 0:
+            raise ValueError(
+                f"could not resolve ColBERT special tokens in the "
+                f"tokenizer: {q_tok!r} -> {q_id}, {d_tok!r} -> {d_id}, "
+                f"[MASK]/<mask> -> {mask_id}"
+            )
+        config = dataclasses.replace(
+            config,
+            colbert_dim=dim,
+            query_maxlen=int(colbert_meta.get("query_maxlen", 32)),
+            mask_punctuation=bool(colbert_meta.get("mask_punctuation", True)),
+            q_marker_id=q_id, d_marker_id=d_id, mask_id=mask_id,
+        )
     if dense is not None:
         config = dataclasses.replace(
             config, dense_out=out_features, dense_activation=activation
@@ -450,14 +540,17 @@ def convert_hf_dir(
     ftype: str | GGUFFileType = "f32",
     *,
     sparse: bool | None = None,
+    colbert: bool | None = None,
 ) -> None:
     """Convert a local HF BERT checkpoint directory to GGUF
     (the reference's models/convert-to-gguf.py).  sparse: keep the MLM head
-    for SPLADE sparse encoding (None = auto-detect, see load_hf_dir)."""
+    for SPLADE sparse encoding; colbert: keep the per-token projection and
+    record the ColBERT framing config (None = auto-detect, see
+    load_hf_dir)."""
     if isinstance(ftype, str):
         ftype = FTYPE_NAMES[ftype]
     config, state_dict, tokenizer_json, overrides, repo, prompts = (
-        load_hf_dir(model_dir, sparse=sparse)
+        load_hf_dir(model_dir, sparse=sparse, colbert=colbert)
     )
     write_bert_gguf(
         out_path,

@@ -267,6 +267,14 @@ def build_params(
                     name, shape, f32
                 )
         params["head"] = head
+    if getattr(config, "colbert_dim", 0):
+        # ColBERT per-token projection: one bias-free [E, dim] linear,
+        # applied to every token's final hidden state — f32 like the other
+        # output heads (tiny; accuracy over storage)
+        (name, (_, shape_fn)), = schema.COLBERT_TENSORS.items()
+        params["colbert"] = {
+            "w": source.dense_t(name, shape_fn(config), f32)
+        }
     return params
 
 
@@ -356,6 +364,9 @@ def random_state_dict(config: BertConfig, seed: int = 0) -> dict[str, np.ndarray
             sd[name] = init(shape_fn(config))
     if config.dense_out:
         for name, (key, shape_fn) in schema.DENSE_TENSORS.items():
+            sd[name] = init(shape_fn(config))
+    if getattr(config, "colbert_dim", 0):
+        for name, (key, shape_fn) in schema.COLBERT_TENSORS.items():
             sd[name] = init(shape_fn(config))
     for name, (key, shape_fn) in schema.head_tensors(config).items():
         # head biases stay random (unlike encoder biases) so parity tests

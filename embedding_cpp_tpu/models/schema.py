@@ -313,6 +313,13 @@ DENSE_TENSORS = {
     "dense.linear.bias": ("dense_b", lambda c: (c.dense_out,)),
 }
 
+# ColBERT per-token projection (our extension; present only when
+# config.colbert_dim > 0): the bias-free `linear` of HF_ColBERT applied to
+# every final hidden state (token vectors L2-normalize downstream).
+COLBERT_TENSORS = {
+    "linear.weight": ("colbert_w", lambda c: (c.colbert_dim, c.n_embd)),
+}
+
 # --- sequence-classification heads (cross-encoder rerankers) ------------------
 # Present only when config.n_labels > 0.  Every family computes
 # logits = out(act(dense(h_cls))); only the HF state-dict names differ:
@@ -562,4 +569,6 @@ def all_tensor_names(n_layer: int, config=None) -> list[str]:
         names.extend(extra_tensors(config))
         names.extend(head_tensors(config))
         names.extend(mlm_tensors(config))
+        if getattr(config, "colbert_dim", 0):
+            names.extend(COLBERT_TENSORS)
     return names

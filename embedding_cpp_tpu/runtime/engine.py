@@ -567,14 +567,17 @@ class Engine:
         key = ("tokens", shape)
         fwd = self._fwd_cache.get(key)
         if fwd is None:
-            from ..models.bert import bert_embed_batch
+            from ..models.bert import bert_embed_batch, project_token_states
 
             config, opts = self.config, self.opts
 
             @jax.jit
             def fwd(params, ids, mask):
-                return bert_embed_batch(params, ids, mask, config, opts,
-                                        token_states=True)
+                x = bert_embed_batch(params, ids, mask, config, opts,
+                                     token_states=True)
+                # ColBERT checkpoints emit PROJECTED token vectors
+                # ([.., colbert_dim]); identity otherwise
+                return project_token_states(params, x)
 
             self._fwd_cache[key] = fwd
         return fwd
@@ -643,6 +646,83 @@ class Engine:
             positions = list(range(pos, pos + len(lens)))
             pos += len(lens)
             yield positions, dev, mask, lens
+
+    # --- ColBERT late-interaction framing ------------------------------------
+    def colbert_skiplist(self) -> frozenset[int]:
+        """Punctuation token ids filtered from DOCUMENT scoring (the
+        ColBERT skiplist: first sub-token id of each string.punctuation
+        symbol; colbert-ai ColBERT.__init__).  Empty when the checkpoint
+        sets mask_punctuation=False."""
+        if not self.config.mask_punctuation:
+            return frozenset()
+        if getattr(self, "_skiplist", None) is None:
+            import string
+
+            ids = set()
+            for ch in string.punctuation:
+                enc = self.tokenizer.encode(ch)
+                if enc:
+                    ids.add(int(enc[0]))
+            self._skiplist = frozenset(ids)
+        return self._skiplist
+
+    def _colbert_frame(self, texts: Sequence[str], marker: int,
+                       maxlen: int) -> list[list[int]]:
+        """[CLS] <marker> tokens [SEP], truncated to maxlen keeping [SEP]
+        last — equivalent to colbert-ai's '. '+text tokenization with the
+        position-1 marker substitution."""
+        if self.config.colbert_dim <= 0:
+            raise RuntimeError("not a ColBERT checkpoint (colbert_dim == 0)")
+        framed = self.tokenize_batch(list(texts))
+        sep = self.special_ids.sep
+        out = []
+        for ids in framed:
+            ids = [ids[0], marker] + list(ids[1:])
+            if len(ids) > maxlen:
+                ids = ids[: maxlen - 1] + [sep]
+            out.append(ids)
+        return out
+
+    def colbert_doc_tokens(self, texts: Sequence[str],
+                           cap: int | None = None) -> list[list[int]]:
+        """Document framing: [CLS] [D] tokens [SEP], truncated to
+        min(cap, n_ctx) — truncation happens BEFORE the forward (ColBERT's
+        doc_maxlen semantics: dropped tokens never participate in
+        attention)."""
+        maxlen = min(cap or self.config.n_ctx, self.config.n_ctx)
+        return self._colbert_frame(texts, self.config.d_marker_id, maxlen)
+
+    def colbert_query_ids(self, texts: Sequence[str]):
+        """Query framing: [CLS] [Q] tokens [SEP] padded with [MASK] to
+        query_maxlen.  Returns (ids [B, query_maxlen] int32, attention
+        mask [B, query_maxlen] int32 — 0 on the MASK positions, which are
+        not attended to but DO emit vectors: query augmentation)."""
+        maxlen = min(self.config.query_maxlen, self.config.n_ctx)
+        framed = self._colbert_frame(texts, self.config.q_marker_id, maxlen)
+        ids = np.full((len(framed), maxlen), self.config.mask_id, np.int32)
+        mask = np.zeros((len(framed), maxlen), np.int32)
+        for i, row in enumerate(framed):
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return ids, mask
+
+    def colbert_query_vectors(self, texts: Sequence[str]) -> list[np.ndarray]:
+        """Queries -> one [query_maxlen, colbert_dim] f32 token matrix per
+        text (every slot, MASK augmentation included; un-normalized — the
+        MaxSim consumers L2-normalize per token)."""
+        from .batching import bucket_for
+
+        q_ids, q_attn = self.colbert_query_ids(texts)
+        n = q_ids.shape[0]
+        b = bucket_for(n, self.batch_buckets)
+        if b > n:
+            q_ids = np.pad(q_ids, ((0, b - n), (0, 0)))
+            q_attn = np.pad(q_attn, ((0, b - n), (0, 0)))
+        with self._lock:
+            fwd = self._token_states_forward(q_ids.shape)
+            dev = fwd(self.params, q_ids, q_attn)
+        arr = np.asarray(dev)
+        return [arr[i].copy() for i in range(n)]
 
     def _sparse_forward(self, shape: tuple[int, int], k: int):
         key = ("sparse", shape, k)
@@ -721,8 +801,9 @@ class Engine:
             config, opts = self.config, self.opts
 
             @jax.jit
-            def fwd(params, q, qm, ids, mask):
-                return maxsim_scores(params, q, qm, ids, mask, config, opts)
+            def fwd(params, q, qm, ids, mask, keep):
+                return maxsim_scores(params, q, qm, ids, mask, config, opts,
+                                     d_keep=keep)
 
             self._fwd_cache[key] = fwd
         return fwd
@@ -733,39 +814,67 @@ class Engine:
         (models/bert.maxsim_scores).  Works with any encoder family — no
         classification head needed (contrast Engine.rerank's cross-encoder
         path: one joint forward per pair there vs one document forward +
-        a cheap on-device MaxSim here, so this scales to many documents)."""
+        a cheap on-device MaxSim here, so this scales to many documents).
+
+        ColBERT checkpoints (config.colbert_dim > 0) automatically use the
+        checkpoint's semantics: [Q]/[D] markers, [MASK] query augmentation
+        to query_maxlen, per-token projection, punctuation filtering."""
+        if self.config.colbert_dim:
+            q_ids, q_attn = self.colbert_query_ids([query])
+            return self.maxsim_tokens(
+                None, self.colbert_doc_tokens(documents),
+                _q_frame=(q_ids, q_attn),
+            )
         return self.maxsim_tokens(
             self.tokenize(query), self.tokenize_batch(documents)
         )
 
     def maxsim_tokens(
         self,
-        q_tokens: Sequence[int],
+        q_tokens: Sequence[int] | None,
         doc_token_lists: Sequence[Sequence[int]],
+        *,
+        _q_frame: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> np.ndarray:
-        """Token-id variant of maxsim(): -> [n_docs] f32 scores."""
+        """Token-id variant of maxsim(): -> [n_docs] f32 scores.
+
+        `_q_frame` (internal, the ColBERT path): pre-framed query
+        (ids [1, Lq], attention mask [1, Lq]); scoring then uses ALL Lq
+        query slots (MASK augmentation) and filters punctuation doc tokens
+        via the skiplist."""
         from .batching import bucket_for
 
-        if not q_tokens:
-            raise ValueError("empty query")
-        sq = bucket_for(len(q_tokens), self.seq_buckets)
-        q_ids = np.zeros((1, sq), np.int32)
-        q_ids[0, : len(q_tokens)] = q_tokens
-        q_mask = np.zeros((1, sq), np.int32)
-        q_mask[0, : len(q_tokens)] = 1
+        colbert = _q_frame is not None
+        if colbert:
+            q_ids, q_attn = _q_frame
+            q_score = np.ones_like(q_attn)
+        else:
+            if not q_tokens:
+                raise ValueError("empty query")
+            sq = bucket_for(len(q_tokens), self.seq_buckets)
+            q_ids = np.zeros((1, sq), np.int32)
+            q_ids[0, : len(q_tokens)] = q_tokens
+            q_attn = np.zeros((1, sq), np.int32)
+            q_attn[0, : len(q_tokens)] = 1
+            q_score = q_attn
+        skip = self.colbert_skiplist() if colbert else frozenset()
+        skip_arr = np.asarray(sorted(skip), np.int32)
         out = np.empty(len(doc_token_lists), np.float32)
         pos = 0
         cap = max(self.batch_buckets)
         first = True
         for ids, mask, lens in self._padded_chunks(doc_token_lists, cap):
+            keep = mask
+            if skip_arr.size:
+                keep = mask * (~np.isin(ids, skip_arr)).astype(mask.dtype)
             with self._lock:
                 if first:
                     # query token states once, kept on device for every chunk
                     q_fwd = self._token_states_forward(q_ids.shape)
-                    q_dev = q_fwd(self.params, q_ids, q_mask)[0]
+                    q_dev = q_fwd(self.params, q_ids, q_attn)[0]
                     first = False
                 fwd = self._maxsim_forward(tuple(q_dev.shape), ids.shape)
-                dev = fwd(self.params, q_dev, q_mask[0], ids, mask)
+                dev = fwd(self.params, q_dev, q_score[0], ids, mask, keep)
             scores = np.asarray(dev)
             out[pos : pos + len(lens)] = scores[: len(lens)]
             pos += len(lens)

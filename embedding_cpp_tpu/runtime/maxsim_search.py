@@ -212,8 +212,11 @@ class MaxSimIndex:
 
     @property
     def n_embd(self) -> int:
-        # token states are encoder-width (no Dense head on token vectors)
-        return self.engine.config.n_embd
+        # token vectors are encoder-width (no Dense head on token states)
+        # except for ColBERT checkpoints, whose per-token projection sets
+        # the width (engine token-states forwards apply it)
+        return (self.engine.config.colbert_dim
+                or self.engine.config.n_embd)
 
     # --- building -----------------------------------------------------------
     def add(self, texts: Sequence[str]) -> int:
@@ -221,24 +224,49 @@ class MaxSimIndex:
 
         Single-device engines ingest on-device (states never cross the
         link); mesh engines fetch to host once and device_put with the
-        corpus sharding."""
+        corpus sharding.  ColBERT checkpoints use the checkpoint's doc
+        semantics: [D] marker framing, pre-forward doc_maxlen truncation,
+        per-token projection, punctuation filtered from scoring."""
         texts = list(texts)
-        prefix = self.engine.document_prompt_prefix()
-        if prefix:
-            texts = [prefix + t for t in texts]
-        token_lists = self.engine.tokenize_batch(texts)
+        colbert = self.engine.config.colbert_dim > 0
+        if colbert:
+            token_lists = self.engine.colbert_doc_tokens(
+                texts, cap=self.doc_maxlen
+            )
+            skip = self.engine.colbert_skiplist()
+        else:
+            prefix = self.engine.document_prompt_prefix()
+            if prefix:
+                texts = [prefix + t for t in texts]
+            token_lists = self.engine.tokenize_batch(texts)
+            skip = frozenset()
+        skip_arr = np.asarray(sorted(skip), np.int32)
+        keep_rows = [
+            np.asarray([t not in skip for t in toks], bool)
+            for toks in token_lists
+        ]
         with self._lock:
             base = self._n
             self._ensure_capacity(base + len(texts))
             if self.mesh is None and self.engine.mesh is None:
                 for positions, dev, mask, lens in \
                         self.engine.token_states_device(token_lists):
+                    keep = np.zeros_like(mask)
+                    for r, p in enumerate(positions):
+                        keep[r, : lens[r]] = keep_rows[p]
                     self._corpus, self._cmask = _commit_kernel(
-                        self._corpus, self._cmask, dev, jnp.asarray(mask),
+                        self._corpus, self._cmask, dev, jnp.asarray(keep),
                         base + positions[0], self.doc_maxlen,
                     )
             else:
                 states = self.engine.token_states_tokens(token_lists)
+                if skip_arr.size:
+                    states = [s[k] for s, k in zip(states, keep_rows)]
+                    if any(len(s) == 0 for s in states):
+                        raise ValueError(
+                            "a document has no scorable (non-punctuation) "
+                            "tokens"
+                        )
                 self._host_commit(states, base)
             self._n = base + len(texts)
             return self._n
@@ -337,8 +365,13 @@ class MaxSimIndex:
     def search(self, queries: Sequence[str], k: int = 10):
         """Texts -> (indices [n, k] int32, scores [n, k] f32), id -1 /
         score -inf past the corpus (the VectorIndex padding contract).
-        Query token states encode with the model's query prompt prefix."""
+        Query token states encode with the model's query prompt prefix;
+        ColBERT checkpoints use [Q]-marker framing with [MASK] augmentation
+        (all query_maxlen vectors score)."""
         queries = list(queries)
+        if self.engine.config.colbert_dim:
+            states = self.engine.colbert_query_vectors(queries)
+            return self.search_token_vectors(states, k)
         prefix = self.engine.query_prompt_prefix()
         if prefix:
             queries = [prefix + t for t in queries]

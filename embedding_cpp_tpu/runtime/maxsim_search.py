@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .search import _pack_result, _select_topk, _unpack_result
+from .search import (
+    MAX_INDEX_ROWS,
+    _pack_result,
+    _select_topk,
+    _unpack_result,
+)
 
 _CAPACITY_STEP = 1024  # corpus padded to multiples of this: stable jit shapes
 _QUERY_BUCKETS = (4, 16, 64)
@@ -314,6 +319,11 @@ class MaxSimIndex:
         self._corpus, self._cmask = corpus, cmask
 
     def _ensure_capacity(self, need: int) -> None:
+        if need > MAX_INDEX_ROWS:
+            raise ValueError(
+                f"index would exceed {MAX_INDEX_ROWS} rows (ids ride the "
+                "packed f32 result and must stay exactly representable)"
+            )
         cap = 0 if self._corpus is None else self._corpus.shape[0]
         if need <= cap:
             return

@@ -54,20 +54,30 @@ def _select_topk(scores, k: int, exact: bool):
 
 def _pack_result(scores, idx):
     """(scores f32 [..., k], idx i32 [..., k]) -> one f32 [..., 2k] array
-    (idx bitcast into the trailing columns).  One array = ONE device->host
-    fetch — each fetch pays a ~25 ms relay round trip, which dominated the
-    end-to-end search latency when scores and ids fetched separately."""
+    (idx as exact f32 VALUES in the trailing columns).  One array = ONE
+    device->host fetch — each fetch pays a ~25 ms relay round trip, which
+    dominated the end-to-end search latency when scores and ids fetched
+    separately.
+
+    Ids are value-cast, NOT bitcast: every int32 id < 2**23 bitcasts to a
+    DENORMAL f32, and real-TPU relayout/concat paths flush denormals to
+    zero — measured on v5e, every packed id came back 0 while the scores
+    were intact.  f32 represents integers exactly up to 2**24, far above
+    any practical corpus (the capacity guards enforce it)."""
     return jnp.concatenate(
-        [scores, jax.lax.bitcast_convert_type(idx.astype(jnp.int32),
-                                              jnp.float32)],
-        axis=-1,
+        [scores, idx.astype(jnp.float32)], axis=-1
     )
+
+
+# f32 holds integers exactly only below 2**24: the packed-result id columns
+# (and therefore every index) are bounded by it
+MAX_INDEX_ROWS = 1 << 24
 
 
 def _unpack_result(packed: np.ndarray, k: int):
     packed = np.ascontiguousarray(packed, dtype=np.float32)
     scores = np.array(packed[..., :k])  # writable copies, not views
-    idx = np.array(np.ascontiguousarray(packed[..., k:]).view(np.int32))
+    idx = np.rint(packed[..., k:]).astype(np.int32)
     return scores, idx
 
 
@@ -248,6 +258,11 @@ class VectorIndex:
 
     def _ensure_capacity(self, need: int) -> None:
         """Grow the corpus array to hold `need` rows (caller holds _lock)."""
+        if need > MAX_INDEX_ROWS:
+            raise ValueError(
+                f"index would exceed {MAX_INDEX_ROWS} rows (ids ride the "
+                "packed f32 result and must stay exactly representable)"
+            )
         cap = 0 if self._corpus is None else self._corpus.shape[0]
         if need <= cap:
             return

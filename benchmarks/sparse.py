@@ -28,6 +28,110 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from kernels import _dispatch_floor  # noqa: E402 (canonical relay floor)
 
 
+def bench_search(docs: int, nnz: int, n_vocab: int, queries: int,
+                 k: int, iters: int, json_out: str | None) -> None:
+    """Device sparse retrieval at scale (VERDICT r3 weak #4): the
+    dp-shardable padded-COO device index vs the single-core host CSR
+    baseline, same corpus, same queries, exact same scores."""
+    import jax
+    import jax.numpy as jnp
+
+    from embedding_cpp_tpu.runtime.sparse_search import (
+        SparseIndex, _doc_block, _make_sparse_search_kernel,
+    )
+
+    rng = np.random.default_rng(0)
+    # vectorized synthetic corpus: fixed-nnz docs, weight-descending
+    didx = rng.integers(0, n_vocab, size=(docs, nnz)).astype(np.int32)
+    dval = np.sort(rng.random((docs, nnz)).astype(np.float32), axis=1)[:, ::-1]
+    q_pairs = []
+    for _ in range(queries):
+        qn = int(rng.integers(8, 48))
+        q_pairs.append((
+            rng.choice(n_vocab, size=qn, replace=False).astype(np.int32),
+            rng.random(qn).astype(np.float32),
+        ))
+
+    # --- host CSR baseline (the exact SparseIndex host math, inlined on
+    # the flat arrays so 1M-doc corpus build stays vectorized) -------------
+    flat_idx = didx.reshape(-1).astype(np.int64)
+    flat_val = dval.reshape(-1)
+    doc_ids = np.repeat(np.arange(docs, dtype=np.int64), nnz)
+    qd = np.zeros(n_vocab, np.float32)
+    t0 = time.perf_counter()
+    host_scores = []
+    for idx, val in q_pairs:
+        qd[idx] = val
+        per = flat_val * qd[flat_idx]
+        host_scores.append(
+            np.bincount(doc_ids, weights=per, minlength=docs)
+        )
+        qd[idx] = 0.0
+    host_s = time.perf_counter() - t0
+    host_top = np.argsort(-np.asarray(host_scores), axis=1)[:, :k]
+
+    # --- device index (through the production class) ----------------------
+    index = SparseIndex(device=True, nnz_width=nnz)
+    pairs = [(didx[i], dval[i]) for i in range(docs)]
+    t0 = time.perf_counter()
+    step = 65536
+    for lo in range(0, docs, step):
+        index.add_vectors(pairs[lo : lo + step])
+    ingest_s = time.perf_counter() - t0
+    ids, scores = index.search_vectors(q_pairs, k=k)  # compile
+    t0 = time.perf_counter()
+    ids, scores = index.search_vectors(q_pairs, k=k)
+    e2e_s = time.perf_counter() - t0
+    agree = float(np.mean(ids == host_top))
+
+    # --- chained in-device kernel cost ------------------------------------
+    kernel = _make_sparse_search_kernel()
+    kq = 64
+    q_idx = np.full((queries, kq), -1, np.int32)
+    q_val = np.zeros((queries, kq), np.float32)
+    for i, (qi, qv) in enumerate(q_pairs):
+        q_idx[i, : len(qi)] = qi
+        q_val[i, : len(qv)] = qv
+    cap = index._didx.shape[0]
+    nb = _doc_block(queries, nnz, cap)
+    di_d, dv_d = index._didx, index._dval
+    qi_d, qv_d = jnp.asarray(q_idx), jnp.asarray(q_val)
+
+    @jax.jit
+    def loop(di, dv, qi, qv):
+        def body(i, carry):
+            qvv, acc = carry
+            packed = kernel(di, dv, qi, qvv, docs, k, nb, n_vocab)
+            acc = acc + jnp.sum(packed[:, :k])
+            qvv = qvv * (1 + (acc > 1e30).astype(qvv.dtype))
+            return qvv, acc
+
+        return jax.lax.fori_loop(0, iters, body, (qv, jnp.float32(0)))[1]
+
+    float(np.asarray(loop(di_d, dv_d, qi_d, qv_d)))  # compile
+    best = min(
+        (lambda t: (float(np.asarray(loop(di_d, dv_d, qi_d, qv_d))),
+                    time.perf_counter() - t)[1])(time.perf_counter())
+        for _ in range(3)
+    )
+    per = max((best - _dispatch_floor()) / iters, 1e-9)
+
+    result = {
+        "platform": jax.devices()[0].platform,
+        "docs": docs, "nnz": nnz, "n_vocab": n_vocab,
+        "queries": queries, "k": k,
+        "host_s_per_batch": round(host_s, 3),
+        "device_kernel_ms_per_batch": round(per * 1e3, 3),
+        "speedup_vs_host": round(host_s / per, 1),
+        "device_end_to_end_ms": round(e2e_s * 1e3, 2),
+        "ingest_s": round(ingest_s, 2),
+        "topk_agreement": agree,
+    }
+    print(json.dumps(result))
+    if json_out:
+        Path(json_out).write_text(json.dumps(result, indent=1))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=32)
@@ -36,7 +140,19 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--ftype", default="q4_0")
     p.add_argument("--json-out")
+    p.add_argument("--search", action="store_true",
+                   help="device sparse retrieval at --docs scale vs the "
+                        "host CSR baseline")
+    p.add_argument("--docs", type=int, default=1048576)
+    p.add_argument("--nnz", type=int, default=128)
+    p.add_argument("--vocab", type=int, default=30522)
+    p.add_argument("--queries", type=int, default=8)
+    p.add_argument("--search-k", type=int, default=10)
     args = p.parse_args()
+    if args.search:
+        bench_search(args.docs, args.nnz, args.vocab, args.queries,
+                     args.search_k, args.iters, args.json_out)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -41,6 +41,11 @@ OP_EMBED = 1
 OP_INDEX = 2  # vector-index append (payload: f32 [n, E] normalized vectors)
 OP_SEARCH = 3  # index search (payload: f32 padded queries; header[3] = k)
 OP_SAVE = 4  # index persistence: followers join the corpus all-gather
+# sparse (SPLADE) plane: the encode forward and the device sparse-index ops
+# all run collectives on the global mesh, so followers must replay them too
+OP_SPARSE_ENCODE = 5  # payload: i32 token matrix; header[3] = top-k width
+OP_SPARSE_INDEX = 6  # payloads: i32 ids [n, Kd], f32 weights [n, Kd]
+OP_SPARSE_SEARCH = 7  # payloads: i32 q ids, f32 q weights, i32 [n_real, k]
 _HEADER_SHAPE = (4,)  # [op, n_rows, payload_width, k]
 
 
@@ -191,6 +196,23 @@ def make_leader(engine) -> None:
 
     engine.embed_tokens = embed_tokens
 
+    if engine.config.mlm_head:
+        # the SPLADE encode forward also runs collectives on the global
+        # mesh — announce it so followers replay sparse_tokens in lockstep
+        real_sparse = engine.sparse_tokens
+
+        def sparse_tokens(token_lists, k=256):
+            with _LEADER_LOCK:
+                payload = _encode_token_lists(token_lists)
+                _broadcast(np.array(
+                    [OP_SPARSE_ENCODE, payload.shape[0], payload.shape[1],
+                     int(k)], np.int32,
+                ))
+                _broadcast(payload)
+                return real_sparse(token_lists, k=k)
+
+        engine.sparse_tokens = sparse_tokens
+
 
 def make_leader_index(engine):
     """Leader-side VectorIndex over the multi-host mesh: the corpus shards
@@ -234,6 +256,47 @@ def make_leader_index(engine):
     return LeaderIndex(engine, mesh=engine.mesh)
 
 
+def make_leader_sparse_index(engine):
+    """Leader-side device SparseIndex over the multi-host mesh: the
+    padded-COO corpus dp-shards across every host's devices, so every
+    device op (doc-row commit, search dispatch) broadcasts to the
+    followers first and they replay it with identical inputs
+    (follower_loop OP_SPARSE_INDEX/OP_SPARSE_SEARCH)."""
+    import jax
+
+    from ..runtime.sparse_search import SparseIndex
+
+    assert jax.process_index() == 0
+
+    class LeaderSparseIndex(SparseIndex):
+        def _commit_device(self, padded, base):
+            di, dv = padded
+            with _LEADER_LOCK:
+                _broadcast(np.array(
+                    [OP_SPARSE_INDEX, di.shape[0], di.shape[1], 0], np.int32
+                ))
+                _broadcast(np.ascontiguousarray(di, np.int32))
+                _broadcast(np.ascontiguousarray(dv, np.float32))
+                return super()._commit_device(padded, base)
+
+        def _run_device_search(self, q_idx, q_val, n_real, k, nb, vocab_pad):
+            # nb/vocab_pad re-derive deterministically on the followers
+            # (identical corpus shapes + the engine vocab)
+            with _LEADER_LOCK:
+                _broadcast(np.array(
+                    [OP_SPARSE_SEARCH, q_idx.shape[0], q_idx.shape[1], k],
+                    np.int32,
+                ))
+                _broadcast(np.ascontiguousarray(q_idx, np.int32))
+                _broadcast(np.ascontiguousarray(q_val, np.float32))
+                _broadcast(np.array([n_real], np.int32))
+                return super()._run_device_search(
+                    q_idx, q_val, n_real, k, nb, vocab_pad
+                )
+
+    return LeaderSparseIndex(engine, device=True, mesh=engine.mesh)
+
+
 def broadcast_stop() -> None:
     """Leader: release the followers (end of serving)."""
     _broadcast(np.array([OP_STOP, 0, 0, 0], np.int32))
@@ -253,6 +316,8 @@ def follower_loop(engine) -> None:
 
     assert jax.process_index() != 0, "follower_loop runs on processes > 0"
     fidx = None
+    fsparse = None
+    sparse_rows = 0
     while True:
         header = _broadcast(np.zeros(_HEADER_SHAPE, np.int32))
         op, n, width = int(header[0]), int(header[1]), int(header[2])
@@ -261,6 +326,39 @@ def follower_loop(engine) -> None:
         if op == OP_EMBED:
             payload = _broadcast(np.zeros((n, width), np.int32))
             engine.embed_tokens(_decode_token_lists(payload))
+            continue
+        if op == OP_SPARSE_ENCODE:
+            payload = _broadcast(np.zeros((n, width), np.int32))
+            engine.sparse_tokens(_decode_token_lists(payload),
+                                 k=int(header[3]))
+            continue
+        if op in (OP_SPARSE_INDEX, OP_SPARSE_SEARCH):
+            if fsparse is None:
+                from ..runtime.sparse_search import SparseIndex
+
+                fsparse = SparseIndex(engine, device=True, mesh=engine.mesh)
+            if op == OP_SPARSE_INDEX:
+                di = _broadcast(np.zeros((n, width), np.int32))
+                dv = _broadcast(np.zeros((n, width), np.float32))
+                with fsparse._lock:
+                    fsparse._commit_device((di, dv), sparse_rows)
+                sparse_rows += n
+            else:
+                q_idx = _broadcast(np.zeros((n, width), np.int32))
+                q_val = _broadcast(np.zeros((n, width), np.float32))
+                n_real = int(_broadcast(np.zeros(1, np.int32))[0])
+                from ..runtime.sparse_search import _doc_block
+
+                with fsparse._lock:
+                    # header[3] carries the leader's already-clamped k
+                    k = int(header[3])
+                    nb = _doc_block(
+                        n, fsparse.nnz_width,
+                        fsparse._didx.shape[0] // fsparse._dp,
+                    )
+                    fsparse._run_device_search(
+                        q_idx, q_val, n_real, k, nb, fsparse._vocab_pad()
+                    )
             continue
         if fidx is None:
             from ..runtime.search import VectorIndex

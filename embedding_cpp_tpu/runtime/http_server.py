@@ -54,7 +54,7 @@ the same device batches) as the TCP protocol.
     POST /v1/sparse_index  {"input": ["texts"...]} -> {"total": N}
     POST /v1/sparse_search {"input": ["queries"...], "k": 10}
       -> {"results": [[{"index": id, "score": s}, ...k], ...]}
-                          (exact sparse dot-product top-k, host-side CSR)
+                          (exact sparse dot-product top-k, on-device padded COO)
     POST /v1/hybrid_index  {"input": ["texts"...]} -> {"total": N}
                           (adds to BOTH the dense and sparse indexes)
     POST /v1/hybrid_search {"input": ["queries"...], "k": 10}
@@ -502,7 +502,7 @@ async def handle_http(reader, writer, batcher, model_name: str,
                     })
                     b.stats.requests += 1
                 elif path == "/v1/sparse_index":
-                    # SPLADE corpus building (host-side CSR index,
+                    # SPLADE corpus building (on-device sparse index,
                     # runtime/sparse_search.py) — the sparse sibling of
                     # /v1/index, same admission control
                     if method != "POST":

@@ -71,7 +71,7 @@ MAGIC_SPARSE = b"\x01TPW"
 # not sigmoid)
 MAGIC_MAXSIM = b"\x01TPX"
 MAX_SPARSE_K = 4096  # device top-k width cap (matches /v1/sparse_embeddings)
-# sparse corpus building/search (host-side CSR SparseIndex): the \x01TPB /
+# sparse corpus building/search (device-backed SparseIndex): the \x01TPB /
 # \x01TPS layouts verbatim — index: texts -> u32 total; search: u32 k |
 # texts -> u32 n | u32 k | n*k i32 ids | n*k f32 scores (-1/-inf padding)
 MAGIC_SPARSE_INDEX = b"\x01TPY"
@@ -223,21 +223,25 @@ class ContinuousBatcher:
             raise RuntimeError("no index built (send an index frame first)")
         return self.index.search(texts, k)
 
+    def _make_sparse_index(self):
+        """Device-backed SparseIndex over the serving mesh; on a multi-host
+        runtime the leader variant broadcasts every device op so followers
+        replay in SPMD lockstep (parallel/distributed.py)."""
+        import jax
+
+        from .sparse_search import SparseIndex
+
+        if jax.process_count() > 1:
+            from ..parallel import distributed as dist
+
+            return dist.make_leader_sparse_index(self.engine)
+        return SparseIndex(self.engine, mesh=self.engine.mesh)
+
     def sparse_index_texts(self, texts: list[str]) -> int:
         if self.sparse_index is None:
             with self._index_init_lock:
                 if self.sparse_index is None:
-                    import jax
-
-                    from .sparse_search import SparseIndex
-
-                    if jax.process_count() > 1:
-                        # host-side corpus: multi-host serving replicates
-                        # requests, which would duplicate every add
-                        raise RuntimeError(
-                            "sparse index is single-host only"
-                        )
-                    self.sparse_index = SparseIndex(self.engine)
+                    self.sparse_index = self._make_sparse_index()
         return self.sparse_index.add(texts)
 
     def sparse_search_texts(self, texts: list[str], k: int):
@@ -280,15 +284,7 @@ class ContinuousBatcher:
             if self.sparse_index is None:
                 with self._index_init_lock:
                     if self.sparse_index is None:
-                        import jax
-
-                        from .sparse_search import SparseIndex
-
-                        if jax.process_count() > 1:
-                            raise RuntimeError(
-                                "sparse index is single-host only"
-                            )
-                        self.sparse_index = SparseIndex(self.engine)
+                        self.sparse_index = self._make_sparse_index()
             if self.index is not None and (
                 len(self.index) != len(self.sparse_index)
             ):

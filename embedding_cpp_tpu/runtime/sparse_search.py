@@ -1,26 +1,51 @@
-"""Sparse (SPLADE) retrieval: a host-side CSR index over the
-(term-id, weight) vectors Engine.encode_sparse produces.
+"""Sparse (SPLADE) retrieval over the (term-id, weight) vectors
+Engine.encode_sparse produces.
 
-Design: sparse dot products are memory-bound gather/scatter over ~100-300
-active terms per document — the opposite of the MXU-shaped dense problem
-(runtime/search.py keeps THAT corpus on device).  Densifying a 30k-vocab
-corpus to feed the MXU would cost ~120 KB/doc against ~2 KB/doc CSR, a 60x
-HBM and PCIe/relay inflation for matmuls that are >99% zeros — so scoring
-runs on the host: one O(nnz_corpus) pass per query batch
-(values * q_dense[indices], np.bincount-reduced per doc; reduceat is
-avoided because it silently mis-reduces empty segments).  Scores are exact
-dot products, the standard SPLADE relevance.
+Two scoring backends behind one index:
 
-The reference has no retrieval surface at all (bert.h:41-92 is embeddings
-only); this mirrors the dense VectorIndex contract (k results per query,
-id -1 + -inf padding past the corpus size, .npz persistence).
+- **device** (the default with an engine): documents live in HBM as
+  fixed-width padded COO — ids [N, Kd] int32 + weights [N, Kd] f32 (pad
+  slots id 0 / weight 0, so they contribute nothing).  Scoring densifies
+  the QUERY batch on device (a tiny [Qb, V] scatter from the sparse query
+  terms — never the corpus: densifying a 30k-vocab corpus would be a ~60x
+  HBM inflation) and runs a blocked gather-weighted-sum over corpus tiles:
+  scores[q, n] = sum_j val[n, j] * qdense[q, idx[n, j]].  VPU
+  gather-bound, ~N*Kd*Qb*4 bytes of traffic per pass — three orders of
+  magnitude beyond a single-core host at 1M-doc scale (benchmarks/
+  sparse.py).  The corpus dp-shards over a mesh exactly like the dense
+  VectorIndex (two-stage candidate top-k), and multi-host serving replays
+  adds/searches leader-follower (parallel/distributed.py).
+- **host** (device=False, or no engine): one O(nnz_corpus) numpy pass per
+  query (values * q_dense[indices], np.bincount-reduced per doc; reduceat
+  is avoided because it silently mis-reduces empty segments).
+
+Scores are exact dot products in both backends, the standard SPLADE
+relevance.  The reference has no retrieval surface at all (bert.h:41-92 is
+embeddings only); this mirrors the dense VectorIndex contract (k results
+per query, id -1 + -inf padding past the corpus size, .npz persistence).
 """
 from __future__ import annotations
 
 import threading
+from functools import partial
 from typing import Sequence
 
 import numpy as np
+
+_CAPACITY_STEP = 4096  # device corpus padded to multiples of this
+_QUERY_BUCKETS = (8, 64, 512)
+# per-step [NB, Kd, Qb] f32 gather-tile budget (bytes) for the blocked scan
+_GATHER_TILE_BUDGET = 256 << 20
+
+
+def _doc_block(qb: int, kd: int, cap: int) -> int:
+    """Largest power-of-two doc-block divisor of `cap` whose gather tile
+    fits the budget (>= 1)."""
+    nb = max(1, _GATHER_TILE_BUDGET // max(1, qb * kd * 4))
+    nb = 1 << (nb.bit_length() - 1)
+    while cap % nb:
+        nb //= 2
+    return max(nb, 1)
 
 
 def rrf_fuse(rankings: Sequence[np.ndarray], k: int, c: float = 60.0):
@@ -55,15 +80,124 @@ def rrf_fuse(rankings: Sequence[np.ndarray], k: int, c: float = 60.0):
     return out_i, out_s
 
 
+def _densify_queries(q_idx, q_val, n_vocab: int):
+    """Padded sparse queries (idx [Qb, Kq] int32, -1 = pad; val [Qb, Kq])
+    -> dense [Qb, n_vocab] f32, built ON DEVICE from the tiny sparse form
+    (the dense matrix itself never crosses the host link)."""
+    import jax.numpy as jnp
+
+    qb, kq = q_idx.shape
+    rows = jnp.repeat(jnp.arange(qb), kq)
+    idx = jnp.clip(q_idx.reshape(-1), 0, n_vocab - 1)
+    val = jnp.where(q_idx.reshape(-1) >= 0, q_val.reshape(-1), 0.0)
+    return (
+        jnp.zeros((qb, n_vocab), jnp.float32).at[rows, idx].add(val)
+    )
+
+
+def _make_sparse_search_kernel():
+    import jax
+    import jax.numpy as jnp
+
+    from .search import _pack_result, _select_topk
+
+    @partial(jax.jit, static_argnums=(5, 6, 7))
+    def kernel(didx, dval, q_idx, q_val, n_real, k, nb, n_vocab):
+        """didx/dval [N, Kd]; q_idx/q_val [Qb, Kq] (-1 pad) ->
+        packed f32 [Qb, 2k] (scores | bitcast ids)."""
+        n = didx.shape[0]
+        qd = _densify_queries(q_idx, q_val, n_vocab)  # [Qb, V]
+        qdT = qd.T  # [V, Qb]
+
+        def body(i, scores):
+            ib = jax.lax.dynamic_slice_in_dim(didx, i * nb, nb, axis=0)
+            vb = jax.lax.dynamic_slice_in_dim(dval, i * nb, nb, axis=0)
+            g = qdT[ib]  # [NB, Kd, Qb] gather
+            s = jnp.einsum("nk,nkq->qn", vb, g,
+                           preferred_element_type=jnp.float32)
+            return jax.lax.dynamic_update_slice(scores, s, (0, i * nb))
+
+        scores = jax.lax.fori_loop(
+            0, n // nb, body, jnp.zeros((q_idx.shape[0], n), jnp.float32)
+        )
+        valid = jnp.arange(n) < n_real
+        scores = jnp.where(valid[None, :], scores, -jnp.inf)
+        s, i = _select_topk(scores, k, exact=True)
+        i = jnp.where(jnp.isfinite(s), i, -1)
+        return _pack_result(s, i)
+
+    return kernel
+
+
+def _make_sharded_sparse_search(mesh):
+    """Distributed sparse top-k over a dp-sharded padded-COO corpus:
+    per-shard blocked scoring + local top-k, then the k*dp candidate merge
+    (the runtime/search.py _make_sharded_search pattern)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DP_AXIS
+    from .search import _pack_result, _select_topk
+
+    @partial(jax.jit, static_argnums=(5, 6, 7))
+    def search(didx, dval, q_idx, q_val, n_real, k, nb, n_vocab):
+        qd = _densify_queries(q_idx, q_val, n_vocab)
+
+        def body_shard(di, dv, qdl):
+            qdT = qdl.T
+            n_local = di.shape[0]
+            base = jax.lax.axis_index(DP_AXIS) * n_local
+
+            def body(i, scores):
+                ib = jax.lax.dynamic_slice_in_dim(di, i * nb, nb, axis=0)
+                vb = jax.lax.dynamic_slice_in_dim(dv, i * nb, nb, axis=0)
+                g = qdT[ib]
+                s = jnp.einsum("nk,nkq->qn", vb, g,
+                               preferred_element_type=jnp.float32)
+                return jax.lax.dynamic_update_slice(scores, s, (0, i * nb))
+
+            scores = jax.lax.fori_loop(
+                0, n_local // nb, body,
+                jnp.zeros((qdl.shape[0], n_local), jnp.float32),
+            )
+            valid = (jnp.arange(n_local) + base) < n_real
+            scores = jnp.where(valid[None, :], scores, -jnp.inf)
+            s, i = _select_topk(scores, k, exact=True)
+            return s, (i + base).astype(jnp.int32)
+
+        s, i = jax.shard_map(
+            body_shard,
+            mesh=mesh,
+            in_specs=(P(DP_AXIS, None), P(DP_AXIS, None), P()),
+            out_specs=(P(None, DP_AXIS), P(None, DP_AXIS)),
+            check_vma=False,
+        )(didx, dval, qd)
+        sf, pos = jax.lax.top_k(s, k)
+        idxf = jnp.take_along_axis(i, pos, axis=1)
+        idxf = jnp.where(jnp.isfinite(sf), idxf, -1)
+        return _pack_result(sf, idxf)
+
+    return search
+
+
 class SparseIndex:
     """Append-only sparse corpus + exact dot-product top-k search.
 
     Thread-safe for concurrent add/search (one lock; the batcher calls
-    from executor threads).  Single-host: the corpus lives in host memory
-    (multi-host serving replicates requests, which would duplicate adds
-    — construct it only on a single-process runtime)."""
+    from executor threads).
 
-    def __init__(self, engine=None, *, k_encode: int = 256):
+    device: True keeps a padded-COO mirror of the corpus in device HBM and
+    scores there (the production path; see module docstring); False scores
+    on the host.  None = device when an engine is attached.  `nnz_width`
+    caps the stored active terms per document on the device path (extra
+    terms beyond it are dropped LOWEST-WEIGHT-first; defaults to k_encode).
+    `mesh` dp-shards the device corpus rows.  Multi-host serving wraps this
+    in the leader-follower control plane (parallel/distributed.py)."""
+
+    def __init__(self, engine=None, *, k_encode: int = 256,
+                 device: bool | None = None, nnz_width: int | None = None,
+                 mesh=None):
         self.engine = engine
         if engine is not None and not engine.config.mlm_head:
             raise ValueError(
@@ -71,6 +205,25 @@ class SparseIndex:
             )
         self.k_encode = int(k_encode)
         self.n_vocab = int(engine.config.n_vocab) if engine is not None else 0
+        self.device = engine is not None if device is None else bool(device)
+        if mesh is not None and not self.device:
+            raise ValueError("mesh sharding requires device=True")
+        self.mesh = mesh
+        self.nnz_width = int(nnz_width or self.k_encode)
+        self._dp = 1
+        self._sharding = None
+        if self.device:
+            self._kernel = _make_sparse_search_kernel()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DP_AXIS
+
+            self._dp = mesh.shape.get(DP_AXIS, 1)
+            self._sharding = NamedSharding(mesh, P(DP_AXIS, None))
+            self._sharded_search = _make_sharded_sparse_search(mesh)
+        self._didx = None  # [capacity, Kd] int32 device
+        self._dval = None  # [capacity, Kd] f32 device
         self._lock = threading.Lock()
         self._indices: list[np.ndarray] = []  # per-doc int32 term ids
         self._values: list[np.ndarray] = []  # per-doc f32 weights
@@ -93,29 +246,107 @@ class SparseIndex:
         self, pairs: Sequence[tuple[np.ndarray, np.ndarray]]
     ) -> int:
         """Append pre-encoded (term ids, weights) pairs."""
+        clean = []
+        for idx, val in pairs:
+            idx = np.ascontiguousarray(idx, np.int32)
+            val = np.ascontiguousarray(val, np.float32)
+            if idx.shape != val.shape or idx.ndim != 1:
+                raise ValueError(
+                    f"sparse vector must be two aligned 1-D arrays, got "
+                    f"{idx.shape} / {val.shape}"
+                )
+            if idx.size and int(idx.min()) < 0:
+                # -1 is the wire/C-ABI PAD marker, not a term — storing
+                # it would alias qd[-1] onto the last vocab term and
+                # silently corrupt scores; callers must trim pad slots
+                raise ValueError(
+                    "negative term id in sparse vector (trim the "
+                    "-1 pad slots before add_vectors)"
+                )
+            clean.append((idx, val))
         with self._lock:
-            for idx, val in pairs:
-                idx = np.ascontiguousarray(idx, np.int32)
-                val = np.ascontiguousarray(val, np.float32)
-                if idx.shape != val.shape or idx.ndim != 1:
-                    raise ValueError(
-                        f"sparse vector must be two aligned 1-D arrays, got "
-                        f"{idx.shape} / {val.shape}"
-                    )
-                if idx.size and int(idx.min()) < 0:
-                    # -1 is the wire/C-ABI PAD marker, not a term — storing
-                    # it would alias qd[-1] onto the last vocab term and
-                    # silently corrupt scores; callers must trim pad slots
-                    raise ValueError(
-                        "negative term id in sparse vector (trim the "
-                        "-1 pad slots before add_vectors)"
-                    )
+            base = len(self._indices)
+            for idx, val in clean:
                 if idx.size:
                     self.n_vocab = max(self.n_vocab, int(idx.max()) + 1)
                 self._indices.append(idx)
                 self._values.append(val)
             self._flat = None
+            if self.device:
+                self._commit_device(self._pad_pairs(clean), base)
             return len(self._indices)
+
+    # --- device mirror --------------------------------------------------------
+    def _pad_pairs(self, pairs) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, weights) pairs -> padded [n, Kd] matrices.  Documents with
+        more than Kd active terms keep their Kd heaviest (encode emits
+        weight-descending order; arbitrary add_vectors input is sorted)."""
+        kd = self.nnz_width
+        di = np.zeros((len(pairs), kd), np.int32)
+        dv = np.zeros((len(pairs), kd), np.float32)
+        for i, (idx, val) in enumerate(pairs):
+            if len(idx) > kd:
+                order = np.argsort(-val, kind="stable")[:kd]
+                idx, val = idx[order], val[order]
+            di[i, : len(idx)] = idx
+            dv[i, : len(val)] = val
+        return di, dv
+
+    def _vocab_pad(self) -> int:
+        """Static densify width: the engine's vocab, or the corpus max
+        rounded up in 1024 steps (bounds recompiles under growth)."""
+        if self.engine is not None:
+            return int(self.engine.config.n_vocab)
+        return max(1024, -(-self.n_vocab // 1024) * 1024)
+
+    def _ensure_device_capacity(self, need: int) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from .search import MAX_INDEX_ROWS
+
+        if need > MAX_INDEX_ROWS:
+            raise ValueError(
+                f"index would exceed {MAX_INDEX_ROWS} rows (ids ride the "
+                "packed f32 result and must stay exactly representable)"
+            )
+
+        cap = 0 if self._didx is None else self._didx.shape[0]
+        if need <= cap:
+            return
+        step = _CAPACITY_STEP * self._dp
+        new_cap = -(-need // step) * step
+        gi = jnp.zeros((new_cap, self.nnz_width), jnp.int32)
+        gv = jnp.zeros((new_cap, self.nnz_width), jnp.float32)
+        if self._sharding is not None:
+            gi = jax.device_put(gi, self._sharding)
+            gv = jax.device_put(gv, self._sharding)
+        if self._didx is not None:
+            gi = jax.lax.dynamic_update_slice(gi, self._didx, (0, 0))
+            gv = jax.lax.dynamic_update_slice(gv, self._dval, (0, 0))
+            if self._sharding is not None:
+                gi = jax.device_put(gi, self._sharding)
+                gv = jax.device_put(gv, self._sharding)
+        self._didx, self._dval = gi, gv
+
+    def _commit_device(self, padded, base: int) -> None:
+        """Scatter padded [n, Kd] doc rows into the device corpus at
+        `base` (caller holds _lock).  The multi-host leader overrides this
+        to broadcast first — followers replay with identical inputs."""
+        import jax
+        import jax.numpy as jnp
+
+        di, dv = padded
+        self._ensure_device_capacity(base + len(di))
+        self._didx = jax.lax.dynamic_update_slice(
+            self._didx, jnp.asarray(di), (base, 0)
+        )
+        self._dval = jax.lax.dynamic_update_slice(
+            self._dval, jnp.asarray(dv), (base, 0)
+        )
+        if self._sharding is not None:
+            self._didx = jax.device_put(self._didx, self._sharding)
+            self._dval = jax.device_put(self._dval, self._sharding)
 
     def _flattened(self):
         """(indices, values, doc_ids) concatenated over the corpus."""
@@ -150,6 +381,8 @@ class SparseIndex:
     ):
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
+        if self.device:
+            return self._search_device(pairs, k)
         with self._lock:
             n = len(self._indices)
             if n == 0:
@@ -183,6 +416,62 @@ class SparseIndex:
             out_i[qi, :kk] = top
             out_s[qi, :kk] = scores[top]
         return out_i, out_s
+
+    def _search_device(self, pairs, k: int):
+        from .search import _unpack_result
+
+        k_req = k
+        nq = len(pairs)
+        # pad queries to (row bucket, term width): stable compiled shapes
+        kq = max((len(i) for i, _ in pairs), default=1)
+        kq = max(64, -(-kq // 64) * 64)
+        qb = next((b for b in _QUERY_BUCKETS if nq <= b), None)
+        if qb is None:
+            qb = -(-nq // _QUERY_BUCKETS[-1]) * _QUERY_BUCKETS[-1]
+        q_idx = np.full((qb, kq), -1, np.int32)
+        q_val = np.zeros((qb, kq), np.float32)
+        vocab_pad = None
+        with self._lock:
+            n = len(self._indices)
+            if n == 0:
+                raise RuntimeError("empty index")
+            vocab_pad = self._vocab_pad()
+            for qi, (idx, val) in enumerate(pairs):
+                idx = np.asarray(idx, np.int64)
+                val = np.asarray(val, np.float32)
+                keep = (idx >= 0) & (idx < vocab_pad)
+                idx, val = idx[keep][:kq], val[keep][:kq]
+                q_idx[qi, : len(idx)] = idx
+                q_val[qi, : len(val)] = val
+            k = min(k, n)
+            if self._sharding is not None:
+                k = min(k, self._didx.shape[0] // self._dp)
+            nb = _doc_block(qb, self.nnz_width,
+                            self._didx.shape[0] // self._dp)
+            packed = self._run_device_search(q_idx, q_val, n, k, nb,
+                                             vocab_pad)
+            scores, idx = _unpack_result(np.asarray(packed)[:nq], k)
+            if k < k_req:
+                idx = np.concatenate(
+                    [idx, np.full((nq, k_req - k), -1, np.int32)], axis=1
+                )
+                scores = np.concatenate(
+                    [scores, np.full((nq, k_req - k), -np.inf, np.float32)],
+                    axis=1,
+                )
+            return idx, scores
+
+    def _run_device_search(self, q_idx, q_val, n_real, k, nb, vocab_pad):
+        """Dispatch the device search (caller holds _lock).  Overridden by
+        the multi-host leader to broadcast the query payload first."""
+        if self._sharding is not None:
+            return self._sharded_search(
+                self._didx, self._dval, q_idx, q_val, n_real, k, nb,
+                vocab_pad,
+            )
+        return self._kernel(
+            self._didx, self._dval, q_idx, q_val, n_real, k, nb, vocab_pad
+        )
 
     # --- persistence ------------------------------------------------------------
 

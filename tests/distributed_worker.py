@@ -84,7 +84,12 @@ def main() -> None:
         np.save(f"{outdir}/out_stream.npy", out_stream)
 
     # --- Engine under the leader-follower serving plane ----------------------
-    engine = Engine.synthetic(CFG, ftype="q4_0", opts=OPTS, mesh=mesh)
+    # mlm_head=True so the SAME engine also exercises the sparse plane
+    # (encoder weights are seed-identical: mlm tensors draw last)
+    import dataclasses
+
+    SCFG = dataclasses.replace(CFG, mlm_head=True)
+    engine = Engine.synthetic(SCFG, ftype="q4_0", opts=OPTS, mesh=mesh)
 
     # --- multi-host sharded index: save/load roundtrip (SPMD lockstep) ------
     # Both processes run the identical op sequence; save() all-gathers the
@@ -124,6 +129,13 @@ def main() -> None:
         lidx.save(f"{outdir}/leader_index.npz")
         li, ls = lidx.search_vectors(queries, k=3)
         np.savez(f"{outdir}/leader_index_results.npz", li=li, ls=ls)
+        # sparse plane: encode (OP_SPARSE_ENCODE via the make_leader patch)
+        # + dp-sharded device index commit/search (OP_SPARSE_INDEX/SEARCH)
+        sp = dist.make_leader_sparse_index(engine)
+        pairs = engine.sparse_tokens(token_lists, k=16)
+        sp.add_vectors(pairs)
+        si, ss = sp.search_vectors(pairs[:3], k=4)
+        np.savez(f"{outdir}/sparse_leader_results.npz", si=si, ss=ss)
         dist.broadcast_stop()
     else:
         dist.follower_loop(engine)

@@ -128,7 +128,7 @@ def test_multiprocess_engine_leader_follower(worker_outputs):
 
     CFG = BertConfig(
         n_vocab=256, n_ctx=64, n_embd=128, n_layer=2, n_head=4, n_ff=256,
-        name="dist-test",
+        name="dist-test", mlm_head=True,
     )
     single = Engine.synthetic(
         CFG, ftype="q4_0", opts=ComputeOptions(dtype="float32")
@@ -270,3 +270,32 @@ def test_token_list_broadcast_codec():
     for lists in cases:
         assert _decode_token_lists(_encode_token_lists(lists)) == lists
     assert _encode_token_lists([]).shape == (0, 1)
+
+
+def test_multiprocess_sparse_leader_follower(worker_outputs):
+    """Sparse plane over 2 processes: the leader's dp-sharded device
+    SparseIndex (encode broadcast + commit/search replay) == the
+    single-process device index on the same weights and token lists."""
+    from embedding_cpp_tpu.models import BertConfig, ComputeOptions
+    from embedding_cpp_tpu.runtime.engine import Engine
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex
+
+    CFG = BertConfig(
+        n_vocab=256, n_ctx=64, n_embd=128, n_layer=2, n_head=4, n_ff=256,
+        name="dist-test", mlm_head=True,
+    )
+    single = Engine.synthetic(
+        CFG, ftype="q4_0", opts=ComputeOptions(dtype="float32")
+    )
+    token_lists = [
+        [2] + row.tolist() + [3]
+        for row in np.random.default_rng(1).integers(4, CFG.n_vocab,
+                                                     size=(12, 9))
+    ]
+    pairs = single.sparse_tokens(token_lists, k=16)
+    idx = SparseIndex(single)
+    idx.add_vectors(pairs)
+    ri, rs = idx.search_vectors(pairs[:3], k=4)
+    got = np.load(worker_outputs / "sparse_leader_results.npz")
+    np.testing.assert_array_equal(got["si"], ri)
+    np.testing.assert_allclose(got["ss"], rs, atol=1e-4, rtol=1e-4)

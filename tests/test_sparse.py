@@ -789,3 +789,58 @@ def test_hybrid_index_concurrent_adds_stay_aligned():
         np.testing.assert_allclose(
             b.sparse_index._values[doc_id], fresh_v, rtol=1e-5
         )
+
+
+def test_device_index_matches_host_and_mesh(eight_devices):
+    """Device-backend SparseIndex == host CSR scoring exactly, and the
+    dp=8-sharded variant == both (two-stage candidate merge)."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex
+
+    rng = np.random.default_rng(3)
+
+    def rand_pairs(n, v=4096, lo=10, hi=120):
+        out = []
+        for _ in range(n):
+            nnz = int(rng.integers(lo, hi))
+            idx = rng.choice(v, size=nnz, replace=False).astype(np.int32)
+            val = rng.random(nnz).astype(np.float32)
+            order = np.argsort(-val)
+            out.append((idx[order], val[order]))
+        return out
+
+    docs = rand_pairs(300)
+    qs = rand_pairs(5, lo=4, hi=30)
+    host = SparseIndex(device=False)
+    host.add_vectors(docs)
+    dev = SparseIndex(device=True)
+    dev.add_vectors(docs)
+    mesh = make_mesh(dp=8, tp=1, devices=eight_devices)
+    sharded = SparseIndex(device=True, mesh=mesh)
+    sharded.add_vectors(docs)
+    hi_, hs = host.search_vectors(qs, k=7)
+    di_, ds = dev.search_vectors(qs, k=7)
+    mi_, ms = sharded.search_vectors(qs, k=7)
+    np.testing.assert_array_equal(hi_, di_)
+    np.testing.assert_array_equal(hi_, mi_)
+    np.testing.assert_allclose(hs, ds, atol=1e-5)
+    np.testing.assert_allclose(hs, ms, atol=1e-5)
+
+
+def test_device_index_nnz_width_truncation():
+    """Documents with more active terms than nnz_width keep their heaviest
+    terms on the device path (the padded-COO budget)."""
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex
+
+    idx = np.arange(10, dtype=np.int32)
+    val = np.linspace(1.0, 0.1, 10).astype(np.float32)
+    dev = SparseIndex(device=True, nnz_width=4)
+    dev.add_vectors([(idx, val)])
+    # query hits only the lightest (dropped) terms -> device score 0
+    q = [(np.array([8, 9], np.int32), np.array([1.0, 1.0], np.float32))]
+    _, s = dev.search_vectors(q, k=1)
+    assert s[0, 0] == 0.0
+    # query on the heaviest terms matches the exact dot
+    q = [(np.array([0, 1], np.int32), np.array([1.0, 1.0], np.float32))]
+    _, s = dev.search_vectors(q, k=1)
+    np.testing.assert_allclose(s[0, 0], val[0] + val[1], atol=1e-6)

@@ -128,6 +128,15 @@ PRESETS = {
         n_labels=1, head_activation="gelu", pooling="cls",
         name="tiny-modernbert-reranker-test",
     ),
+    # nomic-bert (nomic-embed-text shape at tiny scale): post-norm RoPE
+    # blocks, SwiGLU FFN, bias-free attention/FFN linears, dynamic-NTK
+    # rope scaling past max_trained (exercised by n_ctx > rope_max_trained)
+    "tiny-nomic": BertConfig(
+        n_vocab=1000, n_ctx=256, n_embd=64, n_layer=2, n_head=4, n_ff=128,
+        arch="nomic-bert", rope_theta=1000.0, rope_scaling_factor=2.0,
+        rope_max_trained=128, ffn_act="silu", ffn_gated=True,
+        attn_bias=False, ffn_bias=False, name="tiny-nomic-test",
+    ),
     # ColBERT late-interaction checkpoint (colbertv2 shape at tiny scale):
     # per-token 32-dim projection, [Q]/[D] markers, [MASK] query
     # augmentation, punctuation skiplist.  Marker/mask ids here are

@@ -188,6 +188,14 @@ class Keys:
     # projection width (0/absent = not a ColBERT model), the query token
     # budget ([MASK]-augmented), punctuation filtering of doc tokens, and
     # the [Q]/[D] marker + [MASK] token ids the framing inserts
+    # nomic-bert geometry (our extension): dynamic-NTK RoPE scaling past the
+    # trained length (NomicBertDynamicNTKRotaryEmbedding) and whether the
+    # checkpoint carries attention / FFN linear biases (published
+    # nomic-embed checkpoints are bias-free on both)
+    ROPE_SCALING_FACTOR = f"{ARCH}.rope.scaling_factor"
+    ROPE_MAX_TRAINED = f"{ARCH}.rope.max_trained_positions"
+    ATTN_BIAS = f"{ARCH}.attention.bias"
+    FFN_BIAS = f"{ARCH}.ffn_bias"
     COLBERT_DIM = f"{ARCH}.colbert.dim"
     COLBERT_QUERY_MAXLEN = f"{ARCH}.colbert.query_maxlen"
     COLBERT_MASK_PUNCT = f"{ARCH}.colbert.mask_punctuation"

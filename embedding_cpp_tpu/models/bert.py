@@ -567,6 +567,14 @@ def bert_embed_batch(
             params, ids, mask, config, opts, gather_idx=gather_idx,
             token_states=token_states,
         )
+    if config.arch == "nomic-bert":
+        # post-norm RoPE + SwiGLU graph (models/nomic.py — nomic-embed)
+        from .nomic import nomic_embed_batch
+
+        return nomic_embed_batch(
+            params, ids, mask, config, opts, gather_idx=gather_idx,
+            token_states=token_states,
+        )
     opts = resolve_impls(opts)
     x = embed_tokens(params, ids, config, opts)
     mask_bias = jnp.where(mask.astype(bool), 0.0, _MASK_BIAS).astype(jnp.float32)
@@ -718,6 +726,12 @@ def bert_score_batch(
         # monoT5-style rerankers are seq2seq (decoder logits), not
         # sequence-classification heads — out of scope for the encoder
         raise ValueError("t5 encoders have no classification head")
+    if config.arch == "nomic-bert":
+        # no published nomic-bert sequence-classification checkpoint; the
+        # generic path below lacks RoPE, so fail loudly instead of wrongly
+        raise ValueError(
+            "nomic-bert classification heads are not supported"
+        )
     if config.arch == "deberta":
         from .deberta import deberta_score_batch
 
@@ -858,6 +872,13 @@ def bert_embed_packed(
         from .deberta import deberta_embed_packed
 
         return deberta_embed_packed(
+            params, ids, seg, pos, config, opts, n_seg=n_seg,
+            gather_idx=gather_idx, max_seg_len=max_seg_len,
+        )
+    if config.arch == "nomic-bert":
+        from .nomic import nomic_embed_packed
+
+        return nomic_embed_packed(
             params, ids, seg, pos, config, opts, n_seg=n_seg,
             gather_idx=gather_idx, max_seg_len=max_seg_len,
         )

@@ -61,6 +61,17 @@ _ARCH_DEFAULTS = {
     # tables (position_biased_input=False, type_vocab_size=0), eps 1e-7,
     # position_buckets 256
     "deberta": (0, 0, 1e-7, 256),
+    # nomic-bert (HF NomicBertModel, trust_remote_code
+    # modeling_hf_nomic_bert.py — nomic-embed-text-v1/v1.5,
+    # nomic-bert-2048): BERT's post-norm block layout with RoPE instead of
+    # absolute positions (rotate-half, base rotary_emb_base=1000, optional
+    # dynamic-NTK scaling past max_trained_positions), a fused Wqkv
+    # projection, SwiGLU FFN (fc2(fc11(x) * silu(fc12(x))),
+    # NomicBertGatedMLP with flash-attn's GatedMlp half order), and
+    # bias-free attention/FFN linears in every published checkpoint
+    # (qkv_proj_bias = mlp_fc1_bias = mlp_fc2_bias = false); the embedding
+    # LayerNorm ("emb_ln") and block norms keep biases.  eps 1e-12.
+    "nomic-bert": (2, 0, 1e-12, 0),
 }
 
 # Per-family classification-head activation defaults: DistilBERT's
@@ -129,6 +140,19 @@ class BertConfig:
     local_rope_theta: float = 0.0
     global_attn_every: int = 0
     local_window: int = 0
+    # nomic-bert rotary scaling + bias layout (0.0/0/True = unused by the
+    # other families).  rope_scaling_factor > 0 enables dynamic-NTK base
+    # scaling once the (static) sequence length exceeds rope_max_trained:
+    # base' = base * ((factor * S / max_trained) - (factor - 1))
+    #         ** (d / (d - 2))
+    # (NomicBertDynamicNTKRotaryEmbedding._update_cos_sin_cache).
+    # attn_bias/ffn_bias record whether the checkpoint's Wqkv+out_proj /
+    # fc11+fc12+fc2 linears carry biases (conversion verifies the flags
+    # against the state dict).
+    rope_scaling_factor: float = 0.0
+    rope_max_trained: int = 0
+    attn_bias: bool = True
+    ffn_bias: bool = True
     # sequence-classification head width (cross-encoder rerankers /
     # *ForSequenceClassification checkpoints; 0 = embedding model, no head).
     # Every HF family computes logits = out_proj(act(dense(h_pooled))):
@@ -297,6 +321,10 @@ class BertConfig:
             local_rope_theta=float(kv.get(Keys.ROPE_FREQ_BASE_LOCAL, 0.0)),
             global_attn_every=int(kv.get(Keys.GLOBAL_ATTN_EVERY, 0)),
             local_window=int(kv.get(Keys.LOCAL_ATTN_WINDOW, 0)),
+            rope_scaling_factor=float(kv.get(Keys.ROPE_SCALING_FACTOR, 0.0)),
+            rope_max_trained=int(kv.get(Keys.ROPE_MAX_TRAINED, 0)),
+            attn_bias=bool(kv.get(Keys.ATTN_BIAS, arch != "nomic-bert")),
+            ffn_bias=bool(kv.get(Keys.FFN_BIAS, arch != "nomic-bert")),
             mlm_head=bool(kv.get(Keys.MLM_HEAD, False)),
             colbert_dim=int(kv.get(Keys.COLBERT_DIM, 0)),
             query_maxlen=int(kv.get(Keys.COLBERT_QUERY_MAXLEN, 32)),
@@ -525,6 +553,60 @@ class BertConfig:
                 n_token_types=int(hf.get("type_vocab_size", 2)),
                 arch="electra",
                 n_embd_emb=0 if emb_size == int(hf["hidden_size"]) else emb_size,
+                name=name,
+            )
+        if model_type == "nomic_bert":
+            # modeling_hf_nomic_bert.py semantics; reject the knobs no
+            # published checkpoint sets rather than silently diverging
+            act = str(hf.get("activation_function", "swiglu"))
+            if act != "swiglu":
+                raise ValueError(
+                    f"nomic_bert activation_function {act!r} != 'swiglu' "
+                    "is not supported (every published nomic-embed/"
+                    "nomic-bert checkpoint is SwiGLU)"
+                )
+            if float(hf.get("rotary_emb_fraction", 0.0)) != 1.0:
+                raise ValueError(
+                    "nomic_bert needs rotary_emb_fraction == 1.0 (partial "
+                    "rotary / absolute-position variants unsupported)"
+                )
+            if bool(hf.get("rotary_emb_interleaved", False)):
+                raise ValueError(
+                    "nomic_bert rotary_emb_interleaved=True is not "
+                    "supported (published checkpoints use rotate-half)"
+                )
+            if bool(hf.get("causal", False)) or bool(hf.get("prenorm",
+                                                            False)):
+                raise ValueError(
+                    "nomic_bert with causal or prenorm set is not supported"
+                )
+            if bool(hf.get("use_rms_norm", False)):
+                raise ValueError("nomic_bert use_rms_norm is not supported")
+            fc1_b = bool(hf.get("mlp_fc1_bias", True))
+            fc2_b = bool(hf.get("mlp_fc2_bias", True))
+            if fc1_b != fc2_b:
+                raise ValueError(
+                    "nomic_bert with mixed mlp_fc1_bias/mlp_fc2_bias is "
+                    "not supported"
+                )
+            scaling = hf.get("rotary_scaling_factor")
+            return cls(
+                n_vocab=int(hf["vocab_size"]),
+                n_ctx=int(hf.get("n_positions", 2048)),
+                n_embd=int(hf["n_embd"]),
+                n_layer=int(hf["n_layer"]),
+                n_head=int(hf["n_head"]),
+                n_ff=int(hf["n_inner"]),
+                layer_norm_eps=float(hf.get("layer_norm_epsilon", 1e-12)),
+                n_token_types=int(hf.get("type_vocab_size", 2)),
+                arch="nomic-bert",
+                rope_theta=float(hf.get("rotary_emb_base", 1000.0)),
+                rope_scaling_factor=float(scaling or 0.0),
+                rope_max_trained=int(hf.get("max_trained_positions", 2048)),
+                ffn_act="silu",
+                ffn_gated=True,
+                attn_bias=bool(hf.get("qkv_proj_bias", True)),
+                ffn_bias=fc1_b,
                 name=name,
             )
         if model_type in ("roberta", "xlm-roberta", "camembert"):

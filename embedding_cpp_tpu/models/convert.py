@@ -180,6 +180,15 @@ def write_bert_gguf(
             w.add_float32(Keys.ROPE_FREQ_BASE_LOCAL, config.local_rope_theta)
             w.add_uint32(Keys.GLOBAL_ATTN_EVERY, config.global_attn_every)
             w.add_uint32(Keys.LOCAL_ATTN_WINDOW, config.local_window)
+        if config.arch == "nomic-bert":
+            # rotary base + dynamic-NTK scaling + bias layout (config.py)
+            w.add_float32(Keys.ROPE_FREQ_BASE, config.rope_theta)
+            w.add_float32(Keys.ROPE_SCALING_FACTOR, config.rope_scaling_factor)
+            w.add_uint32(Keys.ROPE_MAX_TRAINED, config.rope_max_trained)
+            w.add_bool(Keys.ATTN_BIAS, config.attn_bias)
+            w.add_bool(Keys.FFN_BIAS, config.ffn_bias)
+            w.add_string(Keys.FFN_ACT, "silu")
+            w.add_bool(Keys.FFN_GATED, True)
     w.add_uint32("general.file_type", int(ftype))
 
     w.add_string(Keys.TOKENIZER_JSON_BLOB, tokenizer_json)
@@ -343,6 +352,9 @@ def load_hf_dir(model_dir: str | os.PathLike, *, sparse: bool | None = None,
         # DeBERTa-v2/v3 (the v3 feature set is validated in from_hf_config)
         "DebertaV2Model", "DebertaV2ForMaskedLM",
         "DebertaV2ForSequenceClassification",
+        # nomic-bert (nomic-embed-text-v1/v1.5, nomic-bert-2048):
+        # RoPE + SwiGLU post-norm encoder (models/nomic.py)
+        "NomicBertModel",
         # ColBERT late-interaction checkpoints (colbert-ir/colbertv2.0,
         # answerai-colbert-small-v1): a BERT-family encoder + a bias-free
         # per-token projection (`linear.weight`), packaged with
@@ -415,6 +427,15 @@ def load_hf_dir(model_dir: str | os.PathLike, *, sparse: bool | None = None,
         for k, v in state_dict.items()
         if k in keep or not k.startswith(_HEADS)
     }
+    if config.arch == "nomic-bert":
+        # the checkpoint is the ground truth for bias presence — config
+        # flags (qkv_proj_bias/mlp_*_bias) occasionally disagree with the
+        # serialized tensors across community uploads
+        config = dataclasses.replace(
+            config,
+            attn_bias="encoder.layers.0.attn.Wqkv.bias" in state_dict,
+            ffn_bias="encoder.layers.0.mlp.fc2.bias" in state_dict,
+        )
     if sparse:
         config = dataclasses.replace(config, mlm_head=True)
         state_dict = _canonicalize_mlm_head(config, state_dict)

@@ -189,6 +189,16 @@ def build_params(
                 ):
                     per_layer.setdefault(subkey, []).append(v)
                 continue
+            if key == "wqkv_b":
+                # nomic fused QKV bias -> per-projection thirds, matching
+                # the wqkv weight split above
+                full = source.dense(name, shape, f32)
+                third = shape[0] // 3
+                for j, subkey in enumerate(("q_b", "k_b", "v_b")):
+                    per_layer.setdefault(subkey, []).append(
+                        full[j * third : (j + 1) * third]
+                    )
+                continue
             if key == "wi":
                 # GeGLU Wi -> (input, gate) halves, TP-shardable per half
                 for subkey, v in zip(

@@ -225,6 +225,48 @@ MODERNBERT_EXTRA_TENSORS = {
     "final_norm.weight": ("final_ln_scale", lambda c: (c.n_embd,)),
 }
 
+# --- nomic-bert ----------------------------------------------------------------
+# HF NomicBertModel state-dict names verbatim (modeling_hf_nomic_bert.py —
+# the flash-attn bert rewrite behind nomic-embed-text-v1/v1.5 and
+# nomic-bert-2048): fused attn.Wqkv [3E, E] (out-row thirds like ModernBERT),
+# post-norm blocks (norm1 after attention, norm2 after the MLP), SwiGLU MLP
+# split across fc11 (raw half) / fc12 (activated half) / fc2 — mapped so the
+# framework's "ffn_up_w carries the activation" convention (models/t5.py
+# _ffn, ModernBERT's Wi split) reproduces fc2(fc11(x) * silu(fc12(x))).
+# Published checkpoints are bias-free on Wqkv/out_proj/fc* (config
+# qkv_proj_bias = mlp_fc1_bias = mlp_fc2_bias = false); the bias rows join
+# the schema only when config.attn_bias / config.ffn_bias say so.
+NOMIC_EMBEDDING_TENSORS = {
+    "embeddings.word_embeddings.weight": ("word", lambda c: (c.n_vocab, c.n_embd)),
+    "embeddings.token_type_embeddings.weight": (
+        "token_type", lambda c: (c.n_token_types, c.n_embd),
+    ),
+    "emb_ln.weight": ("ln_scale", lambda c: (c.n_embd,)),
+    "emb_ln.bias": ("ln_bias", lambda c: (c.n_embd,)),
+}
+
+_NOMIC_PREFIX = "encoder.layers.{i}."
+NOMIC_LAYER_TENSORS = {
+    _NOMIC_PREFIX + "attn.Wqkv.weight": ("wqkv", lambda c: (3 * c.n_embd, c.n_embd)),
+    _NOMIC_PREFIX + "attn.out_proj.weight": ("o_w", lambda c: (c.n_embd, c.n_embd)),
+    _NOMIC_PREFIX + "norm1.weight": ("ln_att_scale", lambda c: (c.n_embd,)),
+    _NOMIC_PREFIX + "norm1.bias": ("ln_att_bias", lambda c: (c.n_embd,)),
+    _NOMIC_PREFIX + "norm2.weight": ("ln_out_scale", lambda c: (c.n_embd,)),
+    _NOMIC_PREFIX + "norm2.bias": ("ln_out_bias", lambda c: (c.n_embd,)),
+    _NOMIC_PREFIX + "mlp.fc11.weight": ("ffn_gate_w", lambda c: (c.n_ff, c.n_embd)),
+    _NOMIC_PREFIX + "mlp.fc12.weight": ("ffn_up_w", lambda c: (c.n_ff, c.n_embd)),
+    _NOMIC_PREFIX + "mlp.fc2.weight": ("ffn_down_w", lambda c: (c.n_embd, c.n_ff)),
+}
+_NOMIC_ATTN_BIAS_TENSORS = {
+    _NOMIC_PREFIX + "attn.Wqkv.bias": ("wqkv_b", lambda c: (3 * c.n_embd,)),
+    _NOMIC_PREFIX + "attn.out_proj.bias": ("o_b", lambda c: (c.n_embd,)),
+}
+_NOMIC_FFN_BIAS_TENSORS = {
+    _NOMIC_PREFIX + "mlp.fc11.bias": ("ffn_gate_b", lambda c: (c.n_ff,)),
+    _NOMIC_PREFIX + "mlp.fc12.bias": ("ffn_up_b", lambda c: (c.n_ff,)),
+    _NOMIC_PREFIX + "mlp.fc2.bias": ("ffn_down_b", lambda c: (c.n_embd,)),
+}
+
 # --- T5 encoder ----------------------------------------------------------------
 # HF T5EncoderModel state-dict names verbatim (sentence-t5 / GTR dense
 # retrievers).  Everything is bias-free; the word table is the `shared`
@@ -488,6 +530,8 @@ def embedding_tensors(config) -> dict:
         return MODERNBERT_EMBEDDING_TENSORS
     if config.arch == "t5":
         return T5_EMBEDDING_TENSORS
+    if config.arch == "nomic-bert":
+        return NOMIC_EMBEDDING_TENSORS
     if config.arch == "deberta":
         base = DEBERTA_EMBEDDING_TENSORS
         if config.n_token_types:
@@ -527,6 +571,13 @@ def _layer_templates(config) -> dict:
                 **(_T5_WI_GATED if config.ffn_gated else _T5_WI)}
     if config.arch == "deberta":
         return DEBERTA_LAYER_TENSORS
+    if config.arch == "nomic-bert":
+        t = dict(NOMIC_LAYER_TENSORS)
+        if config.attn_bias:
+            t.update(_NOMIC_ATTN_BIAS_TENSORS)
+        if config.ffn_bias:
+            t.update(_NOMIC_FFN_BIAS_TENSORS)
+        return t
     return LAYER_TENSORS
 
 

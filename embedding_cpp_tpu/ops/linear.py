@@ -23,6 +23,8 @@ def _apply_activation(y: Array, activation: str | None) -> Array:
         return jax.nn.gelu(y, approximate=False)
     if activation == "gelu_tanh":
         return jax.nn.gelu(y, approximate=True)
+    if activation == "silu":
+        return jax.nn.silu(y)
     raise ValueError(f"unknown activation {activation!r}")
 
 

@@ -105,6 +105,9 @@ def _epilogue(y: Array, bias, activation: str | None,
         # ggml_gelu's tanh approximation
         c = (2.0 / 3.141592653589793) ** 0.5
         y = 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    elif activation == "silu":
+        # x * sigmoid(x) — exp-based, no erf lowering issue in Mosaic
+        y = y / (1.0 + jnp.exp(-y))
     elif activation is not None:
         raise ValueError(f"unknown activation {activation!r}")
     if residual is not None:

@@ -53,6 +53,12 @@ def main() -> None:
                    help="HTTP reply encoding (base64 skips JSON float "
                         "formatting — much cheaper for large batches)")
     p.add_argument("--json-out", help="also write the JSON result to a file")
+    p.add_argument("--overhead-ab", action="store_true",
+                   help="same-run serving-tax A/B: alternate direct "
+                        "Engine.encode vs through-server rounds on one "
+                        "workload (relay drift makes cross-run comparisons "
+                        "meaningless — CLAUDE.md); reports the ratio")
+    p.add_argument("--rounds", type=int, default=3)
     args = p.parse_args()
 
     from bench import synthetic_sentences
@@ -115,6 +121,47 @@ def main() -> None:
             time.sleep(0.05)
 
     texts = synthetic_sentences(args.sentences)
+
+    if args.overhead_ab:
+        # warm both paths on the exact shapes, then interleave A/B rounds
+        # within this one run so relay throughput drift hits both sides
+        engine.encode(texts[: args.batch])
+        warm = EmbeddingClient("127.0.0.1", port)
+        warm.embed(texts[: args.batch], wire=args.wire)
+
+        def run_direct() -> float:
+            t0 = time.perf_counter()
+            for start in range(0, len(texts), args.batch):
+                engine.encode(texts[start : start + args.batch])
+            return len(texts) / (time.perf_counter() - t0)
+
+        def run_server_path() -> float:
+            t0 = time.perf_counter()
+            for start in range(0, len(texts), args.batch):
+                warm.embed(texts[start : start + args.batch],
+                           wire=args.wire)
+            return len(texts) / (time.perf_counter() - t0)
+
+        direct, served = [], []
+        for _ in range(args.rounds):
+            direct.append(run_direct())
+            served.append(run_server_path())
+        warm.close()
+        d = float(np.median(direct))
+        s = float(np.median(served))
+        result = {
+            "metric": f"serving_tax_{args.preset}_{args.ftype}_b{args.batch}",
+            "direct_sentences_per_sec": round(d, 1),
+            "served_sentences_per_sec": round(s, 1),
+            "tax_pct": round(100.0 * (1.0 - s / d), 1),
+            "rounds": args.rounds,
+            "direct_all": [round(x, 1) for x in direct],
+            "served_all": [round(x, 1) for x in served],
+        }
+        print(json.dumps(result))
+        if args.json_out:
+            Path(args.json_out).write_text(json.dumps(result, indent=1))
+        return  # daemon server thread dies with the process
 
     if args.protocol == "http":
         import http.client as _http

@@ -1,18 +1,23 @@
 """Model hub helpers: list / download / upload GGUF models.
 
-Equivalent of the reference's models/download-ggml.py and upload-to-hf.py
-(which target the `skeskinen/ggml` prebuilt repo).  Requires network access
-and `huggingface_hub`; degrades to a clear message otherwise.
+Equivalent of the reference's models/download-ggml.py and upload-to-hf.py;
+`repo_id` defaults to the same `skeskinen/ggml` prebuilt-model repo the
+reference pins (download-ggml.py:5 MODELS_REPO), so `hub list` with no
+arguments shows the reference's catalog.  Requires network access and
+`huggingface_hub`; degrades to a clear message otherwise.
 
-    python -m embedding_cpp_tpu.cli.hub list     <repo_id>
-    python -m embedding_cpp_tpu.cli.hub get      <repo_id> <filename> [-o DIR]
-    python -m embedding_cpp_tpu.cli.hub put      <repo_id> <local.gguf>
+    python -m embedding_cpp_tpu.cli.hub list     [repo_id]
+    python -m embedding_cpp_tpu.cli.hub get      <filename> [repo_id] [-o DIR]
+    python -m embedding_cpp_tpu.cli.hub put      <local.gguf> [repo_id]
     python -m embedding_cpp_tpu.cli.hub download <repo_id> <dir>
 """
 from __future__ import annotations
 
 import argparse
 import sys
+
+# the reference's prebuilt-model repo (models/download-ggml.py:5)
+DEFAULT_REPO = "skeskinen/ggml"
 
 
 def _api():
@@ -29,14 +34,14 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     p_list = sub.add_parser("list")
-    p_list.add_argument("repo_id")
+    p_list.add_argument("repo_id", nargs="?", default=DEFAULT_REPO)
     p_get = sub.add_parser("get")
-    p_get.add_argument("repo_id")
     p_get.add_argument("filename")
+    p_get.add_argument("repo_id", nargs="?", default=DEFAULT_REPO)
     p_get.add_argument("-o", "--outdir", default=".")
     p_put = sub.add_parser("put")
-    p_put.add_argument("repo_id")
     p_put.add_argument("path")
+    p_put.add_argument("repo_id", nargs="?", default=DEFAULT_REPO)
     p_dl = sub.add_parser(
         "download", help="snapshot a whole HF checkpoint into a local dir "
                          "(for run_eval.py --hf-dir / Engine.from_hf_dir)"

@@ -91,6 +91,24 @@ def main() -> None:
         print(f"{name}: max|err| {results['cases'][name]['max_abs_err']:.5f}",
               file=sys.stderr)
 
+    # --- projection-layout bias kernel (r4: no transposes, resident bias) --
+    from embedding_cpp_tpu.ops.attention import flash_attention_bias_bse
+
+    for name, (b, s, h, d) in {
+        "bias_bse_mpnet_base": (8, 512, 12, 64),
+        "bias_bse_s384": (8, 384, 12, 64),
+    }.items():
+        q, k, v, mb = qkv(b, s, h, d)
+        pb = jnp.asarray(rng.normal(size=(h, s, s)).astype(np.float32))
+        got = flash_attention_bias_bse(
+            q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+            v.reshape(b, s, h * d), mb, pb, h,
+        )
+        ref = _xla_attn(q, k, v, mb, pos_bias=pb).reshape(b, s, h * d)
+        results["cases"][name] = {"max_abs_err": _mae(got, ref)}
+        print(f"{name}: max|err| {results['cases'][name]['max_abs_err']:.5f}",
+              file=sys.stderr)
+
     # --- [1, S, S] head-invariant bias (ModernBERT global-window path) ----
     b, s, h, d = 8, 512, 12, 64
     q, k, v, mb = qkv(b, s, h, d)

@@ -94,7 +94,8 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
     # plain batches: it applies 1/sqrt(d) internally and T5 attention is
     # UNSCALED, so q is pre-multiplied by sqrt(d) to cancel the factor.
     # auto takes it on a local TPU: real-TPU parity + A/B on record
-    # (attn_bias_ab_v5e.json: gtr-base forward 24.9 vs 30.4 ms at [32,512]).
+    # (attn_bias_ab_v5e.json: gtr-base forward 20.0 ms BSE / 24.9 transposed
+    # kernel / 30.3 XLA at [32,512]).
     # A forced "pallas" trusts the caller about locality (pallas cannot be
     # GSPMD-partitioned); auto requires single-device or a shard_map body.
     impl = opts.attn_impl
@@ -107,8 +108,25 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
         and mask_bias.ndim == 2 and pos_bias.ndim == 3
         and s % 8 == 0 and d % 8 == 0
     ):
-        from ..ops.attention import flash_attention
+        from ..ops.attention import (
+            fits_bias_bse,
+            flash_attention,
+            flash_attention_bias_bse,
+        )
 
+        if 128 <= s <= 1024 and fits_bias_bse(
+            s, h * d, pos_bias.shape[0], q.dtype.itemsize
+        ):
+            # projection-layout variant: no [B,S,H,d]<->[B,H,S,d]
+            # transposes, bias resident across the batch grid (gtr-base
+            # forward 20.0 ms vs 24.9 with the transposed bias kernel and
+            # 30.3 XLA, attn_bias_ab_v5e.json)
+            att = flash_attention_bias_bse(
+                (q * math.sqrt(d)).astype(q.dtype).reshape(b, s, h * d),
+                k.reshape(b, s, h * d), v.reshape(b, s, h * d),
+                mask_bias, pos_bias, h,
+            )
+            return att
         att = flash_attention(
             (q * math.sqrt(d)).astype(q.dtype), k, v, mask_bias,
             pos_bias=pos_bias,

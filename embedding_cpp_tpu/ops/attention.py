@@ -294,6 +294,110 @@ def flash_attention_bse(q: Array, k: Array, v: Array, mask_bias: Array,
     return _flash_attention_bse(q, k, v, mask_bias.astype(jnp.float32), h=h)
 
 
+def _attn_bias_bse_kernel(q_ref, k_ref, v_ref, bias_ref, pbias_ref, o_ref, *,
+                          scale, h, d):
+    # blocks: q/k/v/o [1, S, H*d]; bias [1, 1, S] f32; pbias [PH, S, S] f32
+    # (PH = H, or 1 for a head-invariant bias) — the FULL position-bias
+    # table rides one grid cell and its constant index map means Pallas
+    # DMAs it once, then every batch step revisits it resident in VMEM.
+    # Heads are lane slices like _attn_bse_kernel.
+    bias = bias_ref[0, 0]
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S]
+        scores = scores * scale + bias[None, :]
+        scores = scores + pbias_ref[hh % pbias_ref.shape[0]]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
+        acc = jnp.dot(  # softmax divide deferred to the [S, d] output
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, sl] = (acc / se).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def _flash_attention_bias_bse(q: Array, k: Array, v: Array,
+                              mask_bias: Array, pos_bias: Array, *,
+                              h: int) -> Array:
+    """q/k/v: [B, S, H*d] (projection-output layout); mask_bias: [B, S]
+    f32; pos_bias: [H, S, S] or [1, S, S] f32. -> [B, S, H*d]"""
+    b, s, e = q.shape
+    d = e // h
+    scale = 1.0 / (d**0.5)
+
+    kernel = functools.partial(_attn_bias_bse_kernel, scale=scale, h=h, d=d)
+    ph = pos_bias.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, s, s), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=4 * b * s * e * q.dtype.itemsize + ph * s * s * 4,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # bias residency requires sequential batch steps revisiting the
+            # constant-index bias block
+            dimension_semantics=("arbitrary",),
+            # the resident [H, S, S] f32 bias is ~12.6 MB at mpnet-base
+            # geometry on top of the qkv/score tiles (v5e has 128M physical)
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, mask_bias[:, None, :], pos_bias)
+
+
+# VMEM gate for the resident-bias BSE kernel: full bias + qkv/out tiles +
+# the per-head f32 score tile must fit comfortably
+_BIAS_BSE_BUDGET = 28 * 1024 * 1024
+
+
+def flash_attention_bias_bse(q: Array, k: Array, v: Array, mask_bias: Array,
+                             pos_bias: Array, h: int) -> Array:
+    """Additive-position-bias attention over the PROJECTION-OUTPUT layout
+    (MPNet relative attention, T5's shared bias, ModernBERT's windowed
+    global fallback): q/k/v [B, S, H*d] -> [B, S, H*d], no layout
+    transposes on either side (see flash_attention_bse).  The [H, S, S]
+    bias is DMA'd once and stays VMEM-resident across the batch grid.
+    Callers guarantee S % 8 == 0, d % 8 == 0, S <= 1024 and the VMEM gate
+    (fits_bias_bse)."""
+    return _flash_attention_bias_bse(
+        q, k, v, mask_bias.astype(jnp.float32),
+        pos_bias.astype(jnp.float32), h=h,
+    )
+
+
+def fits_bias_bse(s: int, e: int, ph: int, itemsize: int) -> bool:
+    """True when the resident-bias BSE kernel's working set fits the
+    budget: bias [PH, S, S] f32 + 2x-buffered qkv/out [S, E] tiles + two
+    f32 [S, S] score-class tiles."""
+    need = (ph * s * s * 4 + 8 * s * e * itemsize + 2 * s * s * 4)
+    return need <= _BIAS_BSE_BUDGET
+
+
 def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
                      scale, hb):
     # blocks: q [1,HB,TQ,d]; k, v [1,HB,S,d]; segq [1,1,TQ]; segk [1,1,S].

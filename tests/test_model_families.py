@@ -372,7 +372,8 @@ def test_arch_kv_roundtrip(tmp_path):
 
 @pytest.mark.parametrize("preset,ftype", [("tiny-roberta", "q4_0"),
                                           ("tiny-distilbert", "q8_0"),
-                                          ("tiny-mpnet", "q4_0")])
+                                          ("tiny-mpnet", "q4_0"),
+                                          ("tiny-nomic", "q4_0")])
 def test_engine_end_to_end(tmp_path, preset, ftype):
     """Synthetic GGUF -> Engine -> encode for the non-bert families
     (RoBERTa rides the byte-level BPE tokenizer, DistilBERT WordPiece)."""
@@ -383,7 +384,9 @@ def test_engine_end_to_end(tmp_path, preset, ftype):
     path = tmp_path / f"{preset}.gguf"
     make_test_model(str(path), preset, ftype)
     eng = Engine.from_gguf(str(path))
-    assert eng.config.arch == preset.removeprefix("tiny-")
+    assert eng.config.arch == {"tiny-nomic": "nomic-bert"}.get(
+        preset, preset.removeprefix("tiny-")
+    )
     if eng.config.arch == "mpnet":
         assert eng.config.rel_attn_buckets == 32
     out = eng.encode(["hello world", "It's the quick brown fox."])

@@ -23,6 +23,7 @@ from ..models.config import (
     MINILM_L12,
     MODERNBERT_BASE,
     MPNET_BASE,
+    NOMIC_EMBED,
     BertConfig,
 )
 from ..models.convert import FTYPE_NAMES, write_bert_gguf
@@ -155,6 +156,9 @@ PRESETS = {
         MODERNBERT_BASE, n_vocab=1000, name="modernbert-base-synthetic"
     ),
     "gtr-base": replace(GTR_BASE, n_vocab=600, name="gtr-base-synthetic"),
+    "nomic-embed-text": replace(
+        NOMIC_EMBED, n_vocab=1000, name="nomic-embed-synthetic"
+    ),
     "deberta-base": replace(
         DEBERTA_V3_BASE, n_vocab=600, name="deberta-base-synthetic"
     ),

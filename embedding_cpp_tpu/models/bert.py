@@ -200,6 +200,20 @@ def _attention(
             from ..ops.attention import flash_attention_bse
 
             return flash_attention_bse(q, k, v, mask_bias, h)
+        if pos_bias is None and seg is not None:
+            from ..ops.attention import (
+                flash_attention_packed_bse,
+                packed_bse_applies,
+            )
+
+            if packed_bse_applies(s, d, max_seg_len):
+                # packed batches — the engine's DEFAULT serving path
+                # (engine.py packing="auto") — take the same projection-
+                # layout kernel with the block-diagonal segment mask
+                # computed in-kernel; the ~135 us/layer transpose tax the
+                # r4 breakdown found no longer applies to the path the
+                # headline bench measures (packed_bse_ab_v5e.json).
+                return flash_attention_packed_bse(q, k, v, seg, h)
         if (pos_bias is not None and seg is None and pos_bias.ndim == 3
                 and 128 <= s <= 1024 and s % 8 == 0 and d % 8 == 0):
             from ..ops.attention import (

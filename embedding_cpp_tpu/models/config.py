@@ -687,6 +687,17 @@ DEBERTA_V3_BASE = BertConfig(
     rel_attn_buckets=256, rel_attn_max_dist=512,
     name="deberta-v3-base",
 )
+NOMIC_EMBED = BertConfig(
+    # nomic-ai/nomic-embed-text-v1.5 geometry (NomicBertModel): post-norm
+    # RoPE blocks (base 1000), SwiGLU FFN (n_inner 3072), bias-free
+    # attention/FFN linears, dynamic-NTK scaling past the 2048 trained
+    # length up to the advertised 8192 context
+    n_vocab=30528, n_ctx=8192, n_embd=768, n_layer=12, n_head=12, n_ff=3072,
+    arch="nomic-bert", rope_theta=1000.0, rope_scaling_factor=2.0,
+    rope_max_trained=2048, ffn_act="silu", ffn_gated=True,
+    attn_bias=False, ffn_bias=False,
+    name="nomic-embed-text-v1.5",
+)
 MPNET_BASE = BertConfig(
     n_vocab=30527, n_ctx=512, n_embd=768, n_layer=12, n_head=12, n_ff=3072,
     n_token_types=0, arch="mpnet", pos_offset=2, rel_attn_buckets=32,

@@ -122,8 +122,20 @@ def _attention(x, lp, mask_bias, pos, inv_freq, config, opts, seg=None,
                 v.reshape(b, s, h * d), mask_bias, h,
             )
         if seg is not None:
-            from ..ops.attention import flash_attention_packed
+            from ..ops.attention import (
+                flash_attention_packed,
+                flash_attention_packed_bse,
+                packed_bse_applies,
+            )
 
+            if packed_bse_applies(s, d, max_seg_len):
+                # packed rows in the projection layout (RoPE already
+                # rotated per head; the reshape back to [B, S, H*d] merges
+                # minor dims — free, unlike the [B,H,S,d] transpose)
+                return flash_attention_packed_bse(
+                    q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+                    v.reshape(b, s, h * d), seg, h,
+                )
             att = flash_attention_packed(q, k, v, seg,
                                          max_seg_len=max_seg_len)
             return att.reshape(b, s, h * d)

@@ -398,6 +398,107 @@ def fits_bias_bse(s: int, e: int, ph: int, itemsize: int) -> bool:
     return need <= _BIAS_BSE_BUDGET
 
 
+def _attn_seg_bse_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, scale, h, d):
+    # blocks: q/k/v/o [1, S, H*d]; seg [1, 1, S] int32.  The projection
+    # layout of _attn_bse_kernel with the segment mask of _attn_seg_kernel:
+    # heads are LANE SLICES, the block-diagonal mask is computed once per
+    # grid cell (per batch row) and shared by the sequential per-head dots.
+    # This is the packed twin of flash_attention_bse — packing is the
+    # engine's default serving path (engine.py packing="auto"), so the
+    # no-transpose layout win (attn block 456 vs 794 us at MiniLM [32,512],
+    # q4_forward_breakdown.md) has to land here to reach production.
+    seg = seg_ref[0, 0]
+    allowed = seg[:, None] == seg[None, :]  # [S, S]
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S]
+        scores = jnp.where(allowed, scores * scale, -1e9)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
+        acc = jnp.dot(  # softmax divide deferred to the [S, d] output
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, sl] = (acc / se).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def _flash_attention_packed_bse(q: Array, k: Array, v: Array, seg: Array, *,
+                                h: int) -> Array:
+    """q/k/v: [B, S, H*d] (projection-output layout); seg: [B, S] int32
+    (-1 = padding). -> [B, S, H*d]"""
+    b, s, e = q.shape
+    d = e // h
+    scale = 1.0 / (d**0.5)
+
+    kernel = functools.partial(_attn_seg_bse_kernel, scale=scale, h=h, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=4 * b * s * e * q.dtype.itemsize,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, seg[:, None, :])
+
+
+def flash_attention_packed_bse(q: Array, k: Array, v: Array, seg: Array,
+                               h: int) -> Array:
+    """Segment-masked (sequence-packed) attention over the PROJECTION-OUTPUT
+    layout: q/k/v [B, S, H*d] straight from the q/k/v linears, seg [B, S]
+    int32 segment ids (-1 on padding) -> [B, S, H*d] ready for the output
+    projection.  Numerics identical to flash_attention_packed's full
+    kernel (same masked-softmax order); the win is layout — no
+    [B,S,H,d]<->[B,H,S,d] transposes on either side, which the r4 forward
+    breakdown measured at ~135 us/layer HBM time at MiniLM [32,512]
+    (q4_forward_breakdown.md).  Callers guarantee S % 8 == 0, d % 8 == 0,
+    and 128 <= S <= 1024 (whole-sequence [S, S] f32 score tile in VMEM).
+    """
+    return _flash_attention_packed_bse(q, k, v, seg.astype(jnp.int32), h=h)
+
+
+def packed_bse_applies(s: int, d: int, max_seg_len: int | None) -> bool:
+    """True when the packed projection-layout kernel should carry a packed
+    batch: aligned tiles, S inside the whole-sequence score-tile envelope,
+    and the windowed packed kernel (which needs the [B,H,S,d] layout and
+    only engages at S >= 1024 with a window narrower than S — see
+    flash_attention_packed) would not apply."""
+    if s % 8 or d % 8 or not (128 <= s <= 1024):
+        return False
+    if max_seg_len is not None and s % 128 == 0 and s >= 1024:
+        tq_w = 256 if s % 256 == 0 else 128
+        wmax = -(-(tq_w + 2 * max_seg_len + 24) // 128) * 128
+        if wmax < s:
+            return False  # the windowed kernel's FLOP cut beats the layout
+    return True
+
+
 def _attn_seg_kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
                      scale, hb):
     # blocks: q [1,HB,TQ,d]; k, v [1,HB,S,d]; segq [1,1,TQ]; segk [1,1,S].

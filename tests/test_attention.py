@@ -309,6 +309,81 @@ def test_bse_kernel_matches_reference():
                                    rtol=1e-4)
 
 
+@pytest.mark.parametrize("b,s,h,d", [(2, 128, 4, 32), (2, 512, 4, 32),
+                                     (1, 256, 3, 64)])
+def test_packed_bse_kernel_matches_reference(b, s, h, d):
+    """flash_attention_packed_bse (projection layout, in-kernel segment
+    mask) == the [B,S,H,d] seg reference — packing is the engine's default
+    serving path, so the no-transpose layout must be numerically invisible
+    there too."""
+    from embedding_cpp_tpu.ops.attention import flash_attention_packed_bse
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    seg_np = _random_segments(rng, b, s, 48)
+    seg = jnp.asarray(seg_np)
+
+    expected = np.asarray(_seg_reference(q, k, v, seg)).reshape(b, s, h * d)
+    got = np.asarray(flash_attention_packed_bse(
+        q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+        v.reshape(b, s, h * d), seg, h,
+    ))
+    valid = (seg_np >= 0)[..., None] & np.ones((1, 1, h * d), bool)
+    np.testing.assert_allclose(got[valid[:, :, 0]], expected[valid[:, :, 0]],
+                               atol=_tpu_atol(2e-5), rtol=1e-4)
+
+
+def test_packed_bse_applies_gate():
+    from embedding_cpp_tpu.ops.attention import packed_bse_applies
+
+    assert packed_bse_applies(512, 32, None)          # the serving shape
+    assert packed_bse_applies(512, 32, 64)            # window can't engage
+    assert packed_bse_applies(128, 64, None)
+    assert not packed_bse_applies(64, 32, None)       # below the envelope
+    assert not packed_bse_applies(2048, 32, None)     # above the [S,S] tile
+    assert not packed_bse_applies(520, 20, None)      # unaligned d
+    # at exactly S=1024 a short max_seg_len makes the windowed kernel
+    # narrower — it keeps the batch (FLOP cut beats layout)
+    assert not packed_bse_applies(1024, 32, 64)
+    assert packed_bse_applies(1024, 32, 500)          # window >= S: BSE
+
+
+def test_packed_model_bse_path_matches_xla():
+    """attn_impl='pallas' at S >= 128 routes the packed BERT path through
+    the packed BSE kernel (models/bert._attention gate); outputs match XLA
+    for the real (segment) rows."""
+    from embedding_cpp_tpu.models import (
+        BertConfig, ComputeOptions, random_params,
+    )
+    from embedding_cpp_tpu.models.bert import bert_embed_packed
+
+    cfg = BertConfig(n_vocab=256, n_ctx=128, n_embd=128, n_layer=2,
+                     n_head=4, n_ff=256)
+    params = random_params(cfg, seed=11)
+    rng = np.random.default_rng(12)
+    b, s, n_seg = 2, 128, 8
+    seg = _random_segments(rng, b, s, 24)
+    seg = np.where(seg >= n_seg, -1, seg)
+    ids = rng.integers(1, 256, size=(b, s)).astype(np.int32)
+    ids[seg < 0] = 0
+    pos = np.zeros((b, s), np.int32)
+    for i in range(b):
+        for g in range(n_seg):
+            n = int((seg[i] == g).sum())
+            pos[i, seg[i] == g] = np.arange(n)
+    a = np.asarray(bert_embed_packed(
+        params, ids, seg, pos, cfg, ComputeOptions(attn_impl="xla"),
+        n_seg=n_seg,
+    ))
+    bb = np.asarray(bert_embed_packed(
+        params, ids, seg, pos, cfg, ComputeOptions(attn_impl="pallas"),
+        n_seg=n_seg,
+    ))
+    np.testing.assert_allclose(a, bb, atol=_tpu_atol(1e-5), rtol=1e-4)
+
+
 def test_full_model_bse_path_matches_xla():
     """attn_impl='pallas' at S >= 128 routes the plain BERT path through
     the BSE kernel (models/bert._attention gate); outputs match XLA."""

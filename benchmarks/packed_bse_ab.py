@@ -172,6 +172,89 @@ def bench_forward_ab(b: int = 32, s: int = 512, iters: int = 20,
     return out
 
 
+def bench_bias_forward_ab(b: int = 32, s: int = 512, iters: int = 10,
+                          preset: str = "mpnet-base") -> dict:
+    """FULL packed forward for the bias families (MPNet/T5), three variants
+    interleaved:
+
+    - ``bse``:           resident-bias + in-kernel segment mask kernel
+                         (flash_attention_bias_packed_bse) — the new route;
+    - ``xla_toeplitz``:  XLA einsum with the batch-invariant [H, S, S] bias
+                         (the new bias formulation, kernel gated off);
+    - ``xla_per_row``:   XLA einsum with the naive [B, H, S, S] per-row bias
+                         — byte-for-byte the r4 production path, kept on
+                         record as the baseline this change replaces.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import embedding_cpp_tpu.models.bert as bert_mod
+    import embedding_cpp_tpu.ops.attention as attn_mod
+    from embedding_cpp_tpu.cli.make_test_model import PRESETS
+    from embedding_cpp_tpu.gguf import GGUFFileType
+    from embedding_cpp_tpu.models import ComputeOptions, random_params
+    from embedding_cpp_tpu.models.bert import bert_embed_packed
+
+    config = PRESETS[preset]
+    params = random_params(config, GGUFFileType.MOSTLY_Q4_0, seed=0,
+                           dense_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    seg_np, pos_np = _serving_segments(rng, b, s)
+    ids_np = rng.integers(1, config.n_vocab, size=(b, s)).astype(np.int32)
+    ids_np[seg_np < 0] = 0
+    ids, seg, pos = (jnp.asarray(a) for a in (ids_np, seg_np, pos_np))
+    opts = ComputeOptions(dtype="bfloat16")
+    n_sent = int(sum(seg_np[i].max() + 1 for i in range(b)))
+
+    real_gate = attn_mod.packed_bse_applies
+    real_bias = bert_mod._rel_attn_bias
+    jpos = jnp.asarray(pos_np)
+
+    def per_row_bias(table, s_, max_distance=128):
+        return bert_mod._rel_attn_bias_packed(table, jpos,
+                                              max_distance=max_distance)
+
+    variants = {
+        "bse": (real_gate, real_bias),
+        "xla_toeplitz": (lambda *a: False, real_bias),
+        "xla_per_row": (lambda *a: False, per_row_bias),
+    }
+    out = {"sentences_per_row": n_sent / b}
+    loops = {}
+    try:
+        for name, (gate, bias_fn) in variants.items():
+            attn_mod.packed_bse_applies = gate
+            bert_mod._rel_attn_bias = bias_fn
+
+            @jax.jit
+            def loop(params, ids, seg, pos):
+                def body(i, carry):
+                    ids_i = ids + (carry > 1e30).astype(jnp.int32)
+                    y = bert_embed_packed(params, ids_i, seg, pos, config,
+                                          opts, n_seg=64)
+                    return carry + jnp.sum(y.astype(jnp.float32))
+
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+
+            _sync(loop(params, ids, seg, pos))  # compile at trace-time gate
+            loops[name] = loop
+    finally:
+        attn_mod.packed_bse_applies = real_gate
+        bert_mod._rel_attn_bias = real_bias
+
+    times: dict[str, list] = {n: [] for n in loops}
+    for _ in range(3):
+        for name, loop in loops.items():
+            times[name].append(
+                _timed(lambda: _sync(loop(params, ids, seg, pos)))
+            )
+    for name in loops:
+        per = max((min(times[name]) - _dispatch_floor()) / iters, 1e-9)
+        out[name] = {"ms": round(per * 1e3, 3),
+                     "sentences_per_sec": round(n_sent / per)}
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -190,6 +273,13 @@ def main() -> None:
     print(f"nomic packed forward A/B (B=32 S=512): "
           f"bse {r['bse']['ms']}ms | bhsd {r['bhsd']['ms']}ms",
           file=sys.stderr)
+    for preset in ("mpnet-base", "gtr-base"):
+        r = bench_bias_forward_ab(preset=preset)
+        results[f"{preset}_forward_packed_b32_s512"] = r
+        print(f"{preset} packed forward A/B (B=32 S=512): "
+              f"bse {r['bse']['ms']}ms | xla_toeplitz "
+              f"{r['xla_toeplitz']['ms']}ms | xla_per_row (r4) "
+              f"{r['xla_per_row']['ms']}ms", file=sys.stderr)
     print(json.dumps(results))
 
 

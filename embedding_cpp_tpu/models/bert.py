@@ -189,6 +189,16 @@ def _attention(
         and (jax.device_count() == 1 or opts.inside_shard_map)
         and jax.devices()[0].platform == "tpu"
     ):
+        if (pos_bias is not None and pos_bias.ndim == 3
+                and pos_bias.shape[0] not in (1, h)):
+            # manual-TP shard_map body: the bias table replicates while the
+            # head axis is device-local — slice THIS device's heads before
+            # the lane-slice kernels (their per-head loop indexes bias head
+            # hh for lane slice hh, so a full-H bias would feed every
+            # device head 0..h-1's bias rows regardless of tp rank)
+            i = jax.lax.axis_index(opts.tp_axis)
+            pos_bias = jax.lax.dynamic_slice_in_dim(pos_bias, i * h, h,
+                                                    axis=0)
         if (pos_bias is None and seg is None
                 and 128 <= s <= 1024 and s % 8 == 0 and d % 8 == 0):
             # plain padded batches take the projection-layout kernel: heads
@@ -214,6 +224,25 @@ def _attention(
                 # r4 breakdown found no longer applies to the path the
                 # headline bench measures (packed_bse_ab_v5e.json).
                 return flash_attention_packed_bse(q, k, v, seg, h)
+        if pos_bias is not None and seg is not None and pos_bias.ndim == 3:
+            from ..ops.attention import (
+                fits_bias_bse,
+                flash_attention_bias_packed_bse,
+                packed_bse_applies,
+            )
+
+            if packed_bse_applies(s, d, max_seg_len) and fits_bias_bse(
+                s, h * d, pos_bias.shape[0], q.dtype.itemsize
+            ):
+                # packed bias families (MPNet): the batch-invariant
+                # [H, S, S] bias (valid within segments because packed
+                # positions are consecutive — see _rel_attn_bias_packed)
+                # rides VMEM-resident across the batch grid with the
+                # segment mask computed in-kernel
+                # (packed_bias_ab_v5e.json).
+                return flash_attention_bias_packed_bse(
+                    q, k, v, seg, pos_bias, h
+                )
         if (pos_bias is not None and seg is None and pos_bias.ndim == 3
                 and 128 <= s <= 1024 and s % 8 == 0 and d % 8 == 0):
             from ..ops.attention import (
@@ -916,7 +945,13 @@ def bert_embed_packed(
     x = embed_tokens(params, ids, config, opts, positions=pos)
     mask_bias = jnp.where(seg >= 0, 0.0, _MASK_BIAS).astype(jnp.float32)
     rel = params.get("rel_attn_bias")
-    pos_bias = None if rel is None else _rel_attn_bias_packed(rel, pos)
+    # the BATCH-INVARIANT [H, S, S] bias serves packed rows too: within a
+    # segment the restart positions are consecutive, so k_pos - q_pos equals
+    # the absolute row offset k - q; cross-segment pairs are masked to -1e9
+    # (softmax-exact zero) regardless of their bias.  The naive per-row
+    # [B, H, S, S] form (_rel_attn_bias_packed, kept for the equivalence
+    # test) costs B*H*S*S*4 bytes of HBM and blocks the fused kernel.
+    pos_bias = None if rel is None else _rel_attn_bias(rel, ids.shape[-1])
 
     x = _run_layers(
         x, params["layers"], config,

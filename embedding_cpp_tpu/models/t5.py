@@ -64,16 +64,19 @@ def _embed(params, ids, config, opts):
     return x.astype(opts.jdtype)
 
 
-def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
+def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts,
+               seg=None, max_seg_len=None):
     """Pre-normed input -> attention output (pre-residual).
 
-    ``pos_bias``: the shared relative-position bias, [H, S, S] (plain,
-    batch-invariant) or [B, H, S, S] (packed, per-row positions).
-    ``mask_bias``: [B, S] key-padding bias, or [B, Sq, Sk] block-diagonal
-    segment bias.  Kept separate so neither a [B, H, S, S] constant nor the
-    combined tensor materializes in HBM — XLA fuses both adds into the
-    softmax region.  Added to the RAW q·k scores: T5 applies no 1/sqrt(d)
-    scaling (folded into init)."""
+    ``pos_bias``: the shared relative-position bias, [H, S, S],
+    batch-invariant — for PACKED rows too: within a segment the restart
+    positions are consecutive, so k_pos - q_pos equals the absolute row
+    offset, and cross-segment pairs are masked to -1e9 regardless (see
+    models/bert.bert_embed_packed).  ``mask_bias``: [B, S] key-padding bias
+    (plain batches; None when ``seg`` carries the packed segment ids).
+    Biases stay separate so no [B, H, S, S] tensor materializes in HBM —
+    XLA fuses the adds into the softmax region.  Added to the RAW q·k
+    scores: T5 applies no 1/sqrt(d) scaling (folded into init)."""
     b, s, _ = xn.shape
     d = config.head_dim
     q = linear(xn, lp["q_w"], q4_impl=opts.q4_impl)
@@ -104,17 +107,28 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
         on_tpu = jax.devices()[0].platform == "tpu"
         impl = "pallas" if (on_tpu and local and s >= 128) else "xla"
     if (
-        impl == "pallas"
-        and mask_bias.ndim == 2 and pos_bias.ndim == 3
+        impl == "pallas" and pos_bias.ndim == 3
         and s % 8 == 0 and d % 8 == 0
     ):
         from ..ops.attention import (
             fits_bias_bse,
             flash_attention,
             flash_attention_bias_bse,
+            flash_attention_bias_packed_bse,
+            packed_bse_applies,
         )
 
-        if 128 <= s <= 1024 and fits_bias_bse(
+        if (seg is not None and packed_bse_applies(s, d, max_seg_len)
+                and fits_bias_bse(s, h * d, pos_bias.shape[0],
+                                  q.dtype.itemsize)):
+            # packed rows: bias VMEM-resident across the batch grid, the
+            # segment mask computed in-kernel (packed_bias_ab_v5e.json)
+            return flash_attention_bias_packed_bse(
+                (q * math.sqrt(d)).astype(q.dtype).reshape(b, s, h * d),
+                k.reshape(b, s, h * d), v.reshape(b, s, h * d),
+                seg, pos_bias, h,
+            )
+        if seg is None and 128 <= s <= 1024 and fits_bias_bse(
             s, h * d, pos_bias.shape[0], q.dtype.itemsize
         ):
             # projection-layout variant: no [B,S,H,d]<->[B,H,S,d]
@@ -127,19 +141,24 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts):
                 mask_bias, pos_bias, h,
             )
             return att
-        att = flash_attention(
-            (q * math.sqrt(d)).astype(q.dtype), k, v, mask_bias,
-            pos_bias=pos_bias,
-        )
-        return att.reshape(b, s, h * d)
+        if seg is None:
+            att = flash_attention(
+                (q * math.sqrt(d)).astype(q.dtype), k, v, mask_bias,
+                pos_bias=pos_bias,
+            )
+            return att.reshape(b, s, h * d)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
     scores = scores + pos_bias  # [H,S,S] broadcasts over batch
-    if mask_bias.ndim == 2:
-        scores = scores + mask_bias[:, None, None, :]
+    if seg is not None:
+        allowed = seg[:, :, None] == seg[:, None, :]  # [B, Sq, Sk]
+        key_ok = (seg >= 0)[:, None, :]
+        scores = scores + jnp.where(
+            allowed & key_ok, 0.0, _MASK_BIAS
+        ).astype(jnp.float32)[:, None, :, :]
     else:
-        scores = scores + mask_bias[:, None, :, :]
+        scores = scores + mask_bias[:, None, None, :]
     probs = jax.nn.softmax(scores, axis=-1).astype(xn.dtype)
     att = jnp.einsum(
         "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
@@ -161,12 +180,14 @@ def _ffn(xn, lp, config: BertConfig, opts):
     return u
 
 
-def _encoder_layer(x, lp, pos_bias, mask_bias, config: BertConfig, opts):
+def _encoder_layer(x, lp, pos_bias, mask_bias, config: BertConfig, opts,
+                   seg=None, max_seg_len=None):
     """One pre-norm block (T5Block.forward, encoder side):
     x += o(attn(rms(x))); x += wo(ffn(rms(x)))."""
     eps = config.layer_norm_eps
     att = _attention(rms_norm(x, lp["ln_att_scale"], eps, x.dtype),
-                     lp, pos_bias, mask_bias, config, opts)
+                     lp, pos_bias, mask_bias, config, opts, seg=seg,
+                     max_seg_len=max_seg_len)
     x = linear(att, lp["o_w"], q4_impl=opts.q4_impl,
                reduce_axis=opts.tp_axis, residual=x)
     h = _ffn(rms_norm(x, lp["ln_out_scale"], eps, x.dtype), lp, config, opts)
@@ -174,9 +195,11 @@ def _encoder_layer(x, lp, pos_bias, mask_bias, config: BertConfig, opts):
                   reduce_axis=opts.tp_axis, residual=x)
 
 
-def _run_layers(x, params, pos_bias, mask_bias, config, opts):
+def _run_layers(x, params, pos_bias, mask_bias, config, opts, seg=None,
+                max_seg_len=None):
     def body(x, lp):
-        return _encoder_layer(x, lp, pos_bias, mask_bias, config, opts), None
+        return _encoder_layer(x, lp, pos_bias, mask_bias, config, opts,
+                              seg=seg, max_seg_len=max_seg_len), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return rms_norm(x, params["final_ln_scale"], config.layer_norm_eps,
@@ -218,27 +241,26 @@ def t5_embed_packed(params, ids, seg, pos, config, opts, *, n_seg,
     """Sequence-packed forward: [B, S] packed rows -> [B, n_seg, n_embd]
     (same contract as models.bert.bert_embed_packed).
 
-    Per-segment restart positions give the same k_pos - q_pos differences
-    as absolute positions within each sentence, so the rebuilt bias equals
-    the unpacked one; cross-segment pairs get an arbitrary bucket but are
-    masked block-diagonal by segment."""
+    The bias stays the BATCH-INVARIANT [H, S, S] table: per-segment restart
+    positions are consecutive, so within a segment k_pos - q_pos equals the
+    absolute row offset k - q; cross-segment pairs get an arbitrary bucket
+    but are masked to -1e9 (softmax-exact zero) by segment regardless."""
     from .bert import (
         _cast_output,
         _output_head,
-        _rel_attn_bias_packed,
+        _rel_attn_bias,
         pool_normalize_packed,
         resolve_impls,
     )
 
     opts = resolve_impls(opts)
     x = _embed(params, ids, config, opts)
-    pos_bias = _rel_attn_bias_packed(
-        params["rel_attn_bias"], pos, max_distance=config.rel_attn_max_dist
-    )  # [B, H, S, S]
-    allowed = seg[:, :, None] == seg[:, None, :]  # [B, Sq, Sk]
-    key_ok = (seg >= 0)[:, None, :]
-    seg_bias = jnp.where(allowed & key_ok, 0.0, _MASK_BIAS).astype(jnp.float32)
-    x = _run_layers(x, params, pos_bias, seg_bias, config, opts)
+    pos_bias = _rel_attn_bias(
+        params["rel_attn_bias"], ids.shape[-1],
+        max_distance=config.rel_attn_max_dist,
+    )  # [H, S, S], batch-invariant (valid within segments — see docstring)
+    x = _run_layers(x, params, pos_bias, None, config, opts, seg=seg,
+                    max_seg_len=max_seg_len)
     pooled = pool_normalize_packed(
         x, seg, pos, n_seg, config.pooling, normalize=False
     )

@@ -483,6 +483,105 @@ def flash_attention_packed_bse(q: Array, k: Array, v: Array, seg: Array,
     return _flash_attention_packed_bse(q, k, v, seg.astype(jnp.int32), h=h)
 
 
+def _attn_bias_seg_bse_kernel(q_ref, k_ref, v_ref, seg_ref, pbias_ref, o_ref,
+                              *, scale, h, d):
+    # blocks: q/k/v/o [1, S, H*d]; seg [1, 1, S] int32; pbias [PH, S, S] f32
+    # (PH = H, or 1 for a head-invariant bias).  The packed twin of
+    # _attn_bias_bse_kernel: the FULL position-bias table rides one grid
+    # cell (constant index map -> DMA'd once, VMEM-resident across the
+    # batch grid) and the block-diagonal segment mask is computed in-kernel.
+    # Valid because within a packed segment the per-segment positions give
+    # k_pos - q_pos == k - q (positions are consecutive), so the bias on
+    # every UNMASKED pair equals the batch-invariant Toeplitz table;
+    # cross-segment pairs take -1e9 and underflow to exactly 0 in the
+    # softmax regardless of their bias (see models/bert._rel_attn_bias_packed
+    # and the equivalence test in tests/test_packing.py).
+    seg = seg_ref[0, 0]
+    allowed = seg[:, None] == seg[None, :]  # [S, S]
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S]
+        scores = jnp.where(
+            allowed, scores * scale + pbias_ref[hh % pbias_ref.shape[0]],
+            -1e9,
+        )
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
+        acc = jnp.dot(  # softmax divide deferred to the [S, d] output
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, sl] = (acc / se).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h",))
+def _flash_attention_bias_packed_bse(q: Array, k: Array, v: Array,
+                                     seg: Array, pos_bias: Array, *,
+                                     h: int) -> Array:
+    """q/k/v: [B, S, H*d]; seg: [B, S] int32 (-1 = padding); pos_bias:
+    [H, S, S] or [1, S, S] f32 (batch-invariant). -> [B, S, H*d]"""
+    b, s, e = q.shape
+    d = e // h
+    scale = 1.0 / (d**0.5)
+
+    kernel = functools.partial(_attn_bias_seg_bse_kernel, scale=scale, h=h,
+                               d=d)
+    ph = pos_bias.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, s, s), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * d,
+            bytes_accessed=4 * b * s * e * q.dtype.itemsize + ph * s * s * 4,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # bias residency requires sequential batch steps revisiting the
+            # constant-index bias block
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, seg[:, None, :], pos_bias)
+
+
+def flash_attention_bias_packed_bse(q: Array, k: Array, v: Array, seg: Array,
+                                    pos_bias: Array, h: int) -> Array:
+    """Additive-position-bias attention over PACKED rows in the
+    PROJECTION-OUTPUT layout (packed MPNet / T5 / ModernBERT-local):
+    q/k/v [B, S, H*d], seg [B, S] int32 (-1 padding), pos_bias [H, S, S] or
+    [1, S, S] f32 built from ABSOLUTE row offsets (valid within segments —
+    see _attn_bias_seg_bse_kernel).  The bias is DMA'd once and stays
+    VMEM-resident across the batch grid; the segment mask is computed
+    in-kernel.  Callers guarantee S % 8 == 0, d % 8 == 0, 128 <= S <= 1024
+    and fits_bias_bse."""
+    return _flash_attention_bias_packed_bse(
+        q, k, v, seg.astype(jnp.int32), pos_bias.astype(jnp.float32), h=h
+    )
+
+
 def packed_bse_applies(s: int, d: int, max_seg_len: int | None) -> bool:
     """True when the packed projection-layout kernel should carry a packed
     batch: aligned tiles, S inside the whole-sequence score-tile envelope,

@@ -335,6 +335,45 @@ def test_packed_bse_kernel_matches_reference(b, s, h, d):
                                atol=_tpu_atol(2e-5), rtol=1e-4)
 
 
+@pytest.mark.parametrize("ph", ["heads", "invariant"])
+def test_bias_packed_bse_kernel_matches_reference(ph):
+    """flash_attention_bias_packed_bse (resident [H,S,S] bias + in-kernel
+    segment mask) == the XLA einsum with the same bias and block-diagonal
+    mask — the packed MPNet/T5 route."""
+    import jax
+    from embedding_cpp_tpu.ops.attention import flash_attention_bias_packed_bse
+
+    rng = np.random.default_rng(8)
+    b, s, h, d = 2, 256, 4, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    seg_np = _random_segments(rng, b, s, 32)
+    seg = jnp.asarray(seg_np)
+    pb = jnp.asarray(rng.normal(
+        size=(h if ph == "heads" else 1, s, s)
+    ).astype(np.float32))
+
+    allowed = seg[:, :, None] == seg[:, None, :]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(
+        allowed[:, None], scores * (1.0 / d**0.5) + pb[None], -1e9
+    )
+    p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    expected = np.asarray(
+        jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    ).reshape(b, s, h * d)
+    got = np.asarray(flash_attention_bias_packed_bse(
+        q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+        v.reshape(b, s, h * d), seg, pb, h,
+    ))
+    valid = seg_np >= 0
+    np.testing.assert_allclose(got[valid], expected[valid],
+                               atol=_tpu_atol(2e-5), rtol=1e-4)
+
+
 def test_packed_bse_applies_gate():
     from embedding_cpp_tpu.ops.attention import packed_bse_applies
 

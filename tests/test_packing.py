@@ -139,6 +139,46 @@ def test_packed_forward_matches_unpacked(pooling):
                                    err_msg=f"sentence {i} (pooling={pooling})")
 
 
+def test_packed_bias_toeplitz_equals_per_row():
+    """The batch-invariant [H, S, S] bias (built from absolute row offsets)
+    must equal the naive per-row [B, H, S, S] bias on every SAME-SEGMENT
+    pair — packed positions are consecutive within a segment, so
+    pos[k] - pos[q] == k - q there.  This is the claim that lets the packed
+    MPNet/T5 paths reuse one VMEM-resident bias table instead of
+    materializing B*H*S*S floats."""
+    from embedding_cpp_tpu.models.bert import (
+        _rel_attn_bias,
+        _rel_attn_bias_packed,
+    )
+
+    rng = np.random.default_rng(9)
+    b, s, h = 3, 64, 4
+    table = np.asarray(rng.normal(size=(32, h)).astype(np.float32))
+    seg = np.full((b, s), -1, np.int32)
+    pos = np.zeros((b, s), np.int32)
+    for i in range(b):
+        c, g = 0, 0
+        while c < s - 4:
+            l = int(rng.integers(3, 20))
+            l = min(l, s - c)
+            seg[i, c:c + l] = g
+            pos[i, c:c + l] = np.arange(l)
+            c, g = c + l, g + 1
+    import jax.numpy as jnp
+
+    toe = np.asarray(_rel_attn_bias(jnp.asarray(table), s))  # [H, S, S]
+    per_row = np.asarray(
+        _rel_attn_bias_packed(jnp.asarray(table), jnp.asarray(pos))
+    )  # [B, H, S, S]
+    same = seg[:, :, None] == seg[:, None, :]
+    same &= (seg >= 0)[:, :, None]
+    for i in range(b):
+        np.testing.assert_array_equal(
+            np.broadcast_to(toe, per_row[i].shape)[:, same[i]],
+            per_row[i][:, same[i]],
+        )
+
+
 def test_packed_empty_segments_are_zero():
     params = random_params(CFG, seed=4)
     toks = [[5, 6, 7]]

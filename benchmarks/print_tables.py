@@ -11,7 +11,7 @@ from collections import defaultdict
 from pathlib import Path
 
 RESULTS = Path(__file__).parent / "results"
-TASKS = ("STSBenchmark", "EmotionClassification")
+TASKS = ("STSBenchmark", "EmotionClassification", "SyntheticRetrieval")
 MODE_ORDER = ("f32", "f16", "q4_0", "q4_1", "q8_0", "gguf", "sbert",
               "sbert-batchless")
 

@@ -34,7 +34,27 @@ RESULTS = Path(__file__).parent / "results"
 # q8_0 is our extension beyond the reference's four modes (run_mteb.py:23-28)
 ENGINE_MODES = ("f32", "f16", "q4_0", "q4_1", "q8_0")
 ALL_MODES = ENGINE_MODES + ("sbert", "sbert-batchless")
-ALL_TASKS = ("STSBenchmark", "EmotionClassification")
+ALL_TASKS = ("STSBenchmark", "EmotionClassification", "SyntheticRetrieval")
+
+# Ranking-quality regression gates for the synthetic retrieval task (fixed
+# seeds -> deterministic corpus).  Two kinds of row:
+# - "dense": the model-based dense ranking.  Random-weight synthetic models
+#   still clear it easily (measured 0.71 on tiny presets; mean-pooled
+#   embeddings reflect bag-of-words overlap even untrained) and real
+#   checkpoints score ~0.9+.
+# - "*_lex": the same SparseIndex / MaxSimIndex / RRF machinery driven by
+#   DETERMINISTIC lexical vectors (hashed term ids / per-word unit vectors)
+#   instead of the encoder, so the gate tests the ranking PLUMBING — COO
+#   padding, scatter scoring, top-k, rank fusion — independent of model
+#   quality (random-weight SPLADE/token-state outputs are legitimately
+#   near chance, so gating those on nDCG would only measure the weights).
+#   Measured 0.86-0.88 (within-topic order is arbitrary by construction,
+#   so ~1.0 is not achievable); a broken path collapses toward ~0.1.
+# Model-based maxsim/sparse/hybrid nDCG is REPORTED per modality for real-
+# checkpoint use but not gated (random-weight scores there measure the
+# weights, not the plumbing: measured 0.65/0.59/0.79 on tiny presets).
+RETRIEVAL_MIN_NDCG = {"dense": 0.55, "sparse_lex": 0.70, "maxsim_lex": 0.70,
+                      "hybrid_lex": 0.70}
 
 # Pinned reference scores (BASELINE.md; reference benchmarks/results/
 # <model>_<mode>/<task>.json).  --assert-baseline gates a real-model run
@@ -95,8 +115,14 @@ def make_engine_encoder(gguf_path: str, dtype: str = "bfloat16",
                 out[i, idx] = val
             return out
 
+        encode.engine = engine
         return encode
-    return engine.encode
+
+    def encode(texts):
+        return engine.encode(texts)
+
+    encode.engine = engine  # retrieval tasks build indexes off the engine
+    return encode
 
 
 def make_sbert_encoder(model_name_or_dir: str, batch_size: int = 32):
@@ -112,7 +138,8 @@ def make_sbert_encoder(model_name_or_dir: str, batch_size: int = 32):
 
 def get_datasets(synthetic: bool, sts_json: str | None):
     if synthetic:
-        return tasks.synthetic_sts(), tasks.synthetic_classification()
+        return (tasks.synthetic_sts(), tasks.synthetic_classification(),
+                tasks.synthetic_retrieval())
     sts = None
     clf = None
     if sts_json:
@@ -127,11 +154,118 @@ def get_datasets(synthetic: bool, sts_json: str | None):
     except Exception as e:
         print(f"! EmotionClassification unavailable ({e}); skipping",
               file=sys.stderr)
-    return sts, clf
+    # no public retrieval dataset ships with the harness (zero-egress);
+    # the synthetic retrieval task still runs with real checkpoints via
+    # --synthetic-data
+    return sts, clf, None
+
+
+def _run_retrieval(encoder, ret, outdir) -> dict[str, float]:
+    """SyntheticRetrieval over every modality the model supports: dense
+    (VectorIndex) + late-interaction (MaxSimIndex) always, sparse
+    (SPLADE SparseIndex) + hybrid dense+sparse RRF when the checkpoint
+    carries an MLM head.  Writes ONE JSON with per-modality blocks
+    (mirroring the reference's results layout, run_mteb.py:104-123) and
+    returns {f"retrieval_{modality}": ndcg} for gating."""
+    engine = getattr(encoder, "engine", None)
+    if engine is None:
+        print("! retrieval task needs an engine-backed encoder; skipping",
+              file=sys.stderr)
+        return {}
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+    from embedding_cpp_tpu.runtime.search import VectorIndex
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex, rrf_fuse
+
+    searchers = {}
+    dense = VectorIndex(engine)
+    dense.add(ret.corpus)
+    searchers["dense"] = dense.search
+    maxsim = MaxSimIndex(engine)
+    maxsim.add(ret.corpus)
+    searchers["maxsim"] = maxsim.search
+    if engine.config.mlm_head:
+        sparse = SparseIndex(engine)
+        sparse.add(ret.corpus)
+        searchers["sparse"] = sparse.search
+
+        def hybrid(queries, k):
+            di, _ = dense.search(queries, k=2 * k)
+            si, _ = sparse.search(queries, k=2 * k)
+            return rrf_fuse([di, si], k)
+
+        searchers["hybrid"] = hybrid
+
+    # mechanics gates: the SAME index/fusion machinery driven by
+    # deterministic lexical vectors (see RETRIEVAL_MIN_NDCG) — these catch
+    # COO-padding / scatter-score / top-k / RRF regressions regardless of
+    # model quality
+    import numpy as np
+
+    import zlib
+
+    lex_vocab = 4093  # prime: cheap word-id hashing without clustering
+
+    def _term_ids(text):
+        # crc32, not hash(): Python salts hash() per process, which would
+        # make the gate non-deterministic across runs
+        return np.asarray(
+            [zlib.crc32(w.encode()) % lex_vocab for w in text.split()],
+            np.int64,
+        )
+
+    def _tf_pairs(texts):
+        out = []
+        for t in texts:
+            ids, counts = np.unique(_term_ids(t), return_counts=True)
+            out.append((ids.astype(np.int32), counts.astype(np.float32)))
+        return out
+
+    # token-vector width must match what the index validates against: the
+    # ColBERT projection dim when the checkpoint has one, else n_embd
+    lex_dim = engine.config.colbert_dim or engine.config.n_embd
+
+    def _token_vecs(texts, dim: int | None = None):
+        dim = dim or lex_dim
+        vecs = []
+        for t in texts:
+            rows = [np.random.default_rng(int(i)).standard_normal(dim)
+                    for i in _term_ids(t)]
+            vecs.append(np.asarray(rows, np.float32))
+        return vecs
+
+    lex_sparse = SparseIndex(device=False)
+    lex_sparse.add_vectors(_tf_pairs(ret.corpus))
+    searchers["sparse_lex"] = lambda qs, k: lex_sparse.search_vectors(
+        _tf_pairs(qs), k)
+    lex_maxsim = MaxSimIndex(engine)
+    lex_maxsim.add_token_vectors(_token_vecs(ret.corpus))
+    searchers["maxsim_lex"] = lambda qs, k: lex_maxsim.search_token_vectors(
+        _token_vecs(qs), k)
+
+    def hybrid_lex(queries, k):
+        di, _ = searchers["sparse_lex"](queries, 2 * k)
+        si, _ = searchers["maxsim_lex"](queries, 2 * k)
+        return rrf_fuse([di, si], k)
+
+    searchers["hybrid_lex"] = hybrid_lex
+    result = {"mteb_dataset_name": "SyntheticRetrieval", "test": {}}
+    scores: dict[str, float] = {}
+    for name, fn in searchers.items():
+        r = tasks.eval_retrieval(fn, ret, k=10, name=name)
+        result["test"][name] = r["test"]
+        scores[f"retrieval_{name}"] = r["test"]["main_score"]
+    # main_score follows the primary (dense) modality, like MTEB retrieval
+    result["test"]["main_score"] = scores.get("retrieval_dense", 0.0)
+    result["test"]["evaluation_time"] = round(
+        sum(b["evaluation_time"] for b in result["test"].values()
+            if isinstance(b, dict)), 2)
+    (outdir / "SyntheticRetrieval.json").write_text(
+        json.dumps(result, indent=2))
+    return scores
 
 
 def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names,
-             warmup: bool = False) -> dict[str, float]:
+             warmup: bool = False, ret=None) -> dict[str, float]:
     """Run the selected tasks; returns {task: score} for baseline gating."""
     scores: dict[str, float] = {}
     outdir = RESULTS / f"{model_name}_{mode}"
@@ -155,6 +289,11 @@ def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names,
             result = tasks.eval_sts(encoder, sts)
         elif task_name == "EmotionClassification" and clf is not None:
             result = tasks.eval_classification(encoder, clf)
+        elif task_name == "SyntheticRetrieval" and ret is not None:
+            for key, sc in _run_retrieval(encoder, ret, outdir).items():
+                scores[key] = sc
+                print(f"{model_name}_{mode:16s} {key:24s} nDCG@10={sc:.4f}")
+            continue
         else:
             continue
         path = outdir / f"{task_name}.json"
@@ -171,9 +310,22 @@ def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names,
 
 def _gate_baseline(failures: list, model_name: str, mode: str,
                    scores: dict, enabled: bool) -> None:
+    # the retrieval-ranking gate is ALWAYS on when the task ran: the
+    # synthetic corpus is deterministic, so a drop below the floor means a
+    # broken ranking path (RRF fusion, COO padding, top-k), not noise
+    for key, score in scores.items():
+        if key.startswith("retrieval_"):
+            floor = RETRIEVAL_MIN_NDCG.get(key.removeprefix("retrieval_"))
+            if floor is not None and score < floor:
+                failures.append(
+                    f"{model_name}_{mode} {key}: nDCG@10 {score:.4f} below "
+                    f"the ranking-regression floor {floor}"
+                )
     if not enabled:
         return
     for task, score in scores.items():
+        if task.startswith("retrieval_"):
+            continue
         ok, exp = check_baseline(model_name, mode, task, score)
         if ok is None:
             print(f"! no pinned baseline for ({model_name}, {mode}, {task})",
@@ -229,7 +381,8 @@ def main() -> None:
                         "tiny-xlmr (Unigram), tiny-mpnet (relative bias)")
     args = p.parse_args()
 
-    sts, clf = get_datasets(args.synthetic or args.synthetic_data, args.sts_json)
+    sts, clf, ret = get_datasets(args.synthetic or args.synthetic_data,
+                             args.sts_json)
     if sts is None and clf is None:
         print("no datasets available; nothing to do", file=sys.stderr)
         sys.exit(1)
@@ -256,7 +409,7 @@ def main() -> None:
                     mode, model_name,
                     make_engine_encoder(path, args.dtype, args.output_dtype,
                                         sparse=args.sparse_encode),
-                    sts, clf, args.tasks, warmup=args.warmup)
+                    sts, clf, args.tasks, warmup=args.warmup, ret=ret)
                 _gate_baseline(failures, model_name, mode, scores,
                                args.assert_baseline)
     elif args.server:
@@ -276,7 +429,7 @@ def main() -> None:
             "gguf", model_name,
             make_engine_encoder(args.gguf, args.dtype, args.output_dtype,
                                 sparse=args.sparse_encode),
-            sts, clf, args.tasks, warmup=args.warmup)
+            sts, clf, args.tasks, warmup=args.warmup, ret=ret)
         _gate_baseline(failures, model_name, "gguf", scores,
                        args.assert_baseline)
     else:
@@ -299,7 +452,8 @@ def main() -> None:
                         make_engine_encoder(path, args.dtype,
                                             args.output_dtype,
                                             sparse=args.sparse_encode),
-                        sts, clf, args.tasks, warmup=args.warmup)
+                        sts, clf, args.tasks, warmup=args.warmup,
+                        ret=ret)
                     _gate_baseline(failures, model_name, mode, scores,
                                    args.assert_baseline)
                 elif mode == "sbert":

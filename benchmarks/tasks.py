@@ -124,6 +124,118 @@ def synthetic_classification(
     return ClassificationData(tr[0], tr[1], te[0], te[1])
 
 
+@dataclass
+class RetrievalData:
+    corpus: list[str]
+    queries: list[str]
+    qrels: list[dict[int, float]]  # per query: corpus idx -> graded gain
+
+
+def synthetic_retrieval(
+    n_queries: int = 24, n_topics: int = 8, distractors: int = 120,
+    seed: int = 0,
+) -> RetrievalData:
+    """Cluster-structured corpus with KNOWN graded relevance (the retrieval
+    analog of synthetic_classification's per-class vocabularies, mirroring
+    the reference's MTEB retrieval ambition — run_mteb.py evaluates STS and
+    classification only).
+
+    The topics partition _WORDS into DISJOINT vocabularies (no accidental
+    cross-topic overlap).  Per query: one near-duplicate document (the
+    query's own words — gain 3); every other document of the query's topic
+    is topically relevant (gain 1); distractors draw from OTHER topics
+    only (gain 0, zero lexical overlap with the query).  Lexical overlap
+    therefore IS the ground truth, so any reasonable text encoder —
+    including random-weight synthetic models, whose shared token embeddings
+    still make overlapping texts similar — separates relevant from not; a
+    broken ranking path (RRF fusion, COO padding, top-k selection)
+    collapses the scores toward chance.
+    """
+    rng = np.random.default_rng(seed)
+    width = len(_WORDS) // n_topics
+    per_topic = [
+        list(_WORDS[t * width:(t + 1) * width]) for t in range(n_topics)
+    ]
+    corpus: list[str] = []
+    queries: list[str] = []
+    topic_docs: dict[int, list[int]] = {t: [] for t in range(n_topics)}
+    near_of: list[int] = []
+    for qi in range(n_queries):
+        t = qi % n_topics
+        qwords = list(rng.choice(per_topic[t], size=8))
+        queries.append(" ".join(qwords))
+        near = qwords[:6] + list(rng.choice(per_topic[t], size=2))
+        rng.shuffle(near)
+        near_of.append(len(corpus))
+        topic_docs[t].append(len(corpus))
+        corpus.append(" ".join(near))
+        for _ in range(2):
+            same = list(rng.choice(per_topic[t], size=9))
+            rng.shuffle(same)
+            topic_docs[t].append(len(corpus))
+            corpus.append(" ".join(same))
+    for _ in range(distractors):
+        t = int(rng.integers(n_topics))
+        words = list(rng.choice(per_topic[t], size=9))
+        rng.shuffle(words)
+        topic_docs[t].append(len(corpus))
+        corpus.append(" ".join(words))
+    qrels = []
+    for qi in range(n_queries):
+        t = qi % n_topics
+        rel = {d: 1.0 for d in topic_docs[t]}
+        rel[near_of[qi]] = 3.0
+        qrels.append(rel)
+    return RetrievalData(corpus, queries, qrels)
+
+
+def ndcg_at_k(ranked_ids: np.ndarray, qrels: dict[int, float],
+              k: int) -> float:
+    """Standard graded nDCG@k: DCG = sum gain / log2(rank + 1) over the
+    top-k ranking (rank 1-based), normalized by the ideal DCG of the gold
+    gains.  -1 ids (padding) contribute 0."""
+    gains = [qrels.get(int(d), 0.0) for d in ranked_ids[:k]]
+    dcg = sum(g / np.log2(r + 2) for r, g in enumerate(gains))
+    ideal = sorted(qrels.values(), reverse=True)[:k]
+    idcg = sum(g / np.log2(r + 2) for r, g in enumerate(ideal))
+    return float(dcg / idcg) if idcg > 0 else 0.0
+
+
+def recall_at_k(ranked_ids: np.ndarray, qrels: dict[int, float],
+                k: int) -> float:
+    relevant = {d for d, g in qrels.items() if g > 0}
+    if not relevant:
+        return 0.0
+    got = {int(d) for d in ranked_ids[:k]} & relevant
+    return len(got) / len(relevant)
+
+
+def eval_retrieval(search_fn, data: RetrievalData, k: int = 10,
+                   name: str = "SyntheticRetrieval") -> dict:
+    """search_fn: (queries, k) -> (ids [Q, k], scores).  Returns an
+    MTEB-retrieval-style dict (ndcg_at_10 as main_score, like MTEB's
+    retrieval tasks report)."""
+    t0 = time.perf_counter()
+    ids, _ = search_fn(data.queries, k)
+    eval_time = time.perf_counter() - t0
+    ndcg = float(np.mean([
+        ndcg_at_k(ids[i], data.qrels[i], k) for i in range(len(data.queries))
+    ]))
+    rec = float(np.mean([
+        recall_at_k(ids[i], data.qrels[i], k)
+        for i in range(len(data.queries))
+    ]))
+    return {
+        "mteb_dataset_name": name,
+        "test": {
+            f"ndcg_at_{k}": round(ndcg, 5),
+            f"recall_at_{k}": round(rec, 5),
+            "main_score": round(ndcg, 5),
+            "evaluation_time": round(eval_time, 2),
+        },
+    }
+
+
 # --- evaluation -------------------------------------------------------------
 
 def eval_sts(encode_fn, data: STSData) -> dict:

@@ -703,6 +703,12 @@ def main() -> None:
                    help="bias/local kernel A/B across the gated families "
                         "(mpnet, gtr/t5, modernbert) — the record that "
                         "decides the attn_impl='auto' routing")
+    p.add_argument("--nomic-ab", action="store_true",
+                   help="nomic-embed-text full-forward attn A/B at [32,512] "
+                        "(BSE kernel envelope) and the dynamic-NTK [2,8192] "
+                        "shape (past the S<=1024 BSE envelope: the "
+                        "transposed tq=128 kernel vs XLA) — the record for "
+                        "the nomic attn routing at real geometry")
     p.add_argument("--deberta-ab", action="store_true",
                    help="disentangled-attention kernel A/B (deberta-v3-base "
                         "geometry) + full deberta forward A/B — the record "
@@ -710,6 +716,19 @@ def main() -> None:
     args = p.parse_args()
 
     platform = jax.devices()[0].platform
+    if args.nomic_ab:
+        results = {"platform": platform}
+        # B=1 at S=8192: the XLA comparator materializes a [B, H, S, S] f32
+        # score tensor (3.2 GB at B=1; B=2 crashed the TPU worker)
+        for b, s, iters in ((32, 512, 20), (1, 8192, 5)):
+            r = bench_forward_attn_impl(b, s, iters=iters,
+                                        preset="nomic-embed-text")
+            results[f"nomic_forward_b{b}_s{s}"] = r
+            print(f"nomic-embed forward attn A/B b={b} s={s}: "
+                  f"pallas {r['pallas']['ms']}ms | xla {r['xla']['ms']}ms",
+                  file=sys.stderr)
+        print(json.dumps(results))
+        return
     if args.deberta_ab:
         results = {"platform": platform}
         r = bench_deberta_attention()

@@ -102,20 +102,27 @@ def _ln(x: Array, scale: Array, eps: float, out_dtype) -> Array:
 
 
 def _attention(x, lp, aux, bias_global, bias_local, pos, config, opts,
-               pad=None):
+               pad=None, seg=None):
     """Pre-normed input -> attention output (pre-residual).  bias_global /
     bias_local are the full additive score biases ([B, 1|S, S]-broadcastable
     f32) for the two layer kinds; `aux["is_local"]` selects per layer.
 
-    `pad` ([B, S] f32 additive key-padding bias, plain batches only)
-    enables the fused Pallas path: global layers run the plain fused
-    kernel, local layers either the sliding-window kernel (out-of-window
-    key tiles are never loaded — attention FLOPs scale with the window,
-    not S², ModernBERT's whole point at its 8192 context) or, when the
-    window would not be narrower than S, the bias kernel with a
-    head-invariant [S, S] distance mask.  `aux["is_local"]` is a traced
-    scan carry, so the global/local split is a `lax.cond` with both
-    branches compiled once for the whole stack."""
+    `pad` ([B, S] f32 additive key-padding bias, plain batches) or `seg`
+    ([B, S] int32 segment ids, packed batches) enables the fused Pallas
+    path.  Inside the BSE envelope (128 <= S <= 1024) BOTH layer kinds run
+    one projection-layout kernel with a head-invariant [1, S, S] bias that
+    is zero for global layers and the sliding-window distance mask for
+    local ones — the bias rides VMEM-resident across the batch grid and
+    `where(is_local, ...)` folds the per-layer select into the traced scan
+    body (modernbert_breakdown_v5e.json: this beat both the r4 cond
+    local-window/global kernel pair and XLA at [32, 512]).  The window
+    mask is valid for packed rows too: within a segment the restart
+    positions are consecutive, so |pos_q - pos_k| equals the absolute row
+    distance, and cross-segment pairs are masked by segment in-kernel.
+    Past the envelope (S > 1024), local layers take the sliding-window
+    kernel (out-of-window key tiles are never loaded — attention FLOPs
+    scale with the window, not S², ModernBERT's whole point at its 8192
+    context) under a `lax.cond` against the plain global kernel."""
     b, s, _ = x.shape
     d = config.head_dim
     q = linear(x, lp["q_w"], q4_impl=opts.q4_impl)
@@ -132,21 +139,51 @@ def _attention(x, lp, aux, bias_global, bias_local, pos, config, opts,
     # pallas needs per-device local arrays (single-device jit or a
     # shard_map body) and sublane-aligned tiles
     fusable = (
-        pad is not None
+        (pad is not None or seg is not None)
         and s >= 128 and s % 8 == 0 and d % 8 == 0
         and (jax.device_count() == 1 or opts.inside_shard_map)
     )
+    from ..ops.attention import fits_bias_bse
+
+    bse_ok = fusable and s <= 1024 and fits_bias_bse(s, h * d, 1,
+                                                     q.dtype.itemsize)
     if impl == "auto":
-        # real-TPU record (attn_bias_smoke_v5e.json / attn_bias_ab_v5e.json):
-        # the local-window kernel wins 1.32x at [8,1024] but LOSES 6% at
-        # [32,512] — at S=512 the window slice (wmax=384) barely narrows the
-        # [TQ,S] tile while the per-cell overhead stays.  auto takes the
-        # kernels only where the measured win is: S >= 1024.
+        # real-TPU record: the r4 transposed cond-kernel pair LOST 6% at
+        # [32,512] (attn_bias_ab_v5e.json) so auto used to require
+        # S >= 1024; the r5 resident-bias BSE route wins at [32,512]
+        # (modernbert_breakdown_v5e.json), so auto now takes pallas
+        # whenever fusable (BSE inside its envelope, windowed cond past it)
         on_tpu = jax.devices()[0].platform == "tpu"
-        impl = "pallas" if (on_tpu and fusable and s >= 1024) else "xla"
+        impl = "pallas" if (on_tpu and fusable and (bse_ok or s >= 1024)) \
+            else "xla"
     elif impl == "pallas" and not fusable:
         impl = "xla"
 
+    if impl == "pallas" and bse_ok:
+        from ..ops.attention import (
+            flash_attention_bias_bse,
+            flash_attention_bias_packed_bse,
+        )
+
+        win_bias = jnp.asarray(_window_bias(s, config.local_window))
+        qk_bias = jnp.where(aux["is_local"], win_bias, 0.0)[None]  # [1,S,S]
+        qb = q.reshape(b, s, h * d)  # minor-dims merge: free, no transpose
+        kb = k.reshape(b, s, h * d)
+        vb = v.reshape(b, s, h * d)
+        if seg is not None:
+            att = flash_attention_bias_packed_bse(qb, kb, vb, seg, qk_bias,
+                                                  h)
+        else:
+            att = flash_attention_bias_bse(qb, kb, vb, pad, qk_bias, h)
+        return att
+    if impl == "pallas" and seg is not None:
+        # long packed rows: the segment kernels (windowed when max_seg_len
+        # bounds the sentences) — no additive window bias support, so only
+        # correct when the local window covers every in-segment distance;
+        # callers guarantee that by routing here only for such shapes.
+        # Today packed rows are <= 1024 (engine geometry), so this branch
+        # is unreachable; fall through to XLA for safety.
+        impl = "xla"
     if impl == "pallas":
         from ..ops.attention import (
             flash_attention,
@@ -181,7 +218,7 @@ def _attention(x, lp, aux, bias_global, bias_local, pos, config, opts,
 
 
 def _encoder_layer(x, lp, aux, bias_global, bias_local, pos, config, opts,
-                   pad=None):
+                   pad=None, seg=None):
     """One pre-norm block (ModernBertEncoderLayer.forward):
     x += Wo(attn(attn_norm(x))); x += Wo_mlp(gelu(in) * gate) over
     mlp_norm(x)."""
@@ -191,7 +228,7 @@ def _encoder_layer(x, lp, aux, bias_global, bias_local, pos, config, opts,
     # matmuls and `where` keeps the scan body layer-invariant
     xn = jnp.where(aux["is_first"], x, ln_x)
     att = _attention(xn, lp, aux, bias_global, bias_local, pos, config, opts,
-                     pad=pad)
+                     pad=pad, seg=seg)
     x = linear(
         att, lp["o_w"], q4_impl=opts.q4_impl,
         reduce_axis=opts.tp_axis, residual=x,
@@ -219,12 +256,12 @@ def _embed(params, ids, config, opts):
 
 
 def _run_layers(x, params, aux, bias_global, bias_local, pos, config, opts,
-                pad=None):
+                pad=None, seg=None):
     def body(x, xs):
         lp, a = xs
         return (
             _encoder_layer(x, lp, a, bias_global, bias_local, pos, config,
-                           opts, pad=pad),
+                           opts, pad=pad, seg=seg),
             None,
         )
 
@@ -329,7 +366,7 @@ def modernbert_embed_packed(params, ids, seg, pos, config, opts, *,
     )
     aux = _layer_aux(config)
     x = _run_layers(x, params, aux, bias_global, bias_local, pos, config,
-                    opts)
+                    opts, seg=seg)
     pooled = pool_normalize_packed(
         x, seg, pos, n_seg, config.pooling, normalize=False
     )

@@ -208,6 +208,36 @@ def test_packed_equals_plain():
     np.testing.assert_allclose(packed, plain, atol=2e-5, rtol=1e-4)
 
 
+def test_packed_pallas_matches_xla():
+    """Packed ModernBERT through the fused route (resident [1, S, S]
+    window bias + in-kernel segment mask, models/modernbert._attention)
+    == the XLA einsum path with per-row [B, S, S] biases."""
+    cfg = dataclasses.replace(MB_CFG, n_ctx=256)
+    params = random_params(cfg, seed=21)
+    rng = np.random.default_rng(22)
+    b, s, n_seg = 2, 128, 8
+    seg = np.full((b, s), -1, np.int32)
+    pos = np.zeros((b, s), np.int32)
+    for i in range(b):
+        c = g = 0
+        while c < s - 4 and g < n_seg:
+            l = min(int(rng.integers(6, 30)), s - c)
+            seg[i, c:c + l] = g
+            pos[i, c:c + l] = np.arange(l)
+            c, g = c + l, g + 1
+    ids = rng.integers(1, cfg.n_vocab, size=(b, s)).astype(np.int32)
+    ids[seg < 0] = 0
+    a = np.asarray(bert_embed_packed(
+        params, ids, seg, pos, cfg,
+        ComputeOptions(dtype="float32", attn_impl="xla"), n_seg=n_seg,
+    ))
+    bb = np.asarray(bert_embed_packed(
+        params, ids, seg, pos, cfg,
+        ComputeOptions(dtype="float32", attn_impl="pallas"), n_seg=n_seg,
+    ))
+    np.testing.assert_allclose(a, bb, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("ftype", [GGUFFileType.MOSTLY_Q4_0,
                                    GGUFFileType.MOSTLY_Q8_0],
                          ids=["q4_0", "q8_0"])

@@ -43,7 +43,8 @@ the same device batches) as the TCP protocol.
     POST /v1/maxsim_index  {"input": ["texts"...]} -> {"total": N}
                           (documents' token states into the on-device
                           late-interaction index)
-    POST /v1/maxsim_search {"input": ["queries"...], "k": 10}
+    POST /v1/maxsim_search {"input": ["queries"...], "k": 10,
+                            "candidates": 256}  # optional two-stage mode
       -> {"results": [[{"index": id, "score": s}, ...k], ...]}
                           (batched MaxSim top-k over resident token states)
     POST /v1/sparse_embeddings {"input": ..., "k": 256,
@@ -680,9 +681,15 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         b.try_reserve(len(texts))
                     except OverloadedError as e:
                         raise HttpError(429, str(e))
+                    cand = payload.get("candidates")
+                    if cand is not None and (
+                        not isinstance(cand, int) or cand < 1
+                    ):
+                        raise HttpError(400,
+                                        "candidates must be a positive int")
                     try:
                         idx, scores = await loop.run_in_executor(
-                            None, b.maxsim_search_texts, texts, k
+                            None, b.maxsim_search_texts, texts, k, cand
                         )
                     finally:
                         b.release(len(texts))

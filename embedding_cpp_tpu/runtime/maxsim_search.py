@@ -99,12 +99,17 @@ def _unit(x):
     return xf / jnp.maximum(n, 1e-12)
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _commit_kernel(corpus, cmask, states, mask, base, sd):
+@partial(jax.jit, static_argnums=(6,), donate_argnums=(0, 1, 2))
+def _commit_kernel(corpus, cmask, pooled, states, mask, base, sd):
     """Scatter one forward chunk's token states [B, S, E] (+ validity mask)
     into the corpus at rows [base, base+B): L2-normalize per token, pad or
-    truncate S -> Sd, zero masked slots.  `base` is a traced scalar, so
-    successive chunks reuse one executable per (chunk shape, Sd)."""
+    truncate S -> Sd, zero masked slots, and refresh the pooled prefilter
+    row (unit mean of the doc's unit token vectors — the approx-mode
+    stage-1 representation).  `base` is a traced scalar, so successive
+    chunks reuse one executable per (chunk shape, Sd); corpus/cmask/pooled
+    are DONATED, so the update is in-place — without donation XLA copies
+    the whole corpus buffer per chunk, which dominated ingest (r4: 516
+    docs/s; maxsim_search_v5e.json)."""
     b, s, e = states.shape
     sn = _unit(states) * (mask[..., None] > 0)
     if s < sd:
@@ -117,7 +122,97 @@ def _commit_kernel(corpus, cmask, states, mask, base, sd):
         corpus, sn.astype(corpus.dtype), (base, 0, 0)
     )
     cmask = jax.lax.dynamic_update_slice(cmask, m, (base, 0))
-    return corpus, cmask
+    pooled = jax.lax.dynamic_update_slice(
+        pooled, _unit(jnp.sum(sn, axis=1)).astype(pooled.dtype), (base, 0)
+    )
+    return corpus, cmask, pooled
+
+
+# host-block row buckets: pad add_token_vectors blocks up so the donated
+# commit compiles O(log N) shapes instead of one per add() size.  Padded
+# rows land in [base+len, base+bucket) — beyond _n, overwritten by the next
+# append — so zero-filling them is safe.
+_HOST_BLOCK_BUCKETS = (64, 256, 1024, 4096)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _host_commit_kernel(corpus, cmask, pooled, blk, msk, base):
+    """Donated scatter of one pre-normalized host block ([Nb, Sd, E] +
+    [Nb, Sd] mask) into the resident buffers — the add_token_vectors path.
+    (`.at[].set` outside jit copies the whole corpus; donation makes the
+    update in-place.)"""
+    corpus = jax.lax.dynamic_update_slice(
+        corpus, blk.astype(corpus.dtype), (base, 0, 0)
+    )
+    cmask = jax.lax.dynamic_update_slice(cmask, msk, (base, 0))
+    pooled = jax.lax.dynamic_update_slice(
+        pooled,
+        _unit(jnp.sum(blk * msk[..., None], axis=1)).astype(pooled.dtype),
+        (base, 0),
+    )
+    return corpus, cmask, pooled
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _maxsim_approx_kernel(corpus, cmask, pooled, q_states, q_mask, n_real,
+                          k, c, qc):
+    """Two-stage candidate search (the late-interaction analog of the dense
+    index's approx path): stage 1 ranks the corpus by pooled-vector cosine
+    ([Qb, N] matmul against the resident [N, E] prefilter — the mean token
+    vector per doc) and keeps the top-C candidate ids; stage 2 gathers the
+    C candidates' token states per query chunk and scores them with EXACT
+    MaxSim; final top-k maps back to global ids.  FLOPs scale with C
+    instead of N: Qb*E*N + Qb*Sq*E*C*Sd vs the exact kernel's
+    Qb*Sq*E*N*Sd."""
+    n = corpus.shape[0]
+    qb = q_states.shape[0]
+    qn = _unit(q_states)  # [Qb, Sq, E]
+    qpool = _unit(jnp.sum(qn * (q_mask[..., None] > 0), axis=1))  # [Qb, E]
+    s1 = jnp.matmul(qpool, pooled.T, preferred_element_type=jnp.float32)
+    valid = jnp.arange(n) < n_real
+    s1 = jnp.where(valid[None, :], s1, -jnp.inf)
+    # approximate candidate selection: exact lax.top_k over a wide [Qb, N]
+    # row is a full sort-network pass and can cost as much as the exact
+    # MaxSim scan it is meant to avoid; approx_max_k (the TPU bucketed
+    # selector, Chern et al. 2022 — the dense index's approx path uses the
+    # same primitive) keeps ~C candidates with high recall, and stage 2
+    # re-scores them EXACTLY, so stage-1 approximation only affects which
+    # borderline candidates are considered, not any returned score
+    _, cidx = jax.lax.approx_max_k(s1, c)  # [Qb, C] candidate ids
+    cidx = cidx.astype(jnp.int32)
+
+    def body(i, scores):
+        qs = jax.lax.dynamic_slice_in_dim(qn, i * qc, qc, axis=0)
+        qm = jax.lax.dynamic_slice_in_dim(q_mask, i * qc, qc, axis=0)
+        ci = jax.lax.dynamic_slice_in_dim(cidx, i * qc, qc, axis=0)
+        cand = corpus[ci]  # [qc, C, Sd, E] gather
+        cm = cmask[ci]  # [qc, C, Sd]
+        sim = jnp.einsum(
+            "qte,qcse->qtcs", qs, cand.astype(qs.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        sim = jnp.where(cm[:, None], sim, -jnp.inf)
+        best = jnp.max(sim, axis=-1)  # [qc, Sq, C]
+        best = jnp.where(qm[:, :, None] > 0, best, 0.0)
+        return jax.lax.dynamic_update_slice(
+            scores, jnp.sum(best, axis=1), (i * qc, 0)
+        )
+
+    scores = jax.lax.fori_loop(
+        0, qb // qc, body, jnp.zeros((qb, c), jnp.float32)
+    )
+    # all-padding candidate slots (beyond n_real) carry -inf stage-1
+    # scores but real gathered rows; re-mask by candidate validity
+    scores = jnp.where(
+        jnp.take_along_axis(
+            jnp.broadcast_to(valid[None, :], s1.shape), cidx, axis=1
+        ),
+        scores, -jnp.inf,
+    )
+    s, j = jax.lax.top_k(scores, k)  # j indexes the candidate axis
+    ids = jnp.take_along_axis(cidx, j, axis=1)
+    ids = jnp.where(jnp.isfinite(s), ids, -1)
+    return _pack_result(s, ids)
 
 
 def _make_sharded_maxsim(mesh):
@@ -186,7 +281,7 @@ class MaxSimIndex:
     """
 
     def __init__(self, engine, *, doc_maxlen: int = 256,
-                 dtype: str = "bfloat16", mesh=None):
+                 dtype: str = "bfloat16", mesh=None, capacity: int = 0):
         if jax.process_count() > 1:
             raise RuntimeError("MaxSimIndex is single-controller only")
         self.engine = engine
@@ -195,6 +290,7 @@ class MaxSimIndex:
             raise ValueError(f"doc_maxlen must be positive, got {doc_maxlen}")
         self.dtype = jnp.dtype(dtype)
         self.mesh = mesh
+        self._capacity_hint = int(capacity)  # pre-size: no growth re-pads
         self._dp = 1
         self._sharding = None
         self._msharding = None
@@ -209,8 +305,12 @@ class MaxSimIndex:
             self._sharded_search = _make_sharded_maxsim(mesh)
         self._corpus = None  # [capacity, Sd, E] device
         self._cmask = None  # [capacity, Sd] bool
+        self._pooled = None  # [capacity, E] f32 — approx-mode prefilter
         self._n = 0
         self._lock = threading.Lock()
+        if self._capacity_hint:
+            with self._lock:
+                self._ensure_capacity(self._capacity_hint)
 
     def __len__(self) -> int:
         return self._n
@@ -259,9 +359,10 @@ class MaxSimIndex:
                     keep = np.zeros_like(mask)
                     for r, p in enumerate(positions):
                         keep[r, : lens[r]] = keep_rows[p]
-                    self._corpus, self._cmask = _commit_kernel(
-                        self._corpus, self._cmask, dev, jnp.asarray(keep),
-                        base + positions[0], self.doc_maxlen,
+                    self._corpus, self._cmask, self._pooled = _commit_kernel(
+                        self._corpus, self._cmask, self._pooled, dev,
+                        jnp.asarray(keep), base + positions[0],
+                        self.doc_maxlen,
                     )
             else:
                 states = self.engine.token_states_tokens(token_lists)
@@ -298,25 +399,54 @@ class MaxSimIndex:
             return self._n
 
     def _host_commit(self, states: Sequence[np.ndarray], base: int) -> None:
-        """Normalize/pad/truncate host-side and device_put one block."""
+        """Normalize/pad/truncate host-side, then commit on device.
+
+        Single-device: bucketed DONATED scatters (one executable per bucket
+        size, in-place update — the `.at[].set`-outside-jit form copied the
+        whole corpus per add and capped ingest at ~516 docs/s, r4).  Mesh:
+        one `.at[].set` + re-shard (the dp path; adds are rare relative to
+        searches there and donation across shardings is not worth the
+        complexity)."""
         sd, e = self.doc_maxlen, self.n_embd
-        blk = np.zeros((len(states), sd, e), np.float32)
-        msk = np.zeros((len(states), sd), bool)
-        for i, s in enumerate(states):
-            s = np.asarray(s, np.float32)[:sd]
-            norm = np.linalg.norm(s, axis=-1, keepdims=True)
-            blk[i, : len(s)] = s / np.maximum(norm, 1e-12)
-            msk[i, : len(s)] = True
-        corpus = self._corpus.at[base : base + len(states)].set(
-            jnp.asarray(blk, self.dtype)
-        )
-        cmask = self._cmask.at[base : base + len(states)].set(
-            jnp.asarray(msk)
-        )
+
+        def block(chunk):
+            blk = np.zeros((len(chunk), sd, e), np.float32)
+            msk = np.zeros((len(chunk), sd), bool)
+            for i, s in enumerate(chunk):
+                s = np.asarray(s, np.float32)[:sd]
+                norm = np.linalg.norm(s, axis=-1, keepdims=True)
+                blk[i, : len(s)] = s / np.maximum(norm, 1e-12)
+                msk[i, : len(s)] = True
+            return blk, msk
+
         if self._sharding is not None:
-            corpus = jax.device_put(corpus, self._sharding)
-            cmask = jax.device_put(cmask, self._msharding)
-        self._corpus, self._cmask = corpus, cmask
+            blk, msk = block(states)
+            corpus = self._corpus.at[base : base + len(states)].set(
+                jnp.asarray(blk, self.dtype)
+            )
+            cmask = self._cmask.at[base : base + len(states)].set(
+                jnp.asarray(msk)
+            )
+            self._corpus = jax.device_put(corpus, self._sharding)
+            self._cmask = jax.device_put(cmask, self._msharding)
+            return
+        cap = _HOST_BLOCK_BUCKETS[-1]
+        for lo in range(0, len(states), cap):
+            chunk = states[lo : lo + cap]
+            nb = next(b for b in _HOST_BLOCK_BUCKETS if len(chunk) <= b)
+            blk, msk = block(chunk)
+            if nb != len(chunk):  # pad rows land beyond _n: safe (see above)
+                blk = np.concatenate(
+                    [blk, np.zeros((nb - len(chunk), sd, e), np.float32)]
+                )
+                msk = np.concatenate(
+                    [msk, np.zeros((nb - len(chunk), sd), bool)]
+                )
+            self._ensure_capacity(base + lo + nb)
+            self._corpus, self._cmask, self._pooled = _host_commit_kernel(
+                self._corpus, self._cmask, self._pooled,
+                jnp.asarray(blk, self.dtype), jnp.asarray(msk), base + lo,
+            )
 
     def _ensure_capacity(self, need: int) -> None:
         if need > MAX_INDEX_ROWS:
@@ -332,18 +462,22 @@ class MaxSimIndex:
         grown = jnp.zeros((new_cap, self.doc_maxlen, self.n_embd),
                           dtype=self.dtype)
         gmask = jnp.zeros((new_cap, self.doc_maxlen), dtype=bool)
+        gpool = jnp.zeros((new_cap, self.n_embd), dtype=jnp.float32)
         if self._sharding is not None:
             grown = jax.device_put(grown, self._sharding)
             gmask = jax.device_put(gmask, self._msharding)
+            gpool = jax.device_put(gpool, self._msharding)
         if self._corpus is not None:
             grown = jax.lax.dynamic_update_slice(
                 grown, self._corpus, (0, 0, 0)
             )
             gmask = jax.lax.dynamic_update_slice(gmask, self._cmask, (0, 0))
+            gpool = jax.lax.dynamic_update_slice(gpool, self._pooled, (0, 0))
             if self._sharding is not None:
                 grown = jax.device_put(grown, self._sharding)
                 gmask = jax.device_put(gmask, self._msharding)
-        self._corpus, self._cmask = grown, gmask
+                gpool = jax.device_put(gpool, self._msharding)
+        self._corpus, self._cmask, self._pooled = grown, gmask, gpool
 
     # --- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:
@@ -372,27 +506,37 @@ class MaxSimIndex:
         return self.add_token_vectors(docs)
 
     # --- querying ------------------------------------------------------------
-    def search(self, queries: Sequence[str], k: int = 10):
+    def search(self, queries: Sequence[str], k: int = 10,
+               candidates: int | None = None):
         """Texts -> (indices [n, k] int32, scores [n, k] f32), id -1 /
         score -inf past the corpus (the VectorIndex padding contract).
         Query token states encode with the model's query prompt prefix;
         ColBERT checkpoints use [Q]-marker framing with [MASK] augmentation
-        (all query_maxlen vectors score)."""
+        (all query_maxlen vectors score).  `candidates` enables the
+        two-stage mode (see search_token_vectors)."""
         queries = list(queries)
         if self.engine.config.colbert_dim:
             states = self.engine.colbert_query_vectors(queries)
-            return self.search_token_vectors(states, k)
+            return self.search_token_vectors(states, k,
+                                             candidates=candidates)
         prefix = self.engine.query_prompt_prefix()
         if prefix:
             queries = [prefix + t for t in queries]
         token_lists = self.engine.tokenize_batch(queries)
         states = self.engine.token_states_tokens(token_lists)
-        return self.search_token_vectors(states, k)
+        return self.search_token_vectors(states, k, candidates=candidates)
 
     def search_token_vectors(
-        self, states: Sequence[np.ndarray], k: int = 10
+        self, states: Sequence[np.ndarray], k: int = 10,
+        candidates: int | None = None,
     ):
-        """Precomputed query token matrices [len_i, E] -> (ids, scores)."""
+        """Precomputed query token matrices [len_i, E] -> (ids, scores).
+
+        `candidates=C` switches to the two-stage mode: a pooled-vector
+        cosine prefilter picks the top-C documents per query, exact MaxSim
+        re-scores only those (the dense index's approx-path analog —
+        search FLOPs scale with C, not the corpus).  Single-device only;
+        exact mode is the default and the mesh path."""
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
         states = [np.asarray(s, np.float32) for s in states]
@@ -423,7 +567,25 @@ class MaxSimIndex:
                 qm[i, : len(s)] = 1
             cap = self._corpus.shape[0]
             nb = _doc_block(qb, sq, self.doc_maxlen, cap // self._dp)
-            if self._sharding is not None:
+            if candidates is not None:
+                if self._sharding is not None:
+                    raise ValueError(
+                        "two-stage candidates mode is single-device; use "
+                        "exact search on a mesh"
+                    )
+                c = max(k, min(int(candidates), self._n, cap))
+                # query-chunk size bounds the [qc, C, Sd, E] gather tile
+                qc = max(1, _SIM_TILE_BUDGET
+                         // max(1, c * self.doc_maxlen * self.n_embd * 4))
+                qc = 1 << (qc.bit_length() - 1)
+                while qb % qc:
+                    qc //= 2
+                packed = _maxsim_approx_kernel(
+                    self._corpus, self._cmask, self._pooled,
+                    jnp.asarray(q), jnp.asarray(qm), self._n, k, c,
+                    max(qc, 1),
+                )
+            elif self._sharding is not None:
                 packed = self._sharded_search(
                     self._corpus, self._cmask, jnp.asarray(q),
                     jnp.asarray(qm), self._n, k, nb,

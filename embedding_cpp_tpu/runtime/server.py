@@ -264,12 +264,15 @@ class ContinuousBatcher:
                     )
         return self.maxsim_index.add(texts)
 
-    def maxsim_search_texts(self, texts: list[str], k: int):
+    def maxsim_search_texts(self, texts: list[str], k: int,
+                            candidates: int | None = None):
         if self.maxsim_index is None:
             raise RuntimeError(
                 "no MaxSim index built (send a maxsim_index frame first)"
             )
-        return self.maxsim_index.search(texts, k)
+        if candidates is not None and self.engine.mesh is not None:
+            candidates = None  # two-stage mode is single-device; exact
+        return self.maxsim_index.search(texts, k, candidates=candidates)
 
     def hybrid_index_texts(self, texts: list[str]) -> int:
         """Add the same documents to BOTH the dense and the sparse index

@@ -216,3 +216,67 @@ def test_index_mesh_matches_single(engine, eight_devices):
     i2, s2 = sharded.search(QUERIES, k=6)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_index_candidates_mode_exact_when_c_covers_corpus(engine):
+    """candidates >= corpus size: the two-stage mode reduces to exact
+    (every doc is a candidate) — ids and scores must match."""
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    idx = MaxSimIndex(engine, dtype="float32")
+    idx.add(DOCS)
+    i1, s1 = idx.search(QUERIES, k=4)
+    i2, s2 = idx.search(QUERIES, k=4, candidates=len(DOCS))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_index_candidates_mode_agreement(engine):
+    """A narrow candidate set still recovers the exact top-1 on a corpus
+    where the pooled prefilter is informative (each doc's mean token vector
+    tracks its tokens), and candidate scores are EXACT MaxSim values."""
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    idx = MaxSimIndex(engine, dtype="float32")
+    idx.add(DOCS * 4)  # 24 docs
+    ie, se = idx.search(QUERIES, k=3)
+    ia, sa = idx.search(QUERIES, k=3, candidates=8)
+    # top-1 agreement (the pooled prefilter must keep the best doc); the
+    # duplicated corpus makes several ids score-equivalent, so compare
+    # scores, not raw ids
+    np.testing.assert_allclose(sa[:, 0], se[:, 0], rtol=1e-5, atol=1e-5)
+    # every approx score is an exact MaxSim value for its id
+    expected = _expected_index_scores(engine, QUERIES, DOCS * 4)
+    for qi in range(len(QUERIES)):
+        for j in range(3):
+            if ia[qi, j] >= 0:
+                np.testing.assert_allclose(
+                    sa[qi, j], expected[qi][ia[qi, j]], rtol=1e-4, atol=1e-4
+                )
+
+
+def test_index_candidates_rejects_mesh(engine, eight_devices):
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    mesh = make_mesh(dp=8, tp=1, devices=eight_devices)
+    idx = MaxSimIndex(engine, dtype="float32", mesh=mesh)
+    idx.add(DOCS)
+    with pytest.raises(ValueError, match="single-device"):
+        idx.search(QUERIES, k=2, candidates=4)
+
+
+def test_index_capacity_presize_and_growth_paths_agree(engine):
+    """capacity= pre-sizing (no growth re-pads) must not change results;
+    pooled prefilter rows survive growth."""
+    from embedding_cpp_tpu.runtime.maxsim_search import MaxSimIndex
+
+    pre = MaxSimIndex(engine, dtype="float32", capacity=4096)
+    grow = MaxSimIndex(engine, dtype="float32")
+    pre.add(DOCS)
+    grow.add(DOCS)
+    for cand in (None, len(DOCS)):
+        i1, s1 = pre.search(QUERIES, k=4, candidates=cand)
+        i2, s2 = grow.search(QUERIES, k=4, candidates=cand)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)

@@ -14,8 +14,14 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# shared timing/geometry helpers live with the A/B harnesses — one source so
+# the headline metrics and the committed A/B artifacts can never drift apart
+sys.path.insert(0, str(Path(__file__).resolve().parent / "benchmarks"))
+from kernels import _timed  # noqa: E402
 
 # Reference q4_0 STSBenchmark eval times (BASELINE.md) over the 2758-sentence
 # test split -> sentences/s on the reference's CPU.
@@ -134,6 +140,8 @@ def _in_device_forward_ms(
     from embedding_cpp_tpu.models import ComputeOptions, random_params
     from embedding_cpp_tpu.models.bert import bert_embed_batch, bert_embed_packed
 
+    from packed_bse_ab import _serving_segments
+
     config = PRESETS[preset]
     ftypes = {"f32": GGUFFileType.ALL_F32, "f16": GGUFFileType.MOSTLY_F16,
               "q4_0": GGUFFileType.MOSTLY_Q4_0,
@@ -153,18 +161,7 @@ def _in_device_forward_ms(
 
     if packed:
         # serving geometry: 512-token rows packed with ~12.6-token sentences
-        seg_np = np.full((b, s), -1, np.int32)
-        pos_np = np.zeros((b, s), np.int32)
-        for i in range(b):
-            c, g = 0, 0
-            while True:
-                l = int(np.clip(rng.geometric(1.0 / 12.6), 3, 64))
-                if c + l > s:
-                    break
-                seg_np[i, c:c + l] = g
-                pos_np[i, c:c + l] = np.arange(l)
-                c += l
-                g += 1
+        seg_np, pos_np = _serving_segments(rng, b, s)
         ids_np = rng.integers(1, config.n_vocab, size=(b, s)).astype(np.int32)
         ids_np[seg_np < 0] = 0
         args = (params, jnp.asarray(ids_np), jnp.asarray(seg_np),
@@ -197,12 +194,6 @@ def _in_device_forward_ms(
     float(np.asarray(loop(*args)))  # compile
     best = min(_timed(lambda: float(np.asarray(loop(*args)))) for _ in range(3))
     return max((best - floor) / iters, 1e-9) * 1e3
-
-
-def _timed(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
 
 
 def run_headline(

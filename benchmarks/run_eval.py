@@ -309,13 +309,21 @@ def run_mode(mode: str, model_name: str, encoder, sts, clf, task_names,
 
 
 def _gate_baseline(failures: list, model_name: str, mode: str,
-                   scores: dict, enabled: bool) -> None:
-    # the retrieval-ranking gate is ALWAYS on when the task ran: the
-    # synthetic corpus is deterministic, so a drop below the floor means a
-    # broken ranking path (RRF fusion, COO padding, top-k), not noise
+                   scores: dict, enabled: bool,
+                   synthetic_model: bool = False) -> None:
+    # the *_lex mechanics gates are ALWAYS on when the task ran: they drive
+    # the index/fusion machinery with deterministic lexical vectors, so a
+    # drop below the floor means a broken ranking path (RRF fusion, COO
+    # padding, top-k), not model quality.  The model-based dense floor only
+    # applies to synthetic-weights runs (where it was calibrated) or under
+    # --assert-baseline — an arbitrary real checkpoint's tokenizer may
+    # legitimately fragment the synthetic English vocabulary.
     for key, score in scores.items():
         if key.startswith("retrieval_"):
-            floor = RETRIEVAL_MIN_NDCG.get(key.removeprefix("retrieval_"))
+            name = key.removeprefix("retrieval_")
+            if name == "dense" and not (synthetic_model or enabled):
+                continue
+            floor = RETRIEVAL_MIN_NDCG.get(name)
             if floor is not None and score < floor:
                 failures.append(
                     f"{model_name}_{mode} {key}: nDCG@10 {score:.4f} below "
@@ -411,7 +419,7 @@ def main() -> None:
                                         sparse=args.sparse_encode),
                     sts, clf, args.tasks, warmup=args.warmup, ret=ret)
                 _gate_baseline(failures, model_name, mode, scores,
-                               args.assert_baseline)
+                               args.assert_baseline, synthetic_model=True)
     elif args.server:
         from embedding_cpp_tpu.runtime.client import EmbeddingClient
 

@@ -110,10 +110,12 @@ def _rel_table(params, config, opts):
     )
 
 
-def _attention(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias, config, opts):
+def _attention(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias, config, opts,
+               seg=None):
     """Disentangled self-attention.  c2p_pos/p2c_pos: int32 gather indices,
-    [S, S] (plain; trace-time constants) or [B, S, S] (packed);
-    mask_bias: [B, S] key-padding bias or [B, Sq, Sk] segment bias."""
+    [S, S] (plain; trace-time constants) or [B, S, S] (packed XLA rows);
+    mask_bias: [B, S] key-padding bias or [B, Sq, Sk] segment bias; `seg`
+    ([B, S] int32, packed rows) routes the fused segment kernel."""
     b, s, e = x.shape
     d = config.head_dim
     q = linear(x, lp["q_w"], lp["q_b"], q4_impl=opts.q4_impl)
@@ -139,21 +141,32 @@ def _attention(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias, config, opts):
         on_tpu = jax.devices()[0].platform == "tpu"
         impl = "pallas" if (on_tpu and local) else "xla"
     if impl == "pallas" and (
-        mask_bias.ndim != 2        # packed rows: [B, S, S] segment bias
-        or c2p_pos.ndim != 2       # packed rows: per-row bucket indices
+        (seg is None and mask_bias.ndim != 2)  # legacy [B,S,S] bias callers
         or s % 64 or d % 8 or s > 512  # whole-sequence kernel tiles
     ):
-        # the fused kernel covers the plain padded-batch path only; packed
-        # rows rebuild buckets per segment ([B, S, S] gather indices, no
-        # trace-time delta structure) and ride the XLA path
         impl = "xla"
     if impl == "pallas":
-        from ..ops.deberta_attention import disentangled_attention
-
-        att = disentangled_attention(
-            q, k, v, mask_bias, pos_k, pos_q,
-            config.rel_attn_buckets, config.rel_attn_max_dist,
+        from ..ops.deberta_attention import (
+            disentangled_attention,
+            disentangled_attention_packed,
         )
+
+        if seg is not None:
+            # packed rows: the segment twin of the fused kernel — plain
+            # absolute-offset delta tables (within a segment the restart
+            # positions are consecutive, so bucket(pos_q - pos_k) equals
+            # bucket(q - k) on every unmasked pair; cross-segment pairs
+            # mask to exact softmax zero), block-diagonal mask in-kernel
+            # (deberta_packed_ab_v5e.json)
+            att = disentangled_attention_packed(
+                q, k, v, seg, pos_k, pos_q,
+                config.rel_attn_buckets, config.rel_attn_max_dist,
+            )
+        else:
+            att = disentangled_attention(
+                q, k, v, mask_bias, pos_k, pos_q,
+                config.rel_attn_buckets, config.rel_attn_max_dist,
+            )
         return att.reshape(b, s, h * d)
 
     scale = 1.0 / math.sqrt(d * 3)  # scale_factor = 1 + |{c2p, p2c}|
@@ -192,12 +205,12 @@ def _attention(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias, config, opts):
 
 
 def _encoder_layer(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias, config,
-                   opts):
+                   opts, seg=None):
     """Post-norm block (DebertaV2Layer.forward): attn + add&norm, GELU FFN
     + add&norm — identical residual layout to BERT (models/bert.py
     encoder_layer), only the attention differs."""
     att = _attention(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias, config,
-                     opts)
+                     opts, seg=seg)
     x = linear(
         att, lp["o_w"], lp["o_b"], q4_impl=opts.q4_impl,
         reduce_axis=opts.tp_axis, residual=x,
@@ -215,10 +228,10 @@ def _encoder_layer(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias, config,
 
 
 def _run_layers(x, params, rel_table, c2p_pos, p2c_pos, mask_bias, config,
-                opts):
+                opts, seg=None):
     def body(x, lp):
         return _encoder_layer(x, lp, rel_table, c2p_pos, p2c_pos, mask_bias,
-                              config, opts), None
+                              config, opts, seg=seg), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x
@@ -309,7 +322,7 @@ def deberta_embed_packed(params, ids, seg, pos, config, opts, *, n_seg,
     key_ok = (seg >= 0)[:, None, :]
     seg_bias = jnp.where(allowed & key_ok, 0.0, _MASK_BIAS).astype(jnp.float32)
     x = _run_layers(x, params, rel_table, c2p_pos, p2c_pos, seg_bias, config,
-                    opts)
+                    opts, seg=seg)
     pooled = pool_normalize_packed(
         x, seg, pos, n_seg, config.pooling, normalize=False
     )

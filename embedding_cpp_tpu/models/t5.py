@@ -151,12 +151,10 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts,
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
     scores = scores + pos_bias  # [H,S,S] broadcasts over batch
-    if seg is not None:
-        allowed = seg[:, :, None] == seg[:, None, :]  # [B, Sq, Sk]
-        key_ok = (seg >= 0)[:, None, :]
-        scores = scores + jnp.where(
-            allowed & key_ok, 0.0, _MASK_BIAS
-        ).astype(jnp.float32)[:, None, :, :]
+    if mask_bias.ndim == 3:
+        # packed XLA fallback: the [B, Sq, Sk] segment bias is computed
+        # ONCE outside the layer scan (t5_embed_packed), not per layer
+        scores = scores + mask_bias[:, None, :, :]
     else:
         scores = scores + mask_bias[:, None, None, :]
     probs = jax.nn.softmax(scores, axis=-1).astype(xn.dtype)
@@ -259,7 +257,12 @@ def t5_embed_packed(params, ids, seg, pos, config, opts, *, n_seg,
         params["rel_attn_bias"], ids.shape[-1],
         max_distance=config.rel_attn_max_dist,
     )  # [H, S, S], batch-invariant (valid within segments — see docstring)
-    x = _run_layers(x, params, pos_bias, None, config, opts, seg=seg,
+    allowed = seg[:, :, None] == seg[:, None, :]  # [B, Sq, Sk]
+    key_ok = (seg >= 0)[:, None, :]
+    seg_bias = jnp.where(allowed & key_ok, 0.0, _MASK_BIAS).astype(
+        jnp.float32
+    )  # built once; only the XLA fallback reads it (the kernel path uses seg)
+    x = _run_layers(x, params, pos_bias, seg_bias, config, opts, seg=seg,
                     max_seg_len=max_seg_len)
     pooled = pool_normalize_packed(
         x, seg, pos, n_seg, config.pooling, normalize=False

@@ -210,16 +210,31 @@ def _flash_attention_bias(q: Array, k: Array, v: Array, mask_bias: Array,
     )(q, k, v, mask_bias[:, None, :], pos_bias)
 
 
-def _attn_bse_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, h, d):
-    # blocks: q/k/v/o [1, S, H*d]; bias [1, 1, S] f32.  Heads are LANE
-    # SLICES of the projection output — no [B,S,H,d] reshape/transpose ever
-    # happens.  The r4 forward breakdown measured the layout transposes of
-    # the [B,H,S,d] kernel at ~135 us/layer HBM-roofline time and the whole
-    # attn block at 794 us; this layout runs the same block at 456 us with
-    # bit-identical output (q4_forward_breakdown.md).  Lane-sliced [S, d]
-    # operands cost VPU-local relayout instead of HBM round trips, and the
-    # [S, E] tiles DMA fully contiguous.
-    bias = bias_ref[0, 0]
+def _attn_bse_kernel(q_ref, k_ref, v_ref, mask_ref, *rest, scale, h, d,
+                     seg_mask):
+    # ONE body serves all four projection-layout variants; blocks:
+    # q/k/v/o [1, S, H*d]; mask [1, 1, S] — f32 additive key-padding bias,
+    # or int32 segment ids when seg_mask (packed rows: the block-diagonal
+    # mask computes in-kernel); optional pbias [PH, S, S] f32 (PH = H, or 1
+    # for a head-invariant bias) rides a constant index map so Pallas DMAs
+    # it once and every batch step revisits it VMEM-resident.
+    #
+    # Heads are LANE SLICES of the projection output — no [B,S,H,d]
+    # reshape/transpose ever happens.  The r4 forward breakdown measured
+    # the layout transposes of the [B,H,S,d] kernel at ~135 us/layer
+    # HBM-roofline time and the whole attn block at 794 us; this layout
+    # runs the same block at 456 us with bit-identical output
+    # (q4_forward_breakdown.md).  Lane-sliced [S, d] operands cost
+    # VPU-local relayout instead of HBM round trips, and the [S, E] tiles
+    # DMA fully contiguous.  Packing is the engine's default serving path
+    # (engine.py packing="auto"), so the seg variants carry the same win
+    # to production (packed_bse_ab_v5e.json / packed_bias_ab_v5e.json).
+    pbias_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
+    if seg_mask:
+        seg = mask_ref[0, 0]
+        allowed = seg[:, None] == seg[None, :]  # [S, S]
+    else:
+        bias = mask_ref[0, 0]
     for hh in range(h):
         sl = slice(hh * d, (hh + 1) * d)
         q = q_ref[0, :, sl]
@@ -230,7 +245,15 @@ def _attn_bse_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, h, d):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [S, S]
-        scores = scores * scale + bias[None, :]
+        if seg_mask:
+            sc = scores * scale
+            if pbias_ref is not None:
+                sc = sc + pbias_ref[hh % pbias_ref.shape[0]]
+            scores = jnp.where(allowed, sc, -1e9)
+        else:
+            scores = scores * scale + bias[None, :]
+            if pbias_ref is not None:
+                scores = scores + pbias_ref[hh % pbias_ref.shape[0]]
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
@@ -240,43 +263,58 @@ def _attn_bse_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, h, d):
         o_ref[0, :, sl] = (acc / se).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("h",))
-def _flash_attention_bse(q: Array, k: Array, v: Array, mask_bias: Array, *,
-                         h: int) -> Array:
-    """q/k/v: [B, S, H*d] (projection-output layout); mask_bias: [B, S]
-    f32 additive. -> [B, S, H*d]"""
+@functools.partial(jax.jit, static_argnames=("h", "seg_mask"))
+def _flash_attention_bse_call(q: Array, k: Array, v: Array, mask: Array,
+                              pos_bias: Array | None, *, h: int,
+                              seg_mask: bool) -> Array:
+    """Shared pallas_call for the BSE family.  q/k/v: [B, S, H*d]; mask:
+    [B, S] (f32 bias, or int32 seg ids when seg_mask); pos_bias: optional
+    [H|1, S, S] f32. -> [B, S, H*d]"""
     b, s, e = q.shape
     d = e // h
     scale = 1.0 / (d**0.5)
 
-    kernel = functools.partial(_attn_bse_kernel, scale=scale, h=h, d=d)
+    kernel = functools.partial(_attn_bse_kernel, scale=scale, h=h, d=d,
+                               seg_mask=seg_mask)
+    row = pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [row, row, row,
+                pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [q, k, v, mask[:, None, :]]
+    bias_bytes = 0
+    if pos_bias is not None:
+        ph = pos_bias.shape[0]
+        in_specs.append(pl.BlockSpec((ph, s, s), lambda bi: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(pos_bias)
+        bias_bytes = ph * s * s * 4
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * s * d,
-            bytes_accessed=4 * b * s * e * q.dtype.itemsize,
+            bytes_accessed=4 * b * s * e * q.dtype.itemsize + bias_bytes,
             transcendentals=b * h * s * s,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=32 * 1024 * 1024,
+            # bias residency requires sequential batch steps revisiting the
+            # constant-index bias block; without a bias the single grid
+            # axis is embarrassingly parallel
+            dimension_semantics=(
+                ("arbitrary",) if pos_bias is not None else ("parallel",)
+            ),
+            # the resident [H, S, S] f32 bias is ~12.6 MB at mpnet-base
+            # geometry on top of the qkv/score tiles (v5e has 128M physical)
+            vmem_limit_bytes=(48 if pos_bias is not None else 32)
+            * 1024 * 1024,
         ),
         interpret=jax.devices()[0].platform != "tpu",
-    )(q, k, v, mask_bias[:, None, :])
+    )(*args)
 
 
 def flash_attention_bse(q: Array, k: Array, v: Array, mask_bias: Array,
@@ -291,88 +329,9 @@ def flash_attention_bse(q: Array, k: Array, v: Array, mask_bias: Array,
     S % 8 == 0, (H*d) % H == 0, d % 8 == 0, and S small enough for a
     whole-sequence [S, S] f32 score tile (<= 1024).
     """
-    return _flash_attention_bse(q, k, v, mask_bias.astype(jnp.float32), h=h)
-
-
-def _attn_bias_bse_kernel(q_ref, k_ref, v_ref, bias_ref, pbias_ref, o_ref, *,
-                          scale, h, d):
-    # blocks: q/k/v/o [1, S, H*d]; bias [1, 1, S] f32; pbias [PH, S, S] f32
-    # (PH = H, or 1 for a head-invariant bias) — the FULL position-bias
-    # table rides one grid cell and its constant index map means Pallas
-    # DMAs it once, then every batch step revisits it resident in VMEM.
-    # Heads are lane slices like _attn_bse_kernel.
-    bias = bias_ref[0, 0]
-    for hh in range(h):
-        sl = slice(hh * d, (hh + 1) * d)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        scores = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [S, S]
-        scores = scores * scale + bias[None, :]
-        scores = scores + pbias_ref[hh % pbias_ref.shape[0]]
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
-        acc = jnp.dot(  # softmax divide deferred to the [S, d] output
-            e.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        o_ref[0, :, sl] = (acc / se).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("h",))
-def _flash_attention_bias_bse(q: Array, k: Array, v: Array,
-                              mask_bias: Array, pos_bias: Array, *,
-                              h: int) -> Array:
-    """q/k/v: [B, S, H*d] (projection-output layout); mask_bias: [B, S]
-    f32; pos_bias: [H, S, S] or [1, S, S] f32. -> [B, S, H*d]"""
-    b, s, e = q.shape
-    d = e // h
-    scale = 1.0 / (d**0.5)
-
-    kernel = functools.partial(_attn_bias_bse_kernel, scale=scale, h=h, d=d)
-    ph = pos_bias.shape[0]
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ph, s, s), lambda bi: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s * s * d,
-            bytes_accessed=4 * b * s * e * q.dtype.itemsize + ph * s * s * 4,
-            transcendentals=b * h * s * s,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            # bias residency requires sequential batch steps revisiting the
-            # constant-index bias block
-            dimension_semantics=("arbitrary",),
-            # the resident [H, S, S] f32 bias is ~12.6 MB at mpnet-base
-            # geometry on top of the qkv/score tiles (v5e has 128M physical)
-            vmem_limit_bytes=48 * 1024 * 1024,
-        ),
-        interpret=jax.devices()[0].platform != "tpu",
-    )(q, k, v, mask_bias[:, None, :], pos_bias)
-
-
-# VMEM gate for the resident-bias BSE kernel: full bias + qkv/out tiles +
-# the per-head f32 score tile must fit comfortably
-_BIAS_BSE_BUDGET = 28 * 1024 * 1024
+    return _flash_attention_bse_call(
+        q, k, v, mask_bias.astype(jnp.float32), None, h=h, seg_mask=False
+    )
 
 
 def flash_attention_bias_bse(q: Array, k: Array, v: Array, mask_bias: Array,
@@ -384,88 +343,10 @@ def flash_attention_bias_bse(q: Array, k: Array, v: Array, mask_bias: Array,
     bias is DMA'd once and stays VMEM-resident across the batch grid.
     Callers guarantee S % 8 == 0, d % 8 == 0, S <= 1024 and the VMEM gate
     (fits_bias_bse)."""
-    return _flash_attention_bias_bse(
+    return _flash_attention_bse_call(
         q, k, v, mask_bias.astype(jnp.float32),
-        pos_bias.astype(jnp.float32), h=h,
+        pos_bias.astype(jnp.float32), h=h, seg_mask=False,
     )
-
-
-def fits_bias_bse(s: int, e: int, ph: int, itemsize: int) -> bool:
-    """True when the resident-bias BSE kernel's working set fits the
-    budget: bias [PH, S, S] f32 + 2x-buffered qkv/out [S, E] tiles + two
-    f32 [S, S] score-class tiles."""
-    need = (ph * s * s * 4 + 8 * s * e * itemsize + 2 * s * s * 4)
-    return need <= _BIAS_BSE_BUDGET
-
-
-def _attn_seg_bse_kernel(q_ref, k_ref, v_ref, seg_ref, o_ref, *, scale, h, d):
-    # blocks: q/k/v/o [1, S, H*d]; seg [1, 1, S] int32.  The projection
-    # layout of _attn_bse_kernel with the segment mask of _attn_seg_kernel:
-    # heads are LANE SLICES, the block-diagonal mask is computed once per
-    # grid cell (per batch row) and shared by the sequential per-head dots.
-    # This is the packed twin of flash_attention_bse — packing is the
-    # engine's default serving path (engine.py packing="auto"), so the
-    # no-transpose layout win (attn block 456 vs 794 us at MiniLM [32,512],
-    # q4_forward_breakdown.md) has to land here to reach production.
-    seg = seg_ref[0, 0]
-    allowed = seg[:, None] == seg[None, :]  # [S, S]
-    for hh in range(h):
-        sl = slice(hh * d, (hh + 1) * d)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        scores = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [S, S]
-        scores = jnp.where(allowed, scores * scale, -1e9)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
-        acc = jnp.dot(  # softmax divide deferred to the [S, d] output
-            e.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        o_ref[0, :, sl] = (acc / se).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("h",))
-def _flash_attention_packed_bse(q: Array, k: Array, v: Array, seg: Array, *,
-                                h: int) -> Array:
-    """q/k/v: [B, S, H*d] (projection-output layout); seg: [B, S] int32
-    (-1 = padding). -> [B, S, H*d]"""
-    b, s, e = q.shape
-    d = e // h
-    scale = 1.0 / (d**0.5)
-
-    kernel = functools.partial(_attn_seg_bse_kernel, scale=scale, h=h, d=d)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s * s * d,
-            bytes_accessed=4 * b * s * e * q.dtype.itemsize,
-            transcendentals=b * h * s * s,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=32 * 1024 * 1024,
-        ),
-        interpret=jax.devices()[0].platform != "tpu",
-    )(q, k, v, seg[:, None, :])
 
 
 def flash_attention_packed_bse(q: Array, k: Array, v: Array, seg: Array,
@@ -480,91 +361,9 @@ def flash_attention_packed_bse(q: Array, k: Array, v: Array, seg: Array,
     (q4_forward_breakdown.md).  Callers guarantee S % 8 == 0, d % 8 == 0,
     and 128 <= S <= 1024 (whole-sequence [S, S] f32 score tile in VMEM).
     """
-    return _flash_attention_packed_bse(q, k, v, seg.astype(jnp.int32), h=h)
-
-
-def _attn_bias_seg_bse_kernel(q_ref, k_ref, v_ref, seg_ref, pbias_ref, o_ref,
-                              *, scale, h, d):
-    # blocks: q/k/v/o [1, S, H*d]; seg [1, 1, S] int32; pbias [PH, S, S] f32
-    # (PH = H, or 1 for a head-invariant bias).  The packed twin of
-    # _attn_bias_bse_kernel: the FULL position-bias table rides one grid
-    # cell (constant index map -> DMA'd once, VMEM-resident across the
-    # batch grid) and the block-diagonal segment mask is computed in-kernel.
-    # Valid because within a packed segment the per-segment positions give
-    # k_pos - q_pos == k - q (positions are consecutive), so the bias on
-    # every UNMASKED pair equals the batch-invariant Toeplitz table;
-    # cross-segment pairs take -1e9 and underflow to exactly 0 in the
-    # softmax regardless of their bias (see models/bert._rel_attn_bias_packed
-    # and the equivalence test in tests/test_packing.py).
-    seg = seg_ref[0, 0]
-    allowed = seg[:, None] == seg[None, :]  # [S, S]
-    for hh in range(h):
-        sl = slice(hh * d, (hh + 1) * d)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        scores = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [S, S]
-        scores = jnp.where(
-            allowed, scores * scale + pbias_ref[hh % pbias_ref.shape[0]],
-            -1e9,
-        )
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
-        acc = jnp.dot(  # softmax divide deferred to the [S, d] output
-            e.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        o_ref[0, :, sl] = (acc / se).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("h",))
-def _flash_attention_bias_packed_bse(q: Array, k: Array, v: Array,
-                                     seg: Array, pos_bias: Array, *,
-                                     h: int) -> Array:
-    """q/k/v: [B, S, H*d]; seg: [B, S] int32 (-1 = padding); pos_bias:
-    [H, S, S] or [1, S, S] f32 (batch-invariant). -> [B, S, H*d]"""
-    b, s, e = q.shape
-    d = e // h
-    scale = 1.0 / (d**0.5)
-
-    kernel = functools.partial(_attn_bias_seg_bse_kernel, scale=scale, h=h,
-                               d=d)
-    ph = pos_bias.shape[0]
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ph, s, s), lambda bi: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, s, e), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, e), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s * s * d,
-            bytes_accessed=4 * b * s * e * q.dtype.itemsize + ph * s * s * 4,
-            transcendentals=b * h * s * s,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            # bias residency requires sequential batch steps revisiting the
-            # constant-index bias block
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=48 * 1024 * 1024,
-        ),
-        interpret=jax.devices()[0].platform != "tpu",
-    )(q, k, v, seg[:, None, :], pos_bias)
+    return _flash_attention_bse_call(
+        q, k, v, seg.astype(jnp.int32), None, h=h, seg_mask=True
+    )
 
 
 def flash_attention_bias_packed_bse(q: Array, k: Array, v: Array, seg: Array,
@@ -572,14 +371,32 @@ def flash_attention_bias_packed_bse(q: Array, k: Array, v: Array, seg: Array,
     """Additive-position-bias attention over PACKED rows in the
     PROJECTION-OUTPUT layout (packed MPNet / T5 / ModernBERT-local):
     q/k/v [B, S, H*d], seg [B, S] int32 (-1 padding), pos_bias [H, S, S] or
-    [1, S, S] f32 built from ABSOLUTE row offsets (valid within segments —
-    see _attn_bias_seg_bse_kernel).  The bias is DMA'd once and stays
+    [1, S, S] f32 built from ABSOLUTE row offsets — valid because within a
+    packed segment the restart positions are consecutive, so k_pos - q_pos
+    equals k - q on every UNMASKED pair, and cross-segment pairs take -1e9
+    and underflow to exactly 0 in the softmax regardless of their bias
+    (see models/bert._rel_attn_bias_packed and the equivalence test in
+    tests/test_packing.py).  The bias is DMA'd once and stays
     VMEM-resident across the batch grid; the segment mask is computed
     in-kernel.  Callers guarantee S % 8 == 0, d % 8 == 0, 128 <= S <= 1024
     and fits_bias_bse."""
-    return _flash_attention_bias_packed_bse(
-        q, k, v, seg.astype(jnp.int32), pos_bias.astype(jnp.float32), h=h
+    return _flash_attention_bse_call(
+        q, k, v, seg.astype(jnp.int32), pos_bias.astype(jnp.float32), h=h,
+        seg_mask=True,
     )
+
+
+# VMEM gate for the resident-bias BSE kernels: full bias + qkv/out tiles +
+# the per-head f32 score tile must fit comfortably
+_BIAS_BSE_BUDGET = 28 * 1024 * 1024
+
+
+def fits_bias_bse(s: int, e: int, ph: int, itemsize: int) -> bool:
+    """True when the resident-bias BSE kernel's working set fits the
+    budget: bias [PH, S, S] f32 + 2x-buffered qkv/out [S, E] tiles + two
+    f32 [S, S] score-class tiles."""
+    need = (ph * s * s * 4 + 8 * s * e * itemsize + 2 * s * s * 4)
+    return need <= _BIAS_BSE_BUDGET
 
 
 def packed_bse_applies(s: int, d: int, max_seg_len: int | None) -> bool:

@@ -182,6 +182,141 @@ def _disentangled_attention(q: Array, k: Array, v: Array, mask_bias: Array,
     )(q, k, v, mask_bias[:, None, :], pk, pq)
 
 
+def _deberta_seg_kernel(q_ref, k_ref, v_ref, seg_ref, pk_ref, pq_ref, o_ref,
+                        *, scale, hb, s, nbits):
+    # the packed twin of _deberta_kernel: seg [1, 1, S] int32 replaces the
+    # additive key-padding bias — the block-diagonal segment mask is
+    # computed once per grid cell and applied as where(allowed, ., -1e9).
+    # The delta-major skew tables stay the PLAIN absolute-offset ones:
+    # within a packed segment the restart positions are consecutive, so
+    # bucket(pos_q - pos_k) == bucket(q - k) on every unmasked pair, and
+    # masked pairs underflow to exact softmax zero whatever their bucket
+    # (the same identity the packed bias-BSE kernels use).
+    seg = seg_ref[0, 0]
+    allowed = seg[:, None] == seg[None, :]  # [S, S]
+    for hh in range(hb):
+        q = q_ref[0, hh]
+        k = k_ref[0, hh]
+        v = v_ref[0, hh]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S] content-content
+        c = jax.lax.dot_general(
+            q, pk_ref[hh], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, W]
+        scores = scores + _skew_lane(c, nbits, s + 1)[:, :s]
+        dmat = jax.lax.dot_general(
+            pq_ref[hh], k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [W, S]
+        scores = scores + _skew_sub(dmat, nbits, s)[:s, :]
+
+        scores = jnp.where(allowed, scores * scale, -1e9)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        se = jnp.sum(e, axis=-1, keepdims=True)  # before the dot: frees e
+        acc = jnp.dot(  # softmax divide deferred to the [S, d] output
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, hh] = (acc / se).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hb",))
+def _disentangled_attention_seg(q: Array, k: Array, v: Array, seg: Array,
+                                pk: Array, pq: Array, *, hb: int) -> Array:
+    """q/k/v: [B, H, S, d]; seg: [B, S] int32 (-1 = padding); pk/pq:
+    [H, 2S, d] delta-major tables. -> [B, H, S, d]"""
+    b, h, s, d = q.shape
+    scale = 1.0 / float(np.sqrt(d * 3))
+    grid = (h // hb, 1, b)  # batch innermost: pk/pq blocks DMA once per head
+    nbits = max(1, int(np.ceil(np.log2(s))))
+
+    kernel = functools.partial(_deberta_seg_kernel, scale=scale, hb=hb, s=s,
+                               nbits=nbits)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, hb, s, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hb, s, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hb, s, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s), lambda hi, qi, bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (hb, 2 * s, d), lambda hi, qi, bi: (hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (hb, 2 * s, d), lambda hi, qi, bi: (hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hb, s, d), lambda hi, qi, bi: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * s * d * (2 * s + 4 * s),
+            bytes_accessed=4 * b * h * s * d * q.dtype.itemsize
+            + 2 * h * 2 * s * d * 4,
+            transcendentals=b * h * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(q, k, v, seg[:, None, :], pk, pq)
+
+
+def disentangled_attention_packed(
+    q: Array, k: Array, v: Array, seg: Array,
+    pos_k: Array, pos_q: Array, span: int, max_dist: int,
+) -> Array:
+    """Fused DeBERTa attention over PACKED rows: q/k/v [B, S, H, d], seg
+    [B, S] int32 segment ids (-1 padding).  Uses the plain absolute-offset
+    delta tables (valid within segments — see _deberta_seg_kernel) with the
+    block-diagonal mask computed in-kernel.  Same envelope as
+    disentangled_attention (S % 64 == 0, d % 8 == 0, S <= 512)."""
+    b, s, h, d = q.shape
+    c2p_idx, p2c_idx = delta_tables(s, span, max_dist)
+    pk = jnp.transpose(pos_k[c2p_idx], (1, 0, 2))  # [H, 2S, d]
+    pq = jnp.transpose(pos_q[p2c_idx], (1, 0, 2))
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    itemsize = q.dtype.itemsize
+    hb = next(
+        (
+            c
+            for c in range(h, 0, -1)
+            if h % c == 0
+            and 2 * c * (4 * s * d * itemsize + 2 * (2 * s) * d * itemsize)
+            + 3 * s * 2 * s * 4
+            <= 12 * 1024 * 1024
+        ),
+        1,
+    )
+    out = _disentangled_attention_seg(
+        qt, kt, vt, seg.astype(jnp.int32), pk, pq, hb=hb
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 def delta_tables(s: int, span: int, max_dist: int):
     """Trace-time numpy gather indices mapping the delta-major kernel
     tables back into the [2*span] bucket tables:

@@ -683,7 +683,8 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         raise HttpError(429, str(e))
                     cand = payload.get("candidates")
                     if cand is not None and (
-                        not isinstance(cand, int) or cand < 1
+                        isinstance(cand, bool)  # bool IS an int in JSON land
+                        or not isinstance(cand, int) or cand < 1
                     ):
                         raise HttpError(400,
                                         "candidates must be a positive int")

@@ -434,6 +434,11 @@ class MaxSimIndex:
         for lo in range(0, len(states), cap):
             chunk = states[lo : lo + cap]
             nb = next(b for b in _HOST_BLOCK_BUCKETS if len(chunk) <= b)
+            if base + lo + nb > MAX_INDEX_ROWS:
+                # near the id ceiling the pad rows would spuriously trip
+                # the MAX_INDEX_ROWS check (the REAL need fits; the bucket
+                # doesn't) — commit this block unpadded instead
+                nb = len(chunk)
             blk, msk = block(chunk)
             if nb != len(chunk):  # pad rows land beyond _n: safe (see above)
                 blk = np.concatenate(

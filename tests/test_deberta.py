@@ -8,6 +8,8 @@ family behind the mxbai-rerank v1 / nli-deberta-v3 cross-encoders.
 """
 import dataclasses
 
+from conftest import tpu_atol
+
 import numpy as np
 import pytest
 
@@ -430,3 +432,33 @@ def test_fused_kernel_matches_xla():
         got = np.asarray(bert_embed_batch(
             params, ids, mask, cfg, ComputeOptions(attn_impl="pallas")))
         np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)
+
+
+def test_packed_pallas_matches_xla():
+    """Packed DeBERTa through the fused segment kernel (plain delta tables
+    + in-kernel block-diagonal mask) == the XLA path with per-row bucket
+    indices and a [B, Sq, Sk] segment bias."""
+    cfg = dataclasses.replace(DEBERTA_CFG, n_ctx=256)
+    params = random_params(cfg, seed=31)
+    rng = np.random.default_rng(32)
+    b, s, n_seg = 2, 128, 8
+    seg = np.full((b, s), -1, np.int32)
+    pos = np.zeros((b, s), np.int32)
+    for i in range(b):
+        c = g = 0
+        while c < s - 4 and g < n_seg:
+            ln = min(int(rng.integers(6, 30)), s - c)
+            seg[i, c:c + ln] = g
+            pos[i, c:c + ln] = np.arange(ln)
+            c, g = c + ln, g + 1
+    ids = rng.integers(4, cfg.n_vocab, size=(b, s)).astype(np.int32)
+    ids[seg < 0] = 0
+    a = np.asarray(bert_embed_packed(
+        params, ids, seg, pos, cfg,
+        ComputeOptions(dtype="float32", attn_impl="xla"), n_seg=n_seg,
+    ))
+    bb = np.asarray(bert_embed_packed(
+        params, ids, seg, pos, cfg,
+        ComputeOptions(dtype="float32", attn_impl="pallas"), n_seg=n_seg,
+    ))
+    np.testing.assert_allclose(a, bb, atol=tpu_atol(2e-5), rtol=1e-4)

@@ -237,9 +237,11 @@ def _encoder_layer(x, lp, aux, bias_global, bias_local, pos, config, opts,
     gelu = "gelu_tanh" if config.gelu == "tanh" else "gelu_erf"
     u = linear(hn, lp["ffn_up_w"], q4_impl=opts.q4_impl, activation=gelu)
     g = linear(hn, lp["ffn_gate_w"], q4_impl=opts.q4_impl)
+    # the GeGLU gate multiply fuses into the down-projection's prologue —
+    # a separate u * g op is a full [M, F] HBM pass between pallas_calls
     return linear(
-        u * g, lp["ffn_down_w"], q4_impl=opts.q4_impl,
-        reduce_axis=opts.tp_axis, residual=x,
+        u, lp["ffn_down_w"], q4_impl=opts.q4_impl,
+        reduce_axis=opts.tp_axis, residual=x, prologue_mul=g,
     )
 
 

@@ -175,9 +175,11 @@ def _encoder_layer(x, lp, mask_bias, pos, inv_freq, config, opts, seg=None,
                activation="silu")
     g = linear(x, lp["ffn_gate_w"], lp.get("ffn_gate_b"),
                q4_impl=opts.q4_impl)
+    # the SwiGLU gate multiply fuses into the down-projection's prologue —
+    # a separate u * g op is a full [M, F] HBM pass between pallas_calls
     return linear(
-        u * g, lp["ffn_down_w"], lp.get("ffn_down_b"), q4_impl=opts.q4_impl,
-        reduce_axis=opts.tp_axis, residual=x,
+        u, lp["ffn_down_w"], lp.get("ffn_down_b"), q4_impl=opts.q4_impl,
+        reduce_axis=opts.tp_axis, residual=x, prologue_mul=g,
         ln=(lp["ln_out_scale"], lp["ln_out_bias"], config.layer_norm_eps),
     )
 

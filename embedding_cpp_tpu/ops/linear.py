@@ -49,8 +49,9 @@ def linear(
     activation: str | None = None,
     residual: Array | None = None,
     ln: tuple | None = None,
+    prologue_mul: Array | None = None,
 ) -> Array:
-    """y = act(x @ w (+ b)) [+ residual] [-> LayerNorm].
+    """y = act((x [* prologue_mul]) @ w (+ b)) [+ residual] [-> LayerNorm].
     x: [..., K]; w: [K, N] dense or Q4Tensor; b: [N]; activation: None |
     "gelu_erf" | "gelu_tanh"; residual: [..., N] added after activation;
     ln: (scale [N], bias [N], eps) LayerNorm applied last.
@@ -60,7 +61,10 @@ def linear(
     bias is applied exactly once).  None under GSPMD/single-device.
 
     On the Pallas Q4 path (no reduce_axis) bias and activation fuse into
-    the matmul kernel's epilogue (ops/q4_matmul.py).  The residual/LN tail
+    the matmul kernel's epilogue, and `prologue_mul` ([..., K], the
+    gated-FFN u*g multiplicand) into its prologue on the loaded tiles —
+    as a separate op between two pallas_calls the multiply is a full
+    [M, K] HBM pass nothing can fuse away (ops/q4_matmul.py).  The residual/LN tail
     deliberately composes OUTSIDE the kernel even there: fusing it in-kernel
     measured a ~5% full-forward regression on v5e (7.33 vs 6.93 ms at
     [32, 512] — the in-kernel lane-reduction LayerNorm loses to XLA's own
@@ -69,6 +73,8 @@ def linear(
     fuses them into its matmul anyway.
     """
     dtype = x.dtype
+    pm2 = (None if prologue_mul is None
+           else prologue_mul.reshape(-1, prologue_mul.shape[-1]))
     if isinstance(w, QTensor):
         if q4_impl == "pallas":
             from .q4_matmul import q4_matmul
@@ -78,7 +84,7 @@ def linear(
             if fuse:
                 y = q4_matmul(
                     x.reshape(-1, x.shape[-1]), w,
-                    bias=b, activation=activation,
+                    bias=b, activation=activation, prologue_mul=pm2,
                 )
                 y = y.reshape(*lead, -1).astype(dtype)
                 if residual is not None:
@@ -88,13 +94,17 @@ def linear(
                 return y
             # row-parallel (psum follows): keep the f32 accumulator — a
             # bf16 round here would degrade the cross-device sum
-            y = q4_matmul(x.reshape(-1, x.shape[-1]), w, out_f32=True)
+            y = q4_matmul(x.reshape(-1, x.shape[-1]), w, out_f32=True,
+                          prologue_mul=pm2)
             y = y.reshape(*lead, -1)
         else:
             wd = dequantize(w, dtype=dtype)
-            y = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+            xx = x if prologue_mul is None else x * prologue_mul
+            y = jnp.matmul(xx, wd, preferred_element_type=jnp.float32)
     else:
-        y = jnp.matmul(x, w.astype(dtype), preferred_element_type=jnp.float32)
+        xx = x if prologue_mul is None else x * prologue_mul
+        y = jnp.matmul(xx, w.astype(dtype),
+                       preferred_element_type=jnp.float32)
     if reduce_axis is not None:
         y = jax.lax.psum(y, reduce_axis)
     if b is not None:

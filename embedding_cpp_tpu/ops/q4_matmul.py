@@ -126,7 +126,8 @@ def _epilogue(y: Array, bias, activation: str | None,
 def _q4_matmul_1d(
     x: Array, qs: Array, scales: Array, mins: Array | None,
     bias: Array | None = None, residual: Array | None = None,
-    ln_sb: Array | None = None, *, tm: int, activation: str | None = None,
+    ln_sb: Array | None = None, prologue_mul: Array | None = None, *,
+    tm: int, activation: str | None = None,
     ln_eps: float = 0.0, out_f32: bool = False
 ) -> Array:
     """1-D grid over M; full weight dequantized into VMEM scratch once.
@@ -134,7 +135,12 @@ def _q4_matmul_1d(
     `residual` ([M, N], added in f32 after bias/activation) and `ln_sb`
     (LayerNorm scale+bias stacked [2, N] f32, applied last with `ln_eps`)
     extend the fused epilogue — valid here because each tile holds FULL
-    rows, so the LN row statistics are complete."""
+    rows, so the LN row statistics are complete.  `prologue_mul` ([M, K])
+    multiplies elementwise into x on the LOADED tiles before the dot — the
+    gated-FFN pattern (GeGLU/SwiGLU down-projection of u * g): as a
+    separate XLA op between two pallas_calls the multiply costs a full
+    [M, K] HBM read+write pass that nothing can fuse away (the same
+    asymmetry as the r2 epilogue analysis, on the input side)."""
     m, k = x.shape
     qk_rows, n = qs.shape  # K/2 packed (Q4) or K plain (Q8)
     grid = (m // tm,)
@@ -166,6 +172,11 @@ def _q4_matmul_1d(
             pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(ln_sb)
+    if prologue_mul is not None:
+        in_specs.append(
+            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(prologue_mul)
 
     def kernel(*refs):
         refs = list(refs)
@@ -187,6 +198,10 @@ def _q4_matmul_1d(
         if ln_sb is not None:
             ln_ref = refs[pos]
             pos += 1
+        g_ref = None
+        if prologue_mul is not None:
+            g_ref = refs[pos]
+            pos += 1
         o_ref, w_scratch = refs[pos], refs[pos + 1]
 
         @pl.when(pl.program_id(0) == 0)
@@ -196,8 +211,9 @@ def _q4_matmul_1d(
                 compute_dtype,
             )
 
+        xx = x_ref[:] if g_ref is None else x_ref[:] * g_ref[:]
         y = jnp.dot(
-            x_ref[:], w_scratch[:], preferred_element_type=jnp.float32
+            xx, w_scratch[:], preferred_element_type=jnp.float32
         )
         b = None if bias_ref is None else bias_ref[0][None, :]
         res = None if res_ref is None else res_ref[:].astype(jnp.float32)
@@ -242,7 +258,8 @@ def _q4_matmul_1d(
 )
 def _q4_matmul_2d(
     x: Array, qs: Array, scales: Array, mins: Array | None,
-    bias: Array | None = None, *, tm: int, tn: int,
+    bias: Array | None = None, prologue_mul: Array | None = None, *,
+    tm: int, tn: int,
     activation: str | None = None, out_f32: bool = False
 ) -> Array:
     m, k = x.shape
@@ -266,6 +283,12 @@ def _q4_matmul_2d(
             pl.BlockSpec((1, tn), lambda j, i: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(bias.astype(jnp.float32).reshape(1, n))
+    if prologue_mul is not None:
+        in_specs.append(
+            pl.BlockSpec((tm, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(prologue_mul)
 
     def kernel(*refs):
         refs = list(refs)
@@ -279,6 +302,10 @@ def _q4_matmul_2d(
         if bias is not None:
             bias_ref = refs[pos]
             pos += 1
+        g_ref = None
+        if prologue_mul is not None:
+            g_ref = refs[pos]
+            pos += 1
         o_ref, w_scratch = refs[pos], refs[pos + 1]
 
         @pl.when(pl.program_id(1) == 0)
@@ -288,8 +315,9 @@ def _q4_matmul_2d(
                 compute_dtype,
             )
 
+        xx = x_ref[:] if g_ref is None else x_ref[:] * g_ref[:]
         y = jnp.dot(
-            x_ref[:], w_scratch[:], preferred_element_type=jnp.float32
+            xx, w_scratch[:], preferred_element_type=jnp.float32
         )
         b = None if bias_ref is None else bias_ref[0][None, :]
         o_ref[:] = _epilogue(y, b, activation).astype(o_ref.dtype)
@@ -326,6 +354,7 @@ def q4_matmul(
     x: Array, w: Q4Tensor, bias: Array | None = None,
     activation: str | None = None, residual: Array | None = None,
     ln: tuple | None = None, out_f32: bool = False,
+    prologue_mul: Array | None = None,
 ) -> Array:
     """x [M, K] @ packed-quantized w [K, N] (+ epilogue) -> [M, N] in x.dtype.
     (Exceptions returning the f32 accumulator unrounded: `out_f32=True` —
@@ -375,7 +404,8 @@ def q4_matmul(
         from .qtensor import dequantize
 
         wd = dequantize(w, dtype=x.dtype)
-        y = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+        xx = x if prologue_mul is None else x * prologue_mul
+        y = jnp.matmul(xx, wd, preferred_element_type=jnp.float32)
         if no_epilogue:
             # raw product: keep the f32 accumulator (pre-epilogue contract;
             # the shard_map row-parallel path psums this BEFORE any cast —
@@ -393,6 +423,7 @@ def q4_matmul(
             k * n * itemsize  # dequantized weight scratch
             + 2 * tm * (k + n) * itemsize  # double-buffered x and out tiles
             + (2 * tm * n * itemsize if residual is not None else 0)
+            + (2 * tm * k * itemsize if prologue_mul is not None else 0)
             + qk_rows * n  # packed codes (nibbles or int8)
             + (k // QK4) * n * 4 * (2 if w.mins is not None else 1)
         )
@@ -415,7 +446,8 @@ def q4_matmul(
                 [ln[0].astype(jnp.float32), ln[1].astype(jnp.float32)]
             )
         return _q4_matmul_1d(
-            x, w.qs, w.scales, w.mins, bias, residual, ln_sb, tm=tm,
+            x, w.qs, w.scales, w.mins, bias, residual, ln_sb, prologue_mul,
+            tm=tm,
             activation=activation, ln_eps=0.0 if ln is None else float(ln[2]),
             out_f32=out_f32,
         )
@@ -429,5 +461,6 @@ def q4_matmul(
     if n % tn:
         return xla_fallback()
     tm2 = _pick_tile(m, (256, 128, 64, 32, 16, 8))
-    return _q4_matmul_2d(x, w.qs, w.scales, w.mins, bias, tm=tm2, tn=tn,
+    return _q4_matmul_2d(x, w.qs, w.scales, w.mins, bias, prologue_mul,
+                         tm=tm2, tn=tn,
                          activation=activation, out_f32=out_f32)

@@ -167,15 +167,19 @@ def _attention(xn, lp, pos_bias, mask_bias, config: BertConfig, opts,
 def _ffn(xn, lp, config: BertConfig, opts):
     """T5DenseActDense (wi -> act -> wo's input) or T5DenseGatedActDense
     (act(wi_0) * wi_1).  ffn_act: "relu" | "gelu_erf" (HF dense_act_fn
-    "gelu") | "gelu_tanh" (gelu_new / the "gated-gelu" back-compat)."""
+    "gelu") | "gelu_tanh" (gelu_new / the "gated-gelu" back-compat).
+    Returns (h, gate): gate is None ungated, else the raw wi_1 projection —
+    the caller folds the multiply into the down-projection's prologue
+    (ops/linear prologue_mul; a separate u * g op is a full [M, F] HBM
+    pass between pallas_calls)."""
     act = config.ffn_act or "relu"
     gelu = act if act in ("gelu_tanh", "gelu_erf") else None
     u = linear(xn, lp["ffn_up_w"], q4_impl=opts.q4_impl, activation=gelu)
     if act == "relu":
         u = jax.nn.relu(u)
     if config.ffn_gated:
-        return u * linear(xn, lp["ffn_gate_w"], q4_impl=opts.q4_impl)
-    return u
+        return u, linear(xn, lp["ffn_gate_w"], q4_impl=opts.q4_impl)
+    return u, None
 
 
 def _encoder_layer(x, lp, pos_bias, mask_bias, config: BertConfig, opts,
@@ -188,9 +192,10 @@ def _encoder_layer(x, lp, pos_bias, mask_bias, config: BertConfig, opts,
                      max_seg_len=max_seg_len)
     x = linear(att, lp["o_w"], q4_impl=opts.q4_impl,
                reduce_axis=opts.tp_axis, residual=x)
-    h = _ffn(rms_norm(x, lp["ln_out_scale"], eps, x.dtype), lp, config, opts)
+    h, gate = _ffn(rms_norm(x, lp["ln_out_scale"], eps, x.dtype), lp,
+                   config, opts)
     return linear(h, lp["ffn_down_w"], q4_impl=opts.q4_impl,
-                  reduce_axis=opts.tp_axis, residual=x)
+                  reduce_axis=opts.tp_axis, residual=x, prologue_mul=gate)
 
 
 def _run_layers(x, params, pos_bias, mask_bias, config, opts, seg=None,

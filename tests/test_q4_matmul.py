@@ -196,3 +196,31 @@ def test_forward_with_pallas_impl_matches_xla():
         bert_embed_batch(params, ids, mask, cfg, ComputeOptions(q4_impl="pallas"))
     )
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_prologue_mul_matches_explicit_multiply():
+    """prologue_mul (the gated-FFN u*g fused into the loaded x tiles) must
+    equal the explicit (x * g) @ W on every path: the 1-D kernel, the 2-D
+    kernel (weights too large for the full-resident scratch), and the XLA
+    fallback (unaligned shapes)."""
+    rng = np.random.default_rng(11)
+    # 1-D kernel path (small weight, aligned)
+    qt = _make(GGMLType.Q4_0, 384, 384)
+    x = jnp.asarray(rng.normal(size=(64, 384)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(64, 384)).astype(np.float32))
+    fused = np.asarray(q4_matmul(x, qt, prologue_mul=g))
+    explicit = np.asarray(q4_matmul(x * g, qt))
+    np.testing.assert_allclose(fused, explicit, atol=1e-5, rtol=1e-5)
+    # with the full epilogue stack riding alongside
+    b = jnp.asarray(rng.normal(size=(384,)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(64, 384)).astype(np.float32))
+    fused = np.asarray(q4_matmul(x, qt, bias=b, activation="gelu_erf",
+                                 residual=res, prologue_mul=g))
+    explicit = np.asarray(q4_matmul(x * g, qt, bias=b,
+                                    activation="gelu_erf", residual=res))
+    np.testing.assert_allclose(fused, explicit, atol=1e-5, rtol=1e-5)
+    # XLA fallback path (n % 128 != 0)
+    qt2 = _make(GGMLType.Q4_0, 320, 384)
+    fused = np.asarray(q4_matmul(x, qt2, prologue_mul=g))
+    explicit = np.asarray(q4_matmul(x * g, qt2))
+    np.testing.assert_allclose(fused, explicit, atol=1e-5, rtol=1e-5)

@@ -53,7 +53,8 @@ the same device batches) as the TCP protocol.
                           (SPLADE sparse lexical vectors; needs an
                           MLM-head model, e.g. naver/splade-*)
     POST /v1/sparse_index  {"input": ["texts"...]} -> {"total": N}
-    POST /v1/sparse_search {"input": ["queries"...], "k": 10}
+    POST /v1/sparse_search {"input": ["queries"...], "k": 10,
+                            "candidates": 256}  # optional two-stage mode
       -> {"results": [[{"index": id, "score": s}, ...k], ...]}
                           (exact sparse dot-product top-k, on-device padded COO)
     POST /v1/hybrid_index  {"input": ["texts"...]} -> {"total": N}
@@ -551,9 +552,16 @@ async def handle_http(reader, writer, batcher, model_name: str,
                         b.try_reserve(len(texts))
                     except OverloadedError as e:
                         raise HttpError(429, str(e))
+                    cand = payload.get("candidates")
+                    if cand is not None and (
+                        isinstance(cand, bool)
+                        or not isinstance(cand, int) or cand < 1
+                    ):
+                        raise HttpError(400,
+                                        "candidates must be a positive int")
                     try:
                         idx, scores = await loop.run_in_executor(
-                            None, b.sparse_search_texts, texts, k
+                            None, b.sparse_search_texts, texts, k, cand
                         )
                     finally:
                         b.release(len(texts))

@@ -244,12 +244,17 @@ class ContinuousBatcher:
                     self.sparse_index = self._make_sparse_index()
         return self.sparse_index.add(texts)
 
-    def sparse_search_texts(self, texts: list[str], k: int):
+    def sparse_search_texts(self, texts: list[str], k: int,
+                            candidates: int | None = None):
         if self.sparse_index is None:
             raise RuntimeError(
                 "no sparse index built (POST /v1/sparse_index first)"
             )
-        return self.sparse_index.search(texts, k)
+        if candidates is not None and (
+            self.engine.mesh is not None or not self.sparse_index.device
+        ):
+            candidates = None  # two-stage mode is single-device; exact
+        return self.sparse_index.search(texts, k, candidates=candidates)
 
     def maxsim_index_texts(self, texts: list[str]) -> int:
         if self.maxsim_index is None:

@@ -129,6 +129,63 @@ def _make_sparse_search_kernel():
     return kernel
 
 
+def _make_sparse_approx_kernel():
+    """Two-stage candidates search (the sparse analog of the dense approx
+    path and MaxSim's candidates mode): stage 1 scores EVERY document with
+    only its P heaviest terms (rows are impact-sorted at ingest, so
+    didx[:, :P] is the document's weight prefix — gather traffic drops by
+    Kd/P) and keeps ~C candidates via approx_max_k; stage 2 re-scores the
+    candidates with their FULL term rows (exact), so returned scores are
+    exact sparse dot products — the prefix approximation only affects which
+    borderline documents are considered."""
+    import jax
+    import jax.numpy as jnp
+
+    from .search import _pack_result
+
+    @partial(jax.jit, static_argnums=(5, 6, 7, 8))
+    def kernel(didx, dval, q_idx, q_val, n_real, k, c, p, n_vocab):
+        n, kd = didx.shape
+        qb = q_idx.shape[0]
+        qd = _densify_queries(q_idx, q_val, n_vocab)  # [Qb, V]
+        qdT = qd.T  # [V, Qb]
+        nb = _doc_block(qb, p, n)
+
+        def body(i, scores):
+            ib = jax.lax.dynamic_slice_in_dim(didx, i * nb, nb, axis=0)
+            vb = jax.lax.dynamic_slice_in_dim(dval, i * nb, nb, axis=0)
+            g = qdT[ib[:, :p]]  # [NB, P, Qb] gather — P of Kd terms
+            s = jnp.einsum("np,npq->qn", vb[:, :p], g,
+                           preferred_element_type=jnp.float32)
+            return jax.lax.dynamic_update_slice(scores, s, (0, i * nb))
+
+        s1 = jax.lax.fori_loop(
+            0, n // nb, body, jnp.zeros((qb, n), jnp.float32)
+        )
+        valid = jnp.arange(n) < n_real
+        s1 = jnp.where(valid[None, :], s1, -jnp.inf)
+        _, cidx = jax.lax.approx_max_k(s1, c)
+        cidx = cidx.astype(jnp.int32)
+
+        # stage 2: exact rescore of the C candidates' full rows
+        di = didx[cidx]  # [Qb, C, Kd]
+        dv = dval[cidx]
+        g = jnp.take_along_axis(
+            qd, di.reshape(qb, c * kd).astype(jnp.int32), axis=1
+        ).reshape(qb, c, kd)
+        scores = jnp.sum(dv * g, axis=-1)  # [Qb, C] exact dots
+        cand_ok = jnp.take_along_axis(
+            jnp.broadcast_to(valid[None, :], s1.shape), cidx, axis=1
+        )
+        scores = jnp.where(cand_ok, scores, -jnp.inf)
+        s, j = jax.lax.top_k(scores, k)
+        ids = jnp.take_along_axis(cidx, j, axis=1)
+        ids = jnp.where(jnp.isfinite(s), ids, -1)
+        return _pack_result(s, ids)
+
+    return kernel
+
+
 def _make_sharded_sparse_search(mesh):
     """Distributed sparse top-k over a dp-sharded padded-COO corpus:
     per-shard blocked scoring + local top-k, then the k*dp candidate merge
@@ -214,6 +271,7 @@ class SparseIndex:
         self._sharding = None
         if self.device:
             self._kernel = _make_sparse_search_kernel()
+            self._approx_kernel = _make_sparse_approx_kernel()
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -278,16 +336,17 @@ class SparseIndex:
 
     # --- device mirror --------------------------------------------------------
     def _pad_pairs(self, pairs) -> tuple[np.ndarray, np.ndarray]:
-        """(ids, weights) pairs -> padded [n, Kd] matrices.  Documents with
-        more than Kd active terms keep their Kd heaviest (encode emits
-        weight-descending order; arbitrary add_vectors input is sorted)."""
+        """(ids, weights) pairs -> padded [n, Kd] matrices, rows ALWAYS
+        impact-sorted (weight-descending; order is invariant for exact
+        dot-product scoring, and the two-stage candidates mode scores a
+        weight-prefix per document — see search_vectors).  Documents with
+        more than Kd active terms keep their Kd heaviest."""
         kd = self.nnz_width
         di = np.zeros((len(pairs), kd), np.int32)
         dv = np.zeros((len(pairs), kd), np.float32)
         for i, (idx, val) in enumerate(pairs):
-            if len(idx) > kd:
-                order = np.argsort(-val, kind="stable")[:kd]
-                idx, val = idx[order], val[order]
+            order = np.argsort(-val, kind="stable")[:kd]
+            idx, val = idx[order], val[order]
             di[i, : len(idx)] = idx
             dv[i, : len(val)] = val
         return di, dv
@@ -367,22 +426,45 @@ class SparseIndex:
 
     # --- search ---------------------------------------------------------------
 
-    def search(self, texts: Sequence[str], k: int = 10):
+    def search(self, texts: Sequence[str], k: int = 10,
+               candidates: int | None = None):
         """Encode queries + search: -> (ids [Q, k] int32, scores [Q, k]
         f32), rows sorted by descending score, id -1 / -inf past the
-        corpus (the dense VectorIndex padding contract)."""
+        corpus (the dense VectorIndex padding contract).  `candidates`
+        enables the two-stage mode (see search_vectors)."""
         if self.engine is None:
             raise RuntimeError("index was loaded without an engine")
         pairs = self.engine.encode_sparse(texts, k=self.k_encode)
-        return self.search_vectors(pairs, k)
+        return self.search_vectors(pairs, k, candidates=candidates)
 
     def search_vectors(
-        self, pairs: Sequence[tuple[np.ndarray, np.ndarray]], k: int = 10
+        self, pairs: Sequence[tuple[np.ndarray, np.ndarray]], k: int = 10,
+        candidates: int | None = None, prefix: int = 8,
     ):
+        """`candidates=C` switches to the two-stage mode: every document is
+        scored by its `prefix` heaviest terms only (the impact prefix of
+        the sorted rows), ~C survivors re-score EXACTLY — the dense/maxsim
+        approx-path analog for the sparse plane.  Prefix quality tracks
+        weight concentration: SPLADE's log1p(relu) mass lives in a few
+        dominant terms, so prefix=8 recovers the exact ranking there
+        (benchmarks/sparse.py); near-uniform weight profiles need a wider
+        prefix (or exact search).  Single-device path only; exact is the
+        default and the mesh/host path."""
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
+        if candidates is not None:
+            if not self.device:
+                raise ValueError(
+                    "two-stage candidates mode needs the device index"
+                )
+            if self._sharding is not None:
+                raise ValueError(
+                    "two-stage candidates mode is single-device; use exact "
+                    "search on a mesh"
+                )
         if self.device:
-            return self._search_device(pairs, k)
+            return self._search_device(pairs, k, candidates=candidates,
+                                       prefix=prefix)
         with self._lock:
             n = len(self._indices)
             if n == 0:
@@ -417,7 +499,8 @@ class SparseIndex:
             out_s[qi, :kk] = scores[top]
         return out_i, out_s
 
-    def _search_device(self, pairs, k: int):
+    def _search_device(self, pairs, k: int, candidates: int | None = None,
+                       prefix: int = 8):
         from .search import _unpack_result
 
         k_req = k
@@ -448,8 +531,16 @@ class SparseIndex:
                 k = min(k, self._didx.shape[0] // self._dp)
             nb = _doc_block(qb, self.nnz_width,
                             self._didx.shape[0] // self._dp)
-            packed = self._run_device_search(q_idx, q_val, n, k, nb,
-                                             vocab_pad)
+            if candidates is not None:
+                c = max(k, min(int(candidates), n, self._didx.shape[0]))
+                p = max(1, min(int(prefix), self.nnz_width))
+                packed = self._approx_kernel(
+                    self._didx, self._dval, q_idx, q_val, n, k, c, p,
+                    vocab_pad,
+                )
+            else:
+                packed = self._run_device_search(q_idx, q_val, n, k, nb,
+                                                 vocab_pad)
             scores, idx = _unpack_result(np.asarray(packed)[:nq], k)
             if k < k_req:
                 idx = np.concatenate(

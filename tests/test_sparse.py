@@ -844,3 +844,58 @@ def test_device_index_nnz_width_truncation():
     q = [(np.array([0, 1], np.int32), np.array([1.0, 1.0], np.float32))]
     _, s = dev.search_vectors(q, k=1)
     np.testing.assert_allclose(s[0, 0], val[0] + val[1], atol=1e-6)
+
+
+def test_device_index_candidates_mode(eight_devices):
+    """Two-stage candidates mode: C >= corpus equals exact; a narrow C
+    still recovers the exact top results on an impact-concentrated corpus
+    (stage 1 scores the weight prefix); returned scores are EXACT dots;
+    host/mesh indexes reject the mode."""
+    from embedding_cpp_tpu.parallel.mesh import make_mesh
+    from embedding_cpp_tpu.runtime.sparse_search import SparseIndex
+
+    rng = np.random.default_rng(17)
+    v = 2048
+
+    def impact_pairs(n, lo=10, hi=60):
+        # SPLADE-like: weights decay fast, so the per-doc prefix carries
+        # most of the mass (the regime the prefix prefilter targets)
+        out = []
+        for _ in range(n):
+            nnz = int(rng.integers(lo, hi))
+            idx = rng.choice(v, size=nnz, replace=False).astype(np.int32)
+            val = np.sort(rng.random(nnz).astype(np.float32))[::-1]
+            val *= np.exp(-0.3 * np.arange(nnz, dtype=np.float32))
+            out.append((idx, np.ascontiguousarray(val)))
+        return out
+
+    docs = impact_pairs(300)
+    qs = impact_pairs(5, lo=4, hi=20)
+    dev = SparseIndex(device=True)
+    dev.add_vectors(docs)
+
+    ie, se = dev.search_vectors(qs, k=7)
+    ia, sa = dev.search_vectors(qs, k=7, candidates=300)
+    np.testing.assert_array_equal(ie, ia)
+    np.testing.assert_allclose(se, sa, atol=1e-5)
+
+    ia, sa = dev.search_vectors(qs, k=7, candidates=64)
+    expected = _brute_force(docs, qs, v)
+    for qi in range(5):
+        # top-1 recovered, and every returned score is the exact dot
+        assert ia[qi, 0] == ie[qi, 0]
+        for j in range(7):
+            if ia[qi, j] >= 0:
+                np.testing.assert_allclose(
+                    sa[qi, j], expected[qi][ia[qi, j]], rtol=1e-5, atol=1e-5
+                )
+
+    host = SparseIndex(device=False)
+    host.add_vectors(docs)
+    with pytest.raises(ValueError, match="device index"):
+        host.search_vectors(qs, k=3, candidates=16)
+    mesh = make_mesh(dp=8, tp=1, devices=eight_devices)
+    sharded = SparseIndex(device=True, mesh=mesh)
+    sharded.add_vectors(docs)
+    with pytest.raises(ValueError, match="single-device"):
+        sharded.search_vectors(qs, k=3, candidates=16)
